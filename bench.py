@@ -1,0 +1,77 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Timing is end-to-end per query (plan + execute + drain).  Small aggregated
+results drain via collect(); large row-preserving results drain via the noop
+sink so we measure compute, not driver materialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from sparkstreaming_quickstart_spark.queries import all_queries
+from sparkstreaming_quickstart_spark.session import get_spark
+
+# Headline set: one per operator family, weighted toward the scale-critical
+# paths (joins, window, dedup-LSH, similarity, streaming).
+HEADLINE = [
+    "q01_pricing_summary",
+    "q10_join_inner",
+    "q11_join_multiway",
+    "q18_join_asof",
+    "q21_agg_rollup",
+    "q30_window_topk",
+    "q34_session_windows",
+    "q44_json_funcs",
+    "q51_dedup_jaccard_exact",
+    "q52_dedup_minhash_lsh",
+    "q54_similarity_topk",
+    "q60_multimodal_meta",
+    "q70_stream_tumbling",
+]
+
+# Queries whose result is per-input-row sized: drain via noop sink.
+ROW_PRESERVING = {"q60_multimodal_meta"}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark("bench")
+    registry = all_queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        q = registry[name]
+        t0 = time.time()
+        df = q.fn(spark, sf_dir)
+        if name in ROW_PRESERVING:
+            df.write.format("noop").mode("overwrite").save()
+        else:
+            df.collect()
+        timings[name] = round(time.time() - t0, 3)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,79 @@
+"""As-of join (nearest prior event), Spark-first.
+
+Spark has no built-in ASOF JOIN (SURVEY.md section 7 "what's hard").  The
+scalable formulation is the union-and-carry-forward window trick:
+
+    1. Tag left rows (probes) and right rows (quotes), union them by key+time.
+    2. One window per key ordered by (time, tag, tiebreak); `last(value,
+       ignorenulls=True)` carries the most recent right-side value forward.
+    3. Keep only left rows.
+
+Cost: ONE shuffle on the key (window partitioning), no join blowup, no range
+explosion -- at 100 TB this beats the naive `join + filter + max_by` (which
+shuffles both sides AND materializes every (probe, earlier-quote) pair).
+Skewed keys can be salted by appending a time-bucket to the partition key;
+not needed at driver scale.
+
+Tie semantics: a right row at exactly t == left.t IS visible (inclusive);
+among right rows with identical timestamps the one with the highest tiebreak
+column wins.  The DuckDB oracle expresses the same thing with max_by over a
+correlated range.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    value_cols: list[str],
+    tiebreak: str,
+) -> DataFrame:
+    """For each left row, attach `value_cols` of the latest right row with
+    right_time <= left_time for the same `on` key (None if no such row).
+
+    Requirements: `value_cols` must be disjoint from `left`'s columns (rename
+    on the right side first), and `tiebreak` must be one of `value_cols`.
+    """
+    assert tiebreak in value_cols, "tiebreak must be one of value_cols"
+    overlap = set(value_cols) & set(left.columns)
+    assert not overlap, f"rename right-side value cols colliding with left: {overlap}"
+    lcols = left.columns
+    probe = left.withColumn("__t", F.col(left_time)).withColumn("__is_left", F.lit(1))
+    for v in value_cols:
+        if v not in probe.columns:
+            probe = probe.withColumn(v, F.lit(None))
+    build = right.select(
+        F.col(on),
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__is_left"),
+        *[F.col(v) for v in value_cols],
+    )
+    for c in lcols:
+        if c not in build.columns:
+            build = build.withColumn(c, F.lit(None))
+    unioned = probe.select(*lcols, "__t", "__is_left", *value_cols).unionByName(
+        build.select(*lcols, "__t", "__is_left", *value_cols)
+    )
+    # Right rows sort before left rows at equal time (inclusive semantics);
+    # among equal-time right rows the highest tiebreak lands last -> wins.
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("__t").asc(), F.col("__is_left").asc(), F.col(tiebreak).asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        *lcols,
+        "__is_left",
+        *[
+            F.last(F.when(F.col("__is_left") == 0, F.col(v)), ignorenulls=True).over(w).alias(f"asof_{v}")
+            for v in value_cols
+        ],
+    )
+    return carried.filter(F.col("__is_left") == 1).drop("__is_left")

@@ -1,0 +1,62 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media are opaque `binary` columns plus typed metadata structs.  The Spark-side
+plumbing -- schema, Arrow batch shape, mapInPandas partitioning -- is real and
+tested; the actual codec step is STUBBED (this container ships no image/audio
+libraries) behind `decode_image_real`, which raises NotImplementedError, with
+`fake_decode_meta` as the deterministic stand-in used by tests and queries.
+
+At 100 TB: mapInPandas streams Arrow batches through Python once, with no
+row-at-a-time serialization; binary payloads never leave the executor, and
+`spark.sql.files.maxPartitionBytes` bounds per-task memory.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+META_SCHEMA = "doc_id bigint, n_bytes bigint, fake_width int, fake_height int, checksum bigint"
+
+
+def decode_image_real(payload: bytes) -> tuple[int, int]:
+    """Real codec hook (PIL/libvips in production)."""
+    raise NotImplementedError("image codecs are not available in this container; use fake_decode_meta")
+
+
+def fake_decode_meta(payload: bytes) -> tuple[int, int, int]:
+    """Deterministic stand-in for a decoder: derive (width, height, checksum)
+    purely from the bytes so oracles can reproduce it in SQL."""
+    n = len(payload)
+    width = n % 640 + 1
+    height = n % 480 + 1
+    checksum = sum(payload[:16]) if n else 0
+    return width, height, checksum
+
+
+def with_binary_payload(df: DataFrame, text_col: str) -> DataFrame:
+    """Materialize an opaque binary column (stand-in for real media bytes)."""
+    return df.withColumn("payload", F.encode(F.col(text_col), "UTF-8"))
+
+
+def extract_media_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """mapInPandas feature extraction over binary payloads (Arrow-batched)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            meta = [fake_decode_meta(bytes(p)) for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "n_bytes": payloads.map(len).astype("int64"),
+                    "fake_width": pd.Series([m[0] for m in meta], dtype="int32"),
+                    "fake_height": pd.Series([m[1] for m in meta], dtype="int32"),
+                    "checksum": pd.Series([m[2] for m in meta], dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(run, schema=META_SCHEMA)

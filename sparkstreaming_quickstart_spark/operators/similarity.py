@@ -1,0 +1,125 @@
+"""Embedding similarity search: exact top-k cosine + LSH-bucketed ANN.
+
+Exact path (`topk_cosine`): normalize-free cosine via higher-order array
+functions -- dot and norms are sequential double folds (zip_with + aggregate),
+JVM-side, bitwise-reproducible.  The query set joins against the full corpus;
+with a small query set Catalyst broadcasts it, so the corpus scan is
+shuffle-free and the only shuffle is the per-query top-k (row_number window
+over query_id).
+
+ANN path (`ann_lsh_topk`): random-hyperplane LSH.  Hyperplanes come from a
+seeded numpy RandomState and are shipped as literal arrays (they're tiny:
+nbits x dim doubles).  Bucket = sign-bit string of hyperplane dots; candidates
+only join within a bucket -- at 100 TB this turns the O(Q x N) cross join into
+O(Q x N / 2^nbits) per-bucket work, trading recall for throughput.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product in double (deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """dot / sqrt(|a|^2 * |b|^2) -- grouping chosen to match the oracle SQL."""
+    return dot(a, b) / F.sqrt(dot(a, a) * dot(b, b))
+
+
+def topk_cosine(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    query_vec: str,
+    corpus_id: str,
+    corpus_vec: str,
+    k: int = 5,
+    round_digits: int = 9,
+) -> DataFrame:
+    """Exact brute-force top-k cosine neighbors per query (self excluded).
+
+    Returns (query_id, neighbor_id, cos_sim, rank); cosine rounded so the
+    value is float-discrepancy-proof against the oracle.
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(F.col(query_id).alias("query_id"), F.col(query_vec).alias("qv"))
+    c = corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("cv"))
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), round_digits).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def _hyperplanes(dim: int, nbits: int, seed: int = 42) -> np.ndarray:
+    return np.random.RandomState(seed).standard_normal((nbits, dim))
+
+
+def bucketize(df: DataFrame, vec: str, dim: int, nbits: int = 8, seed: int = 42) -> DataFrame:
+    """Append an LSH bucket id: sign bits of `nbits` hyperplane projections."""
+    planes = _hyperplanes(dim, nbits, seed)
+    plane_cols = [F.array(*[F.lit(float(v)) for v in row]) for row in planes]
+    bucket = sum(
+        [
+            F.when(dot(F.col(vec), p) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+            for i, p in enumerate(plane_cols)
+        ],
+        F.lit(0),
+    )
+    return df.withColumn("bucket", bucket.cast("int"))
+
+
+def ann_lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    query_vec: str,
+    corpus_id: str,
+    corpus_vec: str,
+    dim: int,
+    k: int = 5,
+    nbits: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: exact cosine ranking restricted to same-LSH-bucket
+    candidates.  Deterministic (seeded hyperplanes); recall < 1 by design."""
+    from pyspark.sql import Window
+
+    q = bucketize(
+        queries.select(F.col(query_id).alias("query_id"), F.col(query_vec).alias("qv")), "qv", dim, nbits, seed
+    )
+    c = bucketize(
+        corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("cv")), "cv", dim, nbits, seed
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", F.round(cosine(F.col("qv"), F.col("cv")), 9).alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )

@@ -1,0 +1,177 @@
+"""Aggregation queries: hash-agg, count-distinct, approx, rollup/cube, stats.
+
+All group-bys are Catalyst HashAggregateExec with map-side partial
+aggregation; at 100 TB the reduce-side width is bounded by group cardinality,
+not input rows.  Float accumulations that feed the oracle use the decimal
+trick (functions/money.py); genuinely approximate ops (HLL++) register
+without an oracle -> driver records a rows-only check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.money import dsum, davg, sql_dsum, sql_davg
+from ..sources.catalog import load_table
+from . import register
+
+
+@register(
+    "q20_agg_groupby",
+    sql=f"""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           {sql_dsum('value')} AS sum_value,
+           {sql_davg('value')} AS avg_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="Hash aggregation with exact count-distinct and min/max.",
+)
+def q20_agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            dsum("value").alias("sum_value"),
+            davg("value").alias("avg_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q21_agg_rollup",
+    sql="""
+    SELECT year(o_orderdate) AS order_year,
+           o_orderpriority,
+           CAST(GROUPING(year(o_orderdate)) * 2 + GROUPING(o_orderpriority) AS INT) AS grp,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+    FROM orders
+    GROUP BY ROLLUP (year(o_orderdate), o_orderpriority)
+    ORDER BY grp, order_year NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+    doc="ROLLUP hierarchy (year -> priority -> grand total) with GROUPING id.",
+)
+def q21_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").withColumn("order_year", F.year("o_orderdate"))
+    return (
+        o.rollup("order_year", "o_orderpriority")
+        .agg(
+            (F.grouping("order_year") * 2 + F.grouping("o_orderpriority")).cast("int").alias("grp"),
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice").alias("total_spend"),
+        )
+        .orderBy("grp", F.col("order_year").asc_nulls_first(), F.col("o_orderpriority").asc_nulls_first())
+    )
+
+
+@register(
+    "q22_agg_cube",
+    sql="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT) AS grp,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY grp, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    doc="CUBE over flag x status with GROUPING id.",
+)
+def q22_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus")).cast("int").alias("grp"),
+            F.count("*").alias("n"),
+            dsum("l_quantity").alias("sum_qty"),
+        )
+        .orderBy("grp", F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first())
+    )
+
+
+@register(
+    "q23_agg_having",
+    sql="""
+    SELECT o_custkey, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 3
+    ORDER BY o_custkey
+    """,
+    doc="Aggregate + HAVING (post-agg filter).",
+)
+def q23_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("total_spend"))
+        .filter(F.col("n_orders") >= 3)
+        .orderBy("o_custkey")
+    )
+
+
+@register(
+    "q24_agg_approx_distinct",
+    sql=None,  # approximate -> rows-only check by design
+    doc="approx_count_distinct (HLL++): the 100 TB cardinality path; "
+    "rows-only check because the sketch is not SQL-oracle-reproducible.",
+)
+def q24_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
+            F.countDistinct("l_orderkey").alias("exact_orders"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "q25_agg_stats",
+    sql="""
+    SELECT l_returnflag,
+           COUNT(l_quantity) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s2,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity)
+                 - (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity))
+                 * (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity)), 6) AS var_pop_q
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="Moment statistics via exact decimal sums (deterministic variance).",
+)
+def q25_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.money import dec
+
+    li = load_table(spark, sf_dir, "lineitem")
+    s1 = F.sum(dec("l_quantity")).cast("double")
+    s2 = F.sum(dec("l_quantity") * dec("l_quantity")).cast("double")
+    n = F.count("l_quantity")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            n.alias("n"),
+            s1.alias("s1"),
+            s2.alias("s2"),
+            F.round(s2 / n - (s1 / n) * (s1 / n), 6).alias("var_pop_q"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -1,0 +1,280 @@
+"""LLM-data-pipeline queries: dedup, similarity search, text analysis,
+multimodal plumbing (SURVEY.md section 2.B extensions; charter first-class).
+
+Oracles: exact dedup / jaccard / text stats / multimodal metadata are fully
+SQL-expressible in DuckDB.  MinHash-LSH shares the exact-Jaccard oracle
+(verified candidates; miss probability ~5e-8 at the planted-pair similarity).
+SimHash and LSH-ANN are genuinely hash-family-specific -> rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import avg_token_len, token_count
+from ..operators.dedup import exact_dedup, minhash_lsh_pairs, ngram_jaccard_pairs, simhash_pairs
+from ..operators.multimodal import extract_media_meta, with_binary_payload
+from ..operators.similarity import ann_lsh_topk, topk_cosine
+from ..sources.catalog import load_table
+from . import register
+
+# Shared oracle for the exact and LSH near-dup formulations (DuckDB list
+# comprehension builds the same 3-word shingles as functions/text.py).
+_JACCARD_ORACLE = """
+    WITH docs AS (
+        SELECT doc_id,
+               list_distinct([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks)-1)]) AS sh
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+    tok AS (SELECT doc_id, unnest(sh) AS shingle FROM docs),
+    sizes AS (SELECT doc_id, len(sh) AS n FROM docs),
+    pairs AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common
+        FROM tok a JOIN tok b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+    SELECT d1, d2, CAST(common AS DOUBLE) / (s1.n + s2.n - common) AS jaccard
+    FROM pairs JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+    WHERE CAST(common AS DOUBLE) / (s1.n + s2.n - common) >= 0.5
+    ORDER BY d1, d2
+"""
+
+
+@register(
+    "q50_dedup_exact",
+    sql="""
+    SELECT md5(text) AS text_hash, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    ORDER BY text_hash
+    """,
+    doc="Exact dedup: hash-group text, keep lowest id (one shuffle).",
+)
+def q50_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return exact_dedup(d, "text", "doc_id").orderBy("text_hash")
+
+
+@register(
+    "q51_dedup_jaccard_exact",
+    sql=_JACCARD_ORACLE,
+    doc="Exact 3-word-shingle Jaccard near-dup pairs (inverted-index join).",
+)
+def q51_dedup_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.5).orderBy("d1", "d2")
+
+
+@register(
+    "q52_dedup_minhash_lsh",
+    sql=_JACCARD_ORACLE,
+    doc="MinHash(128)+LSH(32 bands) near-dup with exact verify -- the 100 TB "
+    "path; output provably equals the exact formulation at this threshold.",
+)
+def q52_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, "text", "doc_id", n=3, threshold=0.5).orderBy("d1", "d2")
+
+
+@register(
+    "q53_dedup_simhash",
+    sql=None,  # hash-family-specific fingerprints -> rows-only
+    doc="SimHash-64 near-dup pairs within Hamming distance 3 (pigeonhole banding).",
+)
+def q53_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(d, "text", "doc_id", max_hamming=3).orderBy("d1", "d2")
+
+
+@register(
+    "q54_similarity_topk",
+    sql="""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
+    scored AS (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               ROUND(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+                     / sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))
+                            * list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))), 9) AS cos_sim
+        FROM q JOIN embeddings e ON e.vec_id <> q.vec_id)
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rank
+        FROM scored)
+    WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+    doc="Exact top-5 cosine neighbors for every 50th vector (broadcast "
+    "brute-force baseline; see q55 for the ANN scale path).",
+)
+def q54_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 0)
+    return topk_cosine(q, e, "vec_id", "embedding", "vec_id", "embedding", k=5)
+
+
+@register(
+    "q55_similarity_ann_lsh",
+    sql=None,  # hyperplane-family-specific buckets -> rows-only
+    doc="ANN top-5 via random-hyperplane LSH buckets (seeded) -- restricts "
+    "candidate generation to same-bucket pairs.",
+)
+def q55_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 0)
+    return ann_lsh_topk(q, e, "vec_id", "embedding", "vec_id", "embedding", dim=64, k=5, nbits=8)
+
+
+@register(
+    "q56_text_stats",
+    sql="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+           CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*) AS avg_tokens,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    doc="Per-language corpus statistics (token counting via whitespace split).",
+)
+def q56_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            (F.sum("n_chars").cast("double") / F.count("*")).alias("avg_chars"),
+            (F.sum(token_count("text")).cast("double") / F.count("*")).alias("avg_tokens"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "q57_text_quality",
+    sql="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+               / len(string_split(text, ' ')) AS avg_token_len,
+           len(list_distinct(string_split(text, ' '))) AS n_unique_tokens,
+           CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS ttr,
+           CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 200 THEN 1 ELSE 0 END AS len_ok
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="Per-doc quality signals: token count, mean token length, type-token "
+    "ratio, length gate.",
+)
+def q57_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    nt = token_count("text")
+    uniq = F.size(F.array_distinct(F.split(F.col("text"), " "))).cast("bigint")
+    return d.select(
+        "doc_id",
+        nt.alias("n_tokens"),
+        avg_token_len("text").alias("avg_token_len"),
+        uniq.alias("n_unique_tokens"),
+        (uniq.cast("double") / nt).alias("ttr"),
+        F.when(nt.between(20, 200), 1).otherwise(0).alias("len_ok"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "q58_text_langid",
+    sql="""
+    WITH scored AS (
+        SELECT doc_id, lang AS true_lang,
+               len(list_intersect(string_split(text, ' '), ['the', 'fast', 'key', 'order'])) AS s_en,
+               len(list_intersect(string_split(text, ' '), ['data', 'stream', 'batch', 'row'])) AS s_x
+        FROM documents)
+    SELECT doc_id, true_lang,
+           CASE WHEN s_en >= s_x THEN 'markers_a' ELSE 'markers_b' END AS predicted_family,
+           CAST(s_en AS BIGINT) AS score_a, CAST(s_x AS BIGINT) AS score_b
+    FROM scored
+    ORDER BY doc_id
+    """,
+    doc="Language-ID heuristic skeleton: marker-token intersection scoring "
+    "(deterministic; synthetic text so markers are engine words).",
+)
+def q58_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    markers_a = F.array(*[F.lit(w) for w in ["the", "fast", "key", "order"]])
+    markers_b = F.array(*[F.lit(w) for w in ["data", "stream", "batch", "row"]])
+    s_en = F.size(F.array_intersect(toks, markers_a)).cast("bigint")
+    s_x = F.size(F.array_intersect(toks, markers_b)).cast("bigint")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("true_lang"),
+        F.when(s_en >= s_x, "markers_a").otherwise("markers_b").alias("predicted_family"),
+        s_en.alias("score_a"),
+        s_x.alias("score_b"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "q59_text_fingerprint",
+    sql="""
+    SELECT doc_id,
+           md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint,
+           length(text) AS n_chars_raw
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="Document fingerprinting: md5 over whitespace-normalized lowercase text.",
+)
+def q59_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))).alias("fingerprint"),
+        F.length("text").cast("bigint").alias("n_chars_raw"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "q60_multimodal_meta",
+    sql="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS fake_width,
+           CAST(octet_length(encode(text)) % 480 + 1 AS INT) AS fake_height
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="Multimodal plumbing: binary payload column -> Arrow-batched "
+    "mapInPandas metadata extraction (decode step stubbed; see "
+    "operators/multimodal.py).",
+)
+def q60_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = with_binary_payload(load_table(spark, sf_dir, "documents"), "text")
+    meta = extract_media_meta(d, "doc_id")
+    return meta.select("doc_id", "n_bytes", "fake_width", "fake_height").orderBy("doc_id")
+
+
+@register(
+    "q61_tokens_regex",
+    sql="""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\\s]')) AS n_bpe_ish_tokens,
+           len(regexp_extract_all(text, '[0-9]+')) AS n_number_tokens
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="BPE-ish regex token counting (word pieces + punctuation singletons).",
+)
+def q61_tokens_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[a-z0-9]+|[^a-z0-9\s]"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_bpe_ish_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[0-9]+"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_number_tokens"),
+    ).orderBy("doc_id")

@@ -1,0 +1,121 @@
+"""Streaming queries registered with the driver (run via availableNow into a
+memory sink, then returned as a batch DataFrame).
+
+Structured Streaming's prefix-consistency guarantee means a drained stream
+equals the batch computation over the same data -- so these entries carry
+REAL SQL oracles (DuckDB computes the batch equivalent).  Window aggregations
+use `complete` output mode so trailing windows (still within the watermark
+at end-of-input) are emitted; dedup uses `append`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..streaming.pipeline import run_to_memory, streaming_dedup, tumbling_counts
+from ..streaming.source import events_stream
+from . import register
+
+
+@register(
+    "q70_stream_tumbling",
+    sql="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    ORDER BY window_start, event_type
+    """,
+    doc="Structured Streaming tumbling 1h window + watermark, drained with "
+    "availableNow; oracle = batch equivalent (prefix consistency).",
+)
+def q70_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = events_stream(spark, sf_dir)
+    agg = tumbling_counts(stream, "1 hour", "2 hours")
+    table = run_to_memory(agg, output_mode="complete")
+    return spark.table(table).orderBy("window_start", "event_type")
+
+
+@register(
+    "q71_stream_sliding",
+    sql="""
+    WITH contrib AS (
+        SELECT date_trunc('hour', ts) AS window_start FROM events
+        UNION ALL
+        SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR AS window_start FROM events)
+    SELECT window_start, COUNT(*) AS n_events
+    FROM contrib
+    GROUP BY window_start
+    ORDER BY window_start
+    """,
+    doc="Sliding 2h/1h streaming windows; oracle expands each event into its "
+    "two containing windows.",
+)
+def q71_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.pipeline import sliding_counts
+
+    stream = events_stream(spark, sf_dir)
+    agg = sliding_counts(stream, "2 hours", "1 hour")
+    table = run_to_memory(agg, output_mode="complete")
+    return spark.table(table).orderBy("window_start")
+
+
+@register(
+    "q72_stream_dedup",
+    sql="""
+    SELECT user_id, event_type, COUNT(*) AS n
+    FROM (SELECT DISTINCT user_id, event_type FROM events)
+    GROUP BY user_id, event_type
+    ORDER BY user_id, event_type
+    """,
+    doc="Streaming dropDuplicates on (user_id, event_type); oracle = batch DISTINCT.",
+)
+def q72_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = events_stream(spark, sf_dir)
+    deduped = streaming_dedup(stream, ["user_id", "event_type"], within_watermark=False)
+    table = run_to_memory(deduped, output_mode="append")
+    return (
+        spark.table(table)
+        .groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("n"))
+        .orderBy("user_id", "event_type")
+    )
+
+
+@register(
+    "q73_stream_stream_join",
+    sql="""
+    SELECT e.event_id AS error_id, c.event_id AS click_id
+    FROM events e JOIN events c
+      ON e.user_id = c.user_id
+     AND c.event_type = 'click' AND e.event_type = 'error'
+     AND c.ts BETWEEN e.ts - INTERVAL 1 HOUR AND e.ts
+    ORDER BY error_id, click_id
+    """,
+    doc="Stream-stream interval join (errors x clicks within trailing 1h, "
+    "watermarked both sides).",
+)
+def q73_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    errors = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "error")
+        .select(F.col("event_id").alias("error_id"), F.col("user_id").alias("e_user"), F.col("ts").alias("e_ts"))
+        .withWatermark("e_ts", "2 hours")
+    )
+    clicks = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("click_id"), F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "2 hours")
+    )
+    joined = errors.join(
+        clicks,
+        (F.col("e_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("e_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("e_ts")),
+    ).select("error_id", "click_id")
+    table = run_to_memory(joined, output_mode="append")
+    return spark.table(table).orderBy("error_id", "click_id")

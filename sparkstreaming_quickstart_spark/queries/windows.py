@@ -1,0 +1,176 @@
+"""Window-function queries: ranking, analytic (lag/lead), frames, top-k per
+group, session windows (gaps-and-islands).
+
+Window partitioning shuffles once on the partition key; every function over
+the same (partitionBy, orderBy) shares that single shuffle/sort.  Orderings
+always include a unique tiebreak column so results are total-ordered and
+oracle-stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.money import dec
+from ..sources.catalog import load_table
+from . import register
+
+
+@register(
+    "q30_window_topk",
+    sql="""
+    SELECT * FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        FROM orders)
+    WHERE rn <= 3
+    ORDER BY o_custkey, rn
+    """,
+    doc="Top-k per group via row_number (the scalable per-group top-k).",
+)
+def q30_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        o.select("o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+    )
+
+
+@register(
+    "q31_window_ranks",
+    sql="""
+    SELECT c_custkey, c_mktsegment, c_acctbal,
+           RANK()        OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC) AS rnk,
+           DENSE_RANK()  OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC) AS drnk,
+           NTILE(4)      OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC) AS quartile
+    FROM customer
+    ORDER BY c_mktsegment, rnk, c_custkey
+    """,
+    doc="Ranking family: rank / dense_rank / ntile over one shared window sort.",
+)
+def q31_window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    ).orderBy("c_mktsegment", "rnk", "c_custkey")
+
+
+@register(
+    "q32_window_running",
+    sql="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
+           LAG(o_orderkey)  OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) AS prev_order,
+           LEAD(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) AS next_order
+    FROM orders
+    ORDER BY o_custkey, o_orderdate, o_orderkey
+    """,
+    doc="Analytic functions: running decimal-exact sum + lag/lead.",
+)
+def q32_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(dec("o_totalprice")).over(wf).cast("double").alias("running_spend"),
+        F.lag("o_orderkey").over(w).alias("prev_order"),
+        F.lead("o_orderkey").over(w).alias("next_order"),
+    ).orderBy("o_custkey", "o_orderdate", "o_orderkey")
+
+
+@register(
+    "q33_window_frame",
+    sql="""
+    SELECT event_id, user_id, ts,
+           COUNT(*) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS cnt_3,
+           CAST(MIN(value) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS min_3
+    FROM events
+    ORDER BY user_id, ts, event_id
+    """,
+    doc="Bounded ROWS frame (trailing window of 3).",
+)
+def q33_window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count("*").over(w).alias("cnt_3"),
+        F.min("value").over(w).cast("double").alias("min_3"),
+    ).orderBy("user_id", "ts", "event_id")
+
+
+@register(
+    "q34_session_windows",
+    sql="""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+                         > 1800000000
+                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events),
+    sessions AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM flagged)
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           COUNT(*) AS n_events, MIN(ts) AS session_start, MAX(ts) AS session_end
+    FROM sessions
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+    doc="Sessionization (gaps-and-islands, 30-min gap) -- the batch twin of "
+    "streaming session_window; one shuffle on user_id.",
+)
+def q34_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    flagged = e.select(
+        "user_id",
+        "ts",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w) > 1_800_000_000),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sessions = flagged.select("user_id", "ts", F.sum("new_session").over(w2).cast("bigint").alias("session_id"))
+    return (
+        sessions.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .orderBy("user_id", "session_id")
+    )

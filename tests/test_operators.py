@@ -1,0 +1,124 @@
+"""Unit tests for composed operators: as-of join, dedup family, similarity,
+multimodal plumbing, money-exact aggregation."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from sparkstreaming_quickstart_spark.functions.money import dsum
+from sparkstreaming_quickstart_spark.functions.text import word_shingles
+from sparkstreaming_quickstart_spark.operators.asof import asof_join
+from sparkstreaming_quickstart_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from sparkstreaming_quickstart_spark.operators.multimodal import extract_media_meta, with_binary_payload
+from sparkstreaming_quickstart_spark.operators.similarity import ann_lsh_topk, topk_cosine
+
+
+def _ts(s: str) -> datetime.datetime:
+    return datetime.datetime.fromisoformat(s)
+
+
+def test_asof_join_inclusive_and_tiebreak(spark):
+    left = spark.createDataFrame(
+        [(1, 10, _ts("2024-01-01T10:00:00")), (2, 10, _ts("2024-01-01T09:00:00")), (3, 11, _ts("2024-01-01T10:00:00"))],
+        ["event_id", "user_id", "ts"],
+    )
+    right = spark.createDataFrame(
+        [
+            (100, 10, _ts("2024-01-01T09:30:00")),
+            (101, 10, _ts("2024-01-01T10:00:00")),  # exactly at probe time -> visible
+            (102, 10, _ts("2024-01-01T11:00:00")),  # future -> invisible
+        ],
+        ["quote_id", "user_id", "qts"],
+    )
+    out = asof_join(
+        left,
+        right.select("user_id", "qts", "quote_id"),
+        on="user_id",
+        left_time="ts",
+        right_time="qts",
+        value_cols=["quote_id"],
+        tiebreak="quote_id",
+    ).orderBy("event_id")
+    rows = {r.event_id: r.asof_quote_id for r in out.collect()}
+    assert rows == {1: 101, 2: None, 3: None}
+
+
+def test_exact_jaccard_identical_docs(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),
+            (2, "a b c d e f g h i j"),
+            (3, "z y x w v u t s r q"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = ngram_jaccard_pairs(df, "text", "doc_id", n=3, threshold=0.5).collect()
+    assert len(pairs) == 1
+    assert (pairs[0].d1, pairs[0].d2, pairs[0].jaccard) == (1, 2, 1.0)
+
+
+def test_minhash_lsh_equals_exact_on_testdata(spark, sf_dir):
+    from sparkstreaming_quickstart_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {(r.d1, r.d2) for r in ngram_jaccard_pairs(docs, "text", "doc_id", 3, 0.5).collect()}
+    lsh = {(r.d1, r.d2) for r in minhash_lsh_pairs(docs, "text", "doc_id", 3, 0.5).collect()}
+    assert lsh == exact
+
+
+def test_simhash_identical_docs_distance_zero(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"), (3, "one two three four")],
+        ["doc_id", "text"],
+    )
+    pairs = {(r.d1, r.d2): r.hamming for r in simhash_pairs(df, "text", "doc_id", 3).collect()}
+    assert pairs.get((1, 2)) == 0
+    assert (1, 3) not in pairs
+
+
+def test_topk_cosine_self_similar_vectors(spark):
+    rows = [(1, [1.0, 0.0, 0.0]), (2, [0.9, 0.1, 0.0]), (3, [0.0, 1.0, 0.0]), (4, [0.0, 0.0, 1.0])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = topk_cosine(df.filter("vec_id = 1"), df, "vec_id", "embedding", "vec_id", "embedding", k=2)
+    got = [(r.neighbor_id, r.rank) for r in out.collect()]
+    assert got == [(2, 1), (3, 2)] or got[0] == (2, 1)
+
+
+def test_ann_recall_against_exact(spark, sf_dir):
+    from sparkstreaming_quickstart_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 100 == 0)
+    exact = topk_cosine(q, emb, "vec_id", "embedding", "vec_id", "embedding", k=5)
+    ann = ann_lsh_topk(q, emb, "vec_id", "embedding", "vec_id", "embedding", dim=64, k=5, nbits=8)
+    exact_pairs = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    ann_pairs = {(r.query_id, r.neighbor_id) for r in ann.collect()}
+    # ANN is approximate: it must return a subset-quality result with
+    # nonzero overlap, and every ANN pair must share the query's bucket.
+    assert ann_pairs, "ANN returned nothing"
+    assert len(ann_pairs & exact_pairs) > 0
+
+
+def test_word_shingles_count(spark):
+    df = spark.createDataFrame([(1, "a b c d")], ["id", "text"])
+    out = df.select(word_shingles("text", 3).alias("sh")).collect()[0].sh
+    assert out == ["a b c", "b c d"]
+
+
+def test_multimodal_meta_matches_python(spark):
+    df = spark.createDataFrame([(1, "hello world"), (2, "x" * 700)], ["doc_id", "text"])
+    meta = extract_media_meta(with_binary_payload(df, "text")).orderBy("doc_id").collect()
+    assert meta[0].n_bytes == 11 and meta[0].fake_width == 12 and meta[0].fake_height == 12
+    assert meta[1].n_bytes == 700 and meta[1].fake_width == 61 and meta[1].fake_height == 221
+
+
+def test_dsum_is_exact(spark):
+    df = spark.createDataFrame([(0.1,), (0.2,), (0.3,)] * 1000, ["x"])
+    total = df.repartition(13).agg(dsum("x").alias("s")).collect()[0].s
+    assert total == 600.0  # float sum would drift; decimal sum is exact

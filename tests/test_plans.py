@@ -1,0 +1,52 @@
+"""Scale-critical physical-plan assertions: pushdown, broadcast, shuffle
+bounds.  These encode the "would this survive 100x data" checks from the
+charter as regression tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sparkstreaming_quickstart_spark.plans.inspect import (
+    broadcast_join_count,
+    explain_str,
+    shuffle_count,
+)
+from sparkstreaming_quickstart_spark.queries.joins import q11_join_multiway
+from sparkstreaming_quickstart_spark.queries.relational import q01_pricing_summary
+from sparkstreaming_quickstart_spark.sources.catalog import load_table
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    df = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    plan = explain_str(df, "formatted")
+    assert "PushedFilters" in plan
+    assert "l_returnflag" in plan.split("PushedFilters")[1].split("\n")[0]
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    df = li.select("l_orderkey", "l_quantity")
+    plan = explain_str(df, "formatted")
+    read = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "l_orderkey" in read and "l_quantity" in read
+    assert "l_extendedprice" not in read, "scan reads columns the query never uses"
+
+
+def test_star_join_broadcasts_all_dims(spark, sf_dir):
+    df = q11_join_multiway(spark, sf_dir)
+    assert broadcast_join_count(df) >= 3, explain_str(df, "simple")
+
+
+def test_flagship_plan_is_single_agg_shuffle(spark, sf_dir):
+    # filter -> partial agg -> exchange -> final agg -> sort: exactly the agg
+    # shuffle plus the output range-partition for orderBy.
+    df = q01_pricing_summary(spark, sf_dir)
+    assert shuffle_count(df) <= 2, explain_str(df, "simple")
+
+
+def test_whole_stage_codegen_active(spark, sf_dir):
+    # AQE hides codegen spans until execution; the codegen explain mode shows
+    # the generated subtrees regardless.
+    df = q01_pricing_summary(spark, sf_dir)
+    assert "WholeStageCodegen" in explain_str(df, "codegen")

@@ -1,0 +1,79 @@
+"""Streaming semantics tests (SURVEY.md section 5.2): batch-vs-stream
+equivalence (prefix consistency makes batch the oracle), recovery on the same
+checkpoint without duplicates, and the reference-parity foreachBatch sink.
+
+The recovery test mirrors reference bug A5 done right: the reference's
+checkpoint factory never re-attached an output operation
+(Processor.java:48-54); per-query checkpointLocation makes that unrepresentable.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from sparkstreaming_quickstart_spark.sources.catalog import load_table
+from sparkstreaming_quickstart_spark.streaming.pipeline import (
+    run_foreach_batch,
+    run_to_memory,
+    tumbling_counts,
+)
+from sparkstreaming_quickstart_spark.streaming.source import events_stream
+
+
+def test_stream_equals_batch_tumbling(spark, sf_dir):
+    stream_result = spark.table(
+        run_to_memory(tumbling_counts(events_stream(spark, sf_dir)), output_mode="complete")
+    )
+    batch = load_table(spark, sf_dir, "events")
+    from sparkstreaming_quickstart_spark.functions.money import dec
+
+    batch_result = (
+        batch.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.sum(dec("value")).cast("double").alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+    a = sorted(map(tuple, stream_result.collect()))
+    b = sorted(map(tuple, batch_result.collect()))
+    assert a == b
+
+
+def test_foreach_batch_sink_collects_all_rows(spark, sf_dir):
+    seen: list[int] = []
+
+    def sink(df, epoch_id):
+        seen.append(df.count())
+
+    q = run_foreach_batch(events_stream(spark, sf_dir), sink)
+    q.awaitTermination()
+    total = load_table(spark, sf_dir, "events").count()
+    assert sum(seen) == total
+
+
+def test_checkpoint_recovery_no_duplicates(spark, sf_dir):
+    """Restarting a drained query on the same checkpoint reprocesses nothing."""
+    checkpoint = tempfile.mkdtemp(prefix="ssq-recovery-")
+    counts: list[int] = []
+
+    def sink(df, epoch_id):
+        counts.append(df.count())
+
+    q1 = run_foreach_batch(events_stream(spark, sf_dir), sink, checkpoint=checkpoint)
+    q1.awaitTermination()
+    first_total = sum(counts)
+    q2 = run_foreach_batch(events_stream(spark, sf_dir), sink, checkpoint=checkpoint)
+    q2.awaitTermination()
+    assert sum(counts) == first_total, "restart on same checkpoint must not reprocess"
+    assert first_total == load_table(spark, sf_dir, "events").count()
+
+
+def test_streaming_dedup_within_watermark_runs(spark, sf_dir):
+    from sparkstreaming_quickstart_spark.streaming.pipeline import streaming_dedup
+
+    deduped = streaming_dedup(events_stream(spark, sf_dir), ["user_id", "event_type"], within_watermark=True)
+    table = run_to_memory(deduped, output_mode="append")
+    n = spark.table(table).count()
+    distinct_n = load_table(spark, sf_dir, "events").select("user_id", "event_type").distinct().count()
+    # within-watermark dedup can only emit >= exact-distinct rows
+    assert n >= distinct_n
