@@ -77,23 +77,25 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str, n: int = 3, t
 
 
 def minhash_signatures(docs: DataFrame, num_hashes: int = 128, seed: int = 42) -> DataFrame:
-    """Append a minhash signature array computed with higher-order functions.
+    """Compute minhash signatures as columns mh0..mh{n-1} per doc_id.
 
     For each hash j: min over shingles of (a_j * h(s) + b_j) mod p, where
-    h(s) = xxhash64(s) mapped to [0, p).  Everything stays in one projection
-    (no explode), so signature computation is a single codegen stage.
+    h(s) = xxhash64(s) mapped to [0, p).  Shape: explode shingles once, hash
+    once, then a single hash-aggregate with `num_hashes` MIN columns -- flat
+    expressions keep codegen small (the nested array-transform formulation
+    recompiled a 128x-duplicated tree and dominated wall time), and map-side
+    partial MINs keep the shuffle at one row per (doc, signature).
     """
     fam = _hash_family(num_hashes, seed)
-    h = F.transform(F.col("shingles"), lambda s: F.pmod(F.xxhash64(s), F.lit(_P)))
-    sig = F.array(
+    hashed = docs.select("doc_id", F.explode("shingles").alias("s")).select(
+        "doc_id", F.pmod(F.xxhash64("s"), F.lit(_P)).alias("x")
+    )
+    return hashed.groupBy("doc_id").agg(
         *[
-            F.array_min(
-                F.transform(h, lambda x: ((F.lit(a) * x + F.lit(b)) % F.lit(_P)))
-            ).alias(f"mh{j}")
+            F.min((F.lit(a) * F.col("x") + F.lit(b)) % F.lit(_P)).alias(f"mh{j}")
             for j, (a, b) in enumerate(fam)
         ]
     )
-    return docs.withColumn("sig", sig)
 
 
 def minhash_lsh_pairs(
@@ -122,7 +124,7 @@ def minhash_lsh_pairs(
         F.posexplode(
             F.array(
                 *[
-                    F.xxhash64(F.concat_ws(",", *[F.col("sig").getItem(b * rows + r) for r in range(rows)]))
+                    F.xxhash64(F.concat_ws(",", *[F.col(f"mh{b * rows + r}") for r in range(rows)]))
                     for b in range(bands)
                 ]
             )

@@ -1,0 +1,350 @@
+"""Advanced surface: exact-moment correlation, ordered collect, grouping sets,
+pivot, scalar subqueries, built-in session windows, map + higher-order array
+functions, and the Python UDF tiers (pandas scalar UDF, grouped-map).
+
+UDF notes: the pandas scalar UDF and applyInPandas grouped-map are the
+sanctioned Python escape hatches (Arrow-batched, SURVEY.md section 2.B "UDF
+surface").  Their outputs here are integer/exact-double computations so the
+DuckDB oracle stays bit-exact.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ..functions.money import dec
+from ..sources.catalog import load_table, register_tables
+from . import register
+
+
+@register(
+    "q26_agg_corr",
+    sql="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n,
+           ROUND(
+             (COUNT(*) * CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+              - CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) * CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE))
+             / (sqrt(COUNT(*) * CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                     - CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) * CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE))
+                * sqrt(COUNT(*) * CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2)) * CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                       - CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) * CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE))), 9) AS price_balance_corr
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    doc="Pearson correlation from exact decimal moments (deterministic corr).",
+)
+def q26_agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    n = F.count("*")
+    sx = F.sum(dec("o_totalprice")).cast("double")
+    sy = F.sum(dec("c_acctbal")).cast("double")
+    sxx = F.sum(dec("o_totalprice") * dec("o_totalprice")).cast("double")
+    syy = F.sum(dec("c_acctbal") * dec("c_acctbal")).cast("double")
+    sxy = F.sum(dec("o_totalprice") * dec("c_acctbal")).cast("double")
+    corr = (n * sxy - sx * sy) / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
+    return (
+        j.groupBy("c_mktsegment")
+        .agg(n.alias("n"), F.round(corr, 9).alias("price_balance_corr"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "q27_agg_collect",
+    sql="""
+    SELECT c_nationkey,
+           list_sort(list(DISTINCT c_mktsegment)) AS segments,
+           COUNT(*) AS n_customers
+    FROM customer
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+    doc="collect_set with canonical ordering (sort_array) for a stable oracle.",
+)
+def q27_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_nationkey")
+        .agg(
+            F.sort_array(F.collect_set("c_mktsegment")).alias("segments"),
+            F.count("*").alias("n_customers"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+@register(
+    "q28_agg_minmax_by",
+    sql="""
+    WITH ranked AS (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice ASC, o_orderkey ASC) AS rmin,
+               ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC) AS rmax
+        FROM orders)
+    SELECT o_orderpriority,
+           MAX(CASE WHEN rmin = 1 THEN o_orderkey END) AS cheapest_order,
+           MAX(CASE WHEN rmax = 1 THEN o_orderkey END) AS priciest_order,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price
+    FROM ranked
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="min_by/max_by with composite tie-break (lowest orderkey wins ties).",
+)
+def q28_agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.min_by("o_orderkey", F.array(F.col("o_totalprice"), F.col("o_orderkey").cast("double"))).alias(
+                "cheapest_order"
+            ),
+            F.max_by("o_orderkey", F.array(F.col("o_totalprice"), (-F.col("o_orderkey")).cast("double"))).alias(
+                "priciest_order"
+            ),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q29_grouping_sets",
+    sql="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    doc="Explicit GROUPING SETS (SQL path through spark.sql).",
+)
+def q29_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+        """
+    )
+
+
+@register(
+    "q35_session_window_builtin",
+    sql="""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts ASC)
+                         > 1800000000
+                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts ASC) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events),
+    sessions AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM flagged)
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+    doc="Built-in session_window (30-min gap) on batch data; oracle is the "
+    "gaps-and-islands reformulation (window end = last event + gap).",
+)
+def q35_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+@register(
+    "q37_pivot",
+    sql="""
+    SELECT l_returnflag,
+           COUNT(*) FILTER (WHERE l_linestatus = 'F') AS status_f,
+           COUNT(*) FILTER (WHERE l_linestatus = 'O') AS status_o,
+           CAST(COALESCE(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_linestatus = 'F'), 0) AS DOUBLE) AS qty_f,
+           CAST(COALESCE(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_linestatus = 'O'), 0) AS DOUBLE) AS qty_o
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="Pivot (wide aggregation) expressed as filtered aggregates.",
+)
+def q37_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    zero = F.lit(0).cast("decimal(18,2)")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.when(F.col("l_linestatus") == "F", 1)).alias("status_f"),
+            F.count(F.when(F.col("l_linestatus") == "O", 1)).alias("status_o"),
+            F.coalesce(F.sum(F.when(F.col("l_linestatus") == "F", dec("l_quantity"))), zero)
+            .cast("double")
+            .alias("qty_f"),
+            F.coalesce(F.sum(F.when(F.col("l_linestatus") == "O", dec("l_quantity"))), zero)
+            .cast("double")
+            .alias("qty_o"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "q38_scalar_subquery",
+    sql="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE CAST(o_totalprice AS DECIMAL(18,2)) > (
+        SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,8)) / COUNT(*) FROM orders)
+    ORDER BY o_orderkey
+    """,
+    doc="Scalar subquery: orders above the (decimal-exact) average price.",
+)
+def q38_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE CAST(o_totalprice AS DECIMAL(18,2)) > (
+            SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,8)) / COUNT(*) FROM orders)
+        ORDER BY o_orderkey
+        """
+    )
+
+
+@register(
+    "q46_map_funcs",
+    sql="""
+    SELECT event_type, 'n' AS k, CAST(COUNT(*) AS DOUBLE) AS v FROM events GROUP BY event_type
+    UNION ALL
+    SELECT event_type, 'sum_value' AS k, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+    FROM events GROUP BY event_type
+    ORDER BY event_type, k
+    """,
+    doc="Map construction (create_map) + explode back to rows (map_keys/values "
+    "surface), oracled as the equivalent long-form union.",
+)
+def q46_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    agg = e.groupBy("event_type").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(dec("value")).cast("double").alias("sum_value"),
+    )
+    mapped = agg.select(
+        "event_type",
+        F.create_map(
+            F.lit("n"), F.col("n"),
+            F.lit("sum_value"), F.col("sum_value"),
+        ).alias("m"),
+    )
+    return mapped.select("event_type", F.explode("m").alias("k", "v")).orderBy("event_type", "k")
+
+
+@register(
+    "q47_higher_order",
+    sql="""
+    SELECT vec_id,
+           len(list_filter(embedding, x -> x > 0)) AS n_positive,
+           CAST(list_aggregate([abs(CAST(x AS DOUBLE)) FOR x IN embedding], 'max') AS DOUBLE) AS max_abs,
+           len([x FOR x IN embedding IF abs(CAST(x AS DOUBLE)) > 1.0]) AS n_large
+    FROM embeddings
+    ORDER BY vec_id
+    """,
+    doc="Higher-order array functions: filter / transform / exists-style "
+    "predicates, all inside one projection.",
+)
+def q47_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    return e.select(
+        "vec_id",
+        F.size(F.filter(emb, lambda x: x > 0)).cast("bigint").alias("n_positive"),
+        F.array_max(F.transform(emb, lambda x: F.abs(x.cast("double")))).cast("double").alias("max_abs"),
+        F.size(F.filter(emb, lambda x: F.abs(x.cast("double")) > 1.0)).cast("bigint").alias("n_large"),
+    ).orderBy("vec_id")
+
+
+@register(
+    "q48_pandas_udf",
+    sql="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens_udf,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="Vectorized (Arrow) pandas scalar UDF -- token counting in pandas, "
+    "bit-identical to the SQL formulation.",
+)
+def q48_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @pandas_udf("long")
+    def n_tokens(texts: pd.Series) -> pd.Series:
+        return texts.str.count(" ").add(1).astype("int64")
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        n_tokens("text").alias("n_tokens_udf"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "q49_grouped_map",
+    sql="""
+    SELECT event_id, event_type,
+           CASE WHEN MAX(value) OVER (PARTITION BY event_type) = MIN(value) OVER (PARTITION BY event_type)
+                THEN 0.0
+                ELSE (value - MIN(value) OVER (PARTITION BY event_type))
+                     / (MAX(value) OVER (PARTITION BY event_type) - MIN(value) OVER (PARTITION BY event_type))
+           END AS value_minmax
+    FROM events
+    ORDER BY event_id
+    """,
+    doc="applyInPandas grouped-map: per-group min-max normalization (exact "
+    "double arithmetic, window-function oracle).",
+)
+def q49_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        lo, hi = pdf["value"].min(), pdf["value"].max()
+        out = pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "event_type": pdf["event_type"],
+                "value_minmax": 0.0 if hi == lo else (pdf["value"] - lo) / (hi - lo),
+            }
+        )
+        return out
+
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.select("event_id", "event_type", "value")
+        .groupBy("event_type")
+        .applyInPandas(normalize, schema="event_id long, event_type string, value_minmax double")
+        .orderBy("event_id")
+    )

@@ -86,6 +86,58 @@ def q72_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q74_stream_stateful_counts",
+    sql="""
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc="Custom stateful streaming operator (applyInPandasWithState): running "
+    "per-user counters; replaces the DStream mapWithState the reference's "
+    "checkpoint comment anticipated (Processor.java:62-64) but never built. "
+    "Oracle = batch aggregate (single-replay drain emits final state).",
+)
+def q74_stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("total_value", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("cents", LongType())]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            # accumulate exact integer cents (value is a 2-decimal double)
+            cents += int(pdf["value"].mul(100).round().astype("int64").sum())
+        state.update((n, cents))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_value": [cents / 100.0]})
+
+    stream = events_stream(spark, sf_dir)
+    counted = stream.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+    table = run_to_memory(counted, output_mode="update")
+    return spark.table(table).orderBy("user_id")
+
+
+@register(
     "q73_stream_stream_join",
     sql="""
     SELECT e.event_id AS error_id, c.event_id AS click_id
