@@ -62,6 +62,7 @@ def _ensure_loaded() -> None:
         return
     # Import every query module for its registration side effects.
     from . import relational  # noqa: F401
+    from . import tpch  # noqa: F401
     from . import joins  # noqa: F401
     from . import aggregates  # noqa: F401
     from . import advanced  # noqa: F401
