@@ -87,6 +87,10 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 128, seed: int = 42) -
     partial MINs keep the shuffle at one row per (doc, signature).
     """
     fam = _hash_family(num_hashes, seed)
+    # Parallelism note: the hash-family evaluation parallelizes with the
+    # input splits.  Measured at bench scale, forcing a repartition here costs
+    # more (shuffle + task overhead) than the single-split compute it spreads;
+    # at 100 TB inputs arrive as many splits and no repartition is needed.
     hashed = docs.select("doc_id", F.explode("shingles").alias("s")).select(
         "doc_id", F.pmod(F.xxhash64("s"), F.lit(_P)).alias("x")
     )
