@@ -71,6 +71,58 @@ def topk_cosine(
     )
 
 
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    query_vec: str,
+    corpus_id: str,
+    corpus_vec: str,
+    dim: int,
+    k: int = 5,
+    n_cells: int = 16,
+    seed: int = 7,
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize vectors to their nearest centroid cell,
+    then rank exactly within the query's cell.
+
+    Centroids here are seeded random unit-ish vectors (deterministic without
+    a training pass); a production deployment would k-means them.  The plan
+    shape is the important part: cell assignment is a per-row argmax over a
+    broadcast centroid array (no shuffle), and the candidate join is
+    equi-join on cell_id -- at 100 TB each query touches 1/n_cells of the
+    corpus instead of all of it.
+    """
+    from pyspark.sql import Window
+
+    planes = np.random.RandomState(seed).standard_normal((n_cells, dim))
+    cents = [F.array(*[F.lit(float(v)) for v in row]) for row in planes]
+
+    def cell(vec: Column) -> Column:
+        # argmax over centroid dot products, deterministic tie-break by index
+        scores = F.array(*[dot(vec, c) for c in cents])
+        return F.array_position(scores, F.array_max(scores)).cast("int")
+
+    q = queries.select(F.col(query_id).alias("query_id"), F.col(query_vec).alias("qv")).withColumn(
+        "cell", cell(F.col("qv"))
+    )
+    c = corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("cv")).withColumn(
+        "cell", cell(F.col("cv"))
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", F.round(cosine(F.col("qv"), F.col("cv")), 9).alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
 def _hyperplanes(dim: int, nbits: int, seed: int = 42) -> np.ndarray:
     return np.random.RandomState(seed).standard_normal((nbits, dim))
 

@@ -66,6 +66,7 @@ def _ensure_loaded() -> None:
     from . import joins  # noqa: F401
     from . import aggregates  # noqa: F401
     from . import advanced  # noqa: F401
+    from . import extras  # noqa: F401
     from . import windows  # noqa: F401
     from . import scalar  # noqa: F401
     from . import llm  # noqa: F401
