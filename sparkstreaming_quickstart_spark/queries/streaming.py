@@ -86,6 +86,34 @@ def q72_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q75_stream_static_join",
+    sql="""
+    SELECT c.c_mktsegment, COUNT(*) AS n_events
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+    doc="Stream-static join: streaming events enriched against the static "
+    "customer dim (broadcast; no state, re-resolved per micro-batch).",
+)
+def q75_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.catalog import load_table
+
+    stream = events_stream(spark, sf_dir)
+    customers = load_table(spark, sf_dir, "customer")
+    joined = stream.join(F.broadcast(customers), stream.user_id == customers.c_custkey).select(
+        "event_id", "c_mktsegment"
+    )
+    table = run_to_memory(joined, output_mode="append")
+    return (
+        spark.table(table)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_events"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
     "q74_stream_stateful_counts",
     sql="""
     SELECT user_id, COUNT(*) AS n_events,
