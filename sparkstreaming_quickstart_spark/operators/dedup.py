@@ -76,30 +76,45 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str, n: int = 3, t
     return jac.filter(F.col("jaccard") >= threshold).select("d1", "d2", "jaccard")
 
 
-def minhash_signatures(docs: DataFrame, num_hashes: int = 128, seed: int = 42) -> DataFrame:
-    """Compute minhash signatures as columns mh0..mh{n-1} per doc_id.
+def minhash_signatures(docs: DataFrame, num_hashes: int = 128, seed: int = 42, spread: bool = True) -> DataFrame:
+    """Compute the minhash signature as one array column `mh` per doc_id.
 
     For each hash j: min over shingles of (a_j * h(s) + b_j) mod p, where
-    h(s) = xxhash64(s) mapped to [0, p).  Shape: explode shingles once, hash
-    once, then a single hash-aggregate with `num_hashes` MIN columns -- flat
-    expressions keep codegen small (the nested array-transform formulation
-    recompiled a 128x-duplicated tree and dominated wall time), and map-side
-    partial MINs keep the shuffle at one row per (doc, signature).
+    h(s) = xxhash64(s) mapped to [0, p).  Shape: a single
+    `transform(families, f -> aggregate(hashed_shingles, min...))` expression
+    -- no explode, no shuffle, one compact expression tree.  (Two rejected
+    formulations, both measured ~5x slower at bench scale: 128 separate
+    aggregate() columns duplicate the fold tree 128x; explode + groupBy with
+    128 MIN aggregates exceeds spark.sql.codegen.maxFields=100 and drops the
+    whole aggregate out of codegen.)
+
+    `spread=True` round-robin-repartitions first, but only when the input has
+    fewer splits than the cluster has slots (a small file read as one split
+    would otherwise compute every signature on one core).  At 100 TB the
+    input arrives as thousands of splits and this pre-shuffle never happens.
+
+    The result always ends in a repartition-by-doc_id Exchange: LSH consumers
+    self-join the signatures, and without a shuffle boundary on top of the
+    signature plan Spark would recompute the (expensive) signature expression
+    once per join side; with it, ReuseExchange materializes signatures
+    exactly once.  The shuffled payload is one ~1 KB row per doc -- the same
+    traffic the groupBy formulation paid anyway.
     """
     fam = _hash_family(num_hashes, seed)
-    # Parallelism note: the hash-family evaluation parallelizes with the
-    # input splits.  Measured at bench scale, forcing a repartition here costs
-    # more (shuffle + task overhead) than the single-split compute it spreads;
-    # at 100 TB inputs arrive as many splits and no repartition is needed.
-    hashed = docs.select("doc_id", F.explode("shingles").alias("s")).select(
-        "doc_id", F.pmod(F.xxhash64("s"), F.lit(_P)).alias("x")
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if spread and docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
+    xs = F.transform("shingles", lambda s: F.pmod(F.xxhash64(s), F.lit(_P)))
+    fams = F.array(*[F.struct(F.lit(a).alias("a"), F.lit(b).alias("b")) for a, b in fam])
+    mh = F.transform(
+        fams,
+        lambda p: F.aggregate(
+            xs,
+            F.lit(_P).cast("long"),
+            lambda acc, x: F.least(acc, (p["a"] * x + p["b"]) % F.lit(_P)),
+        ),
     )
-    return hashed.groupBy("doc_id").agg(
-        *[
-            F.min((F.lit(a) * F.col("x") + F.lit(b)) % F.lit(_P)).alias(f"mh{j}")
-            for j, (a, b) in enumerate(fam)
-        ]
-    )
+    return docs.select("doc_id", mh.alias("mh")).repartition(par, "doc_id")
 
 
 def minhash_lsh_pairs(
@@ -120,15 +135,21 @@ def minhash_lsh_pairs(
     LSH miss probability, so it shares the exact oracle.
     """
     rows = num_hashes // bands
-    docs = shingle_docs(df, text_col, id_col, n)
-    sigs = minhash_signatures(docs, num_hashes, seed)
+    # Shared repartition barrier: the shingled docs feed both the signature
+    # computation and the exact-verify joins below; the Exchange makes Spark
+    # compute (and shuffle) the shingle arrays exactly once (ReuseExchange)
+    # instead of re-deriving them per consumer.  The verify joins need docs
+    # hash-distributed by doc_id anyway, so this shuffle is not extra work.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    docs = shingle_docs(df, text_col, id_col, n).repartition(par, "doc_id")
+    sigs = minhash_signatures(docs, num_hashes, seed, spread=False)
     # One row per (doc, band); band key = hash of that band's signature slice.
     banded = sigs.select(
         "doc_id",
         F.posexplode(
             F.array(
                 *[
-                    F.xxhash64(F.concat_ws(",", *[F.col(f"mh{b * rows + r}") for r in range(rows)]))
+                    F.xxhash64(F.concat_ws(",", *[F.col("mh")[b * rows + r] for r in range(rows)]))
                     for b in range(bands)
                 ]
             )

@@ -35,6 +35,16 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / F.sqrt(dot(a, a) * dot(b, b))
 
 
+def norm(a: Column) -> Column:
+    """sqrt(|a|^2), for precomputing one norm per vector before a pair join.
+
+    Pair scoring then costs one fold (the cross dot) instead of three;
+    `dot(a,b) / (norm(a) * norm(b))` must be mirrored exactly (same float
+    association: sqrt each side, then multiply) in any oracle SQL.
+    """
+    return F.sqrt(dot(a, a))
+
+
 def topk_cosine(
     queries: DataFrame,
     corpus: DataFrame,
@@ -52,15 +62,23 @@ def topk_cosine(
     """
     from pyspark.sql import Window
 
-    q = queries.select(F.col(query_id).alias("query_id"), F.col(query_vec).alias("qv"))
-    c = corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("cv"))
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(query_vec).alias("qv"),
+        norm(F.col(query_vec)).alias("qn"),
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(corpus_vec).alias("cv"),
+        norm(F.col(corpus_vec)).alias("cn"),
+    )
     scored = (
         F.broadcast(q)
         .join(c, F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), round_digits).alias("cos_sim"),
+            F.round(dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), round_digits).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
@@ -103,23 +121,79 @@ def ivf_topk(
         scores = F.array(*[dot(vec, c) for c in cents])
         return F.array_position(scores, F.array_max(scores)).cast("int")
 
-    q = queries.select(F.col(query_id).alias("query_id"), F.col(query_vec).alias("qv")).withColumn(
-        "cell", cell(F.col("qv"))
+    q = (
+        queries.select(
+            F.col(query_id).alias("query_id"), F.col(query_vec).alias("qv"), norm(F.col(query_vec)).alias("qn")
+        )
+        .withColumn("cell", cell(F.col("qv")))
     )
-    c = corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("cv")).withColumn(
-        "cell", cell(F.col("cv"))
+    c = (
+        corpus.select(
+            F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("cv"), norm(F.col(corpus_vec)).alias("cn")
+        )
+        .withColumn("cell", cell(F.col("cv")))
     )
     scored = (
         F.broadcast(q)
         .join(c, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", F.round(cosine(F.col("qv"), F.col("cv")), 9).alias("cos_sim"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 9).alias("cos_sim"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .orderBy("query_id", "rank")
+    )
+
+
+def embedding_cosine_pairs(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    round_digits: int = 9,
+    prefilter_bits: int = 0,
+    dim: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine similarity (id1 < id2).
+
+    The filter runs on the *rounded* cosine so Spark/oracle float noise at the
+    threshold boundary cannot flip membership.  With ``prefilter_bits == 0``
+    this is the exact all-pairs formulation (O(n^2) candidate space -- fine at
+    test scale, and the oracle-checkable ground truth).  With
+    ``prefilter_bits > 0`` candidates are restricted to pairs sharing a
+    random-hyperplane LSH bucket before the exact cosine verify -- the 100 TB
+    path: the self-join becomes an equi-join on bucket, so each vector is
+    compared against ~n/2^bits others instead of all n, at the cost of recall
+    for pairs straddling a hyperplane.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"), norm(F.col(vec_col)).alias("n1")
+    )
+    d = corpus.select(
+        F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"), norm(F.col(vec_col)).alias("n2")
+    )
+    if prefilter_bits > 0:
+        if dim is None:
+            raise ValueError("dim is required when prefilter_bits > 0")
+        c = bucketize(c, "v1", dim, prefilter_bits, seed)
+        d = bucketize(d, "v2", dim, prefilter_bits, seed)
+        cand = c.join(d, "bucket").filter(F.col("id1") < F.col("id2"))
+    else:
+        cand = c.join(d, F.col("id1") < F.col("id2"))
+    return (
+        cand.select(
+            "id1",
+            "id2",
+            F.round(dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2")), round_digits).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
     )
 
 
@@ -158,16 +232,32 @@ def ann_lsh_topk(
     from pyspark.sql import Window
 
     q = bucketize(
-        queries.select(F.col(query_id).alias("query_id"), F.col(query_vec).alias("qv")), "qv", dim, nbits, seed
+        queries.select(
+            F.col(query_id).alias("query_id"), F.col(query_vec).alias("qv"), norm(F.col(query_vec)).alias("qn")
+        ),
+        "qv",
+        dim,
+        nbits,
+        seed,
     )
     c = bucketize(
-        corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("cv")), "cv", dim, nbits, seed
+        corpus.select(
+            F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("cv"), norm(F.col(corpus_vec)).alias("cn")
+        ),
+        "cv",
+        dim,
+        nbits,
+        seed,
     )
     scored = (
         F.broadcast(q)
         .join(c, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", F.round(cosine(F.col("qv"), F.col("cv")), 9).alias("cos_sim"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 9).alias("cos_sim"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
     return (

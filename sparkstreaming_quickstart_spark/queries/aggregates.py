@@ -175,3 +175,61 @@ def q25_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "q67_agg_moments",
+    sql="""
+    WITH mu AS (SELECT l_returnflag, AVG(l_quantity) AS m, COUNT(*) AS cnt
+                FROM lineitem GROUP BY l_returnflag)
+    SELECT l.l_returnflag,
+           MAX(mu.cnt) AS n,
+           ROUND((SUM(POW(l_quantity - m, 3)) / MAX(mu.cnt))
+                 / POW(SUM(POW(l_quantity - m, 2)) / MAX(mu.cnt), 1.5), 6) AS skew_q,
+           ROUND((SUM(POW(l_quantity - m, 4)) / MAX(mu.cnt))
+                 / POW(SUM(POW(l_quantity - m, 2)) / MAX(mu.cnt), 2) - 3, 6) AS kurt_q,
+           ROUND(STDDEV_SAMP(l_quantity), 6) AS stddev_q,
+           ROUND(VAR_SAMP(l_quantity), 6) AS var_q,
+           ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 2) AS covar_qp,
+           ROUND(COVAR_POP(l_quantity, l_extendedprice), 2) AS covar_pop_qp
+    FROM lineitem l JOIN mu USING (l_returnflag)
+    GROUP BY l.l_returnflag
+    ORDER BY l.l_returnflag
+    """,
+    doc="Built-in moment aggregates (skewness/kurtosis population form, "
+    "stddev/var sample form, covariance both forms); rounded so one-pass "
+    "merge-order float noise cannot flip the oracle hash.",
+)
+def q67_agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.skewness("l_quantity"), 6).alias("skew_q"),
+            F.round(F.kurtosis("l_quantity"), 6).alias("kurt_q"),
+            F.round(F.stddev_samp("l_quantity"), 6).alias("stddev_q"),
+            F.round(F.var_samp("l_quantity"), 6).alias("var_q"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("covar_qp"),
+            F.round(F.covar_pop("l_quantity", "l_extendedprice"), 2).alias("covar_pop_qp"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "q69_agg_approx_percentile",
+    sql=None,  # GK-sketch-specific results -> rows-only (exact twin: q36)
+    doc="percentile_approx (Greenwald-Khanna sketch) quartiles per group -- "
+    "the streaming/100 TB companion to the exact interpolated q36.",
+)
+def q69_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75], 10000).alias("price_quartiles"),
+            F.percentile_approx("l_quantity", 0.5, 10000).alias("median_qty"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from ..functions.text import avg_token_len, token_count
 from ..operators.dedup import exact_dedup, minhash_lsh_pairs, ngram_jaccard_pairs, simhash_pairs
 from ..operators.multimodal import extract_media_meta, with_binary_payload
-from ..operators.similarity import ann_lsh_topk, topk_cosine
+from ..operators.similarity import ann_lsh_topk, embedding_cosine_pairs, topk_cosine
 from ..sources.catalog import load_table
 from . import register
 
@@ -86,14 +86,36 @@ def q53_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q65_dedup_embedding_cosine",
+    sql="""
+    SELECT a.vec_id AS id1, b.vec_id AS id2,
+           ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+                 / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 9) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+                / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                   * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 9) >= 0.42
+    ORDER BY id1, id2
+    """,
+    doc="Embedding-cosine near-dup pairs (exact all-pairs at test scale; "
+    "prefilter_bits>0 switches to LSH-bucketed candidates for the 100 TB path "
+    "-- see operators/similarity.py:embedding_cosine_pairs).",
+)
+def q65_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return embedding_cosine_pairs(e, "vec_id", "embedding", threshold=0.42).orderBy("id1", "id2")
+
+
+@register(
     "q54_similarity_topk",
     sql="""
     WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
     scored AS (
         SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
                ROUND(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
-                     / sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))
-                            * list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))), 9) AS cos_sim
+                     / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+                        * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))), 9) AS cos_sim
         FROM q JOIN embeddings e ON e.vec_id <> q.vec_id)
     SELECT query_id, neighbor_id, cos_sim, rank FROM (
         SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rank

@@ -199,3 +199,31 @@ def q45_explode_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy("doc_id", "token")
     )
+
+
+@register(
+    "q68_scalar_extras",
+    sql="""
+    SELECT p_partkey,
+           translate(p_type, 'aeiou', 'AEIOU') AS type_tr,
+           CAST(instr(p_name, 'o') AS INT) AS first_o,
+           string_split(p_name, ' ')[2:4] AS mid_tokens,
+           flatten([string_split(p_name, ' '), ['x']]) AS plus_sentinel,
+           CAST(generate_series(1, least(p_size, 5)) AS INT[]) AS seq_small
+    FROM part
+    ORDER BY p_partkey
+    """,
+    doc="Scalar coverage extras: translate, instr, array slice, flatten, "
+    "sequence -- each with an exact DuckDB twin.",
+)
+def q68_scalar_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    toks = F.split(F.col("p_name"), " ")
+    return p.select(
+        "p_partkey",
+        F.translate(F.col("p_type"), "aeiou", "AEIOU").alias("type_tr"),
+        F.instr(F.col("p_name"), "o").alias("first_o"),
+        F.slice(toks, 2, 3).alias("mid_tokens"),
+        F.flatten(F.array(toks, F.array(F.lit("x")))).alias("plus_sentinel"),
+        F.sequence(F.lit(1), F.least(F.col("p_size"), F.lit(5))).alias("seq_small"),
+    ).orderBy("p_partkey")

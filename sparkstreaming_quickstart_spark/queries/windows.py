@@ -174,3 +174,35 @@ def q34_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_id")
     )
+
+
+@register(
+    "q66_window_distribution",
+    sql="""
+    SELECT o_orderkey, o_orderpriority, o_totalprice,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cdist,
+           first_value(o_orderkey) OVER w AS cheapest_order,
+           last_value(o_orderkey) OVER (
+               PARTITION BY o_orderpriority ORDER BY o_totalprice ASC, o_orderkey ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS priciest_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice ASC, o_orderkey ASC)
+    ORDER BY o_orderpriority, o_totalprice, o_orderkey
+    """,
+    doc="Distribution window functions: percent_rank, cume_dist, "
+    "first_value/last_value with an explicit unbounded ROWS frame.",
+)
+def q66_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+    wall = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cdist"),
+        F.first("o_orderkey").over(w).alias("cheapest_order"),
+        F.last("o_orderkey").over(wall).alias("priciest_order"),
+    ).orderBy("o_orderpriority", "o_totalprice", "o_orderkey")
