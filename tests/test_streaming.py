@@ -77,3 +77,50 @@ def test_streaming_dedup_within_watermark_runs(spark, sf_dir):
     distinct_n = load_table(spark, sf_dir, "events").select("user_id", "event_type").distinct().count()
     # within-watermark dedup can only emit >= exact-distinct rows
     assert n >= distinct_n
+
+
+def test_transform_with_state_gated_on_protobuf(spark, sf_dir):
+    # q76 (transformWithStateInPandas) registers only where protobuf exists;
+    # where it does, it must match the batch aggregate.
+    from sparkstreaming_quickstart_spark.queries import all_queries
+    from sparkstreaming_quickstart_spark.queries.streaming import _has_protobuf
+
+    registered = "q76_stream_transform_with_state" in all_queries()
+    assert registered == _has_protobuf()
+    if registered:
+        from sparkstreaming_quickstart_spark.sources.catalog import load_table
+        from pyspark.sql import functions as F
+
+        got = all_queries()["q76_stream_transform_with_state"].fn(spark, sf_dir).collect()
+        want = (
+            load_table(spark, sf_dir, "events")
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n_events"), F.min("value").alias("min_value"), F.max("value").alias("max_value"))
+            .orderBy("user_id")
+            .collect()
+        )
+        assert got == want
+
+
+def test_rate_stream_smoke(spark):
+    # Rate source mapped onto the events shape: unbounded load-test input for
+    # the same downstream operators.  Drain a moment's worth and check shape.
+    import time
+    import uuid
+
+    from sparkstreaming_quickstart_spark.streaming.source import rate_stream
+
+    df = rate_stream(spark, rows_per_second=200)
+    assert df.isStreaming
+    name = f"rate_{uuid.uuid4().hex[:8]}"
+    q = df.writeStream.format("memory").queryName(name).outputMode("append").start()
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline and spark.table(name).count() == 0:
+            time.sleep(0.5)
+        rows = spark.table(name).limit(10).collect()
+    finally:
+        q.stop()
+    assert rows, "rate stream produced no rows within 30s"
+    assert set(rows[0].asDict()) == {"event_id", "ts", "user_id", "event_type", "value", "props"}
+    assert rows[0].event_type in {"click", "view", "purchase", "error"}
