@@ -93,17 +93,18 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 128, seed: int = 42, s
     would otherwise compute every signature on one core).  At 100 TB the
     input arrives as thousands of splits and this pre-shuffle never happens.
 
-    The result always ends in a repartition-by-doc_id Exchange: LSH consumers
-    self-join the signatures, and without a shuffle boundary on top of the
-    signature plan Spark would recompute the (expensive) signature expression
-    once per join side; with it, ReuseExchange materializes signatures
-    exactly once.  The shuffled payload is one ~1 KB row per doc -- the same
-    traffic the groupBy formulation paid anyway.
+    Consumers should reference the result exactly once in their plan: the
+    signature expression is the expensive node, and Spark recomputes
+    non-materialized subtrees once per consumer (an explicit repartition
+    barrier does NOT protect it -- the optimizer pushes repartitions below
+    projections, leaving the projection above the exchange and still
+    duplicated per join side; minhash_lsh_pairs is shaped around this).
     """
     fam = _hash_family(num_hashes, seed)
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    if spread and docs.rdd.getNumPartitions() < par:
-        docs = docs.repartition(par)
+    if spread:
+        par = docs.sparkSession.sparkContext.defaultParallelism
+        if docs.rdd.getNumPartitions() < par:
+            docs = docs.repartition(par)
     xs = F.transform("shingles", lambda s: F.pmod(F.xxhash64(s), F.lit(_P)))
     fams = F.array(*[F.struct(F.lit(a).alias("a"), F.lit(b).alias("b")) for a, b in fam])
     mh = F.transform(
@@ -114,7 +115,7 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 128, seed: int = 42, s
             lambda acc, x: F.least(acc, (p["a"] * x + p["b"]) % F.lit(_P)),
         ),
     )
-    return docs.select("doc_id", mh.alias("mh")).repartition(par, "doc_id")
+    return docs.select("doc_id", mh.alias("mh"))
 
 
 def minhash_lsh_pairs(
@@ -135,14 +136,15 @@ def minhash_lsh_pairs(
     LSH miss probability, so it shares the exact oracle.
     """
     rows = num_hashes // bands
-    # Shared repartition barrier: the shingled docs feed both the signature
-    # computation and the exact-verify joins below; the Exchange makes Spark
-    # compute (and shuffle) the shingle arrays exactly once (ReuseExchange)
-    # instead of re-deriving them per consumer.  The verify joins need docs
-    # hash-distributed by doc_id anyway, so this shuffle is not extra work.
-    par = df.sparkSession.sparkContext.defaultParallelism
-    docs = shingle_docs(df, text_col, id_col, n).repartition(par, "doc_id")
-    sigs = minhash_signatures(docs, num_hashes, seed, spread=False)
+    # Plan shape rule: every expensive subtree (shingling, signatures) must
+    # have exactly ONE consumer, because Spark recomputes non-materialized
+    # subtrees per consumer and repartition barriers don't survive the
+    # optimizer (it pushes them below projections).  So candidate generation
+    # is a groupBy -- NOT a self-join, which would evaluate the signature
+    # pipeline once per join side -- and verification is one explode-join-
+    # regroup -- NOT two joins against the shingled docs.
+    docs = shingle_docs(df, text_col, id_col, n)
+    sigs = minhash_signatures(docs, num_hashes, seed)
     # One row per (doc, band); band key = hash of that band's signature slice.
     banded = sigs.select(
         "doc_id",
@@ -155,20 +157,47 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "band_key"),
     )
+    # Bucket members -> all (d1 < d2) pairs, generated inside each bucket.
+    # One shuffle over the banded rows; same k^2-per-bucket work the self-join
+    # formulation does, minus the duplicate signature evaluation.  (LSH band
+    # keys keep buckets tiny on real corpora; a pathological hot bucket can be
+    # capped by filtering on size(ids) before the pair expansion.)
+    buckets = (
+        banded.groupBy("band", "band_key")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            "ids",
+            lambda x, i: F.transform(
+                F.slice("ids", i + F.lit(2), F.size("ids")),
+                lambda y: F.struct(x.alias("d1"), y.alias("d2")),
+            ),
+        )
+    )
     cand = (
-        banded.alias("x")
-        .join(banded.alias("y"), ["band", "band_key"])
-        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(F.col("x.doc_id").alias("d1"), F.col("y.doc_id").alias("d2"))
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.d1").alias("d1"), F.col("p.d2").alias("d2"))
         .distinct()
     )
-    # Exact verify on candidates only (broadcast-friendly: candidates << docs).
-    sized = docs.select("doc_id", "shingles", "n_sh")
+    # Exact verify: explode each pair to (pair, member), join the shingled
+    # docs ONCE, regroup to a row per pair with both shingle sets.
+    long = cand.select("d1", "d2", F.explode(F.array(F.col("d1"), F.col("d2"))).alias("doc_id"))
+    per_pair = (
+        long.join(docs, "doc_id")
+        .groupBy("d1", "d2")
+        .agg(
+            F.max(F.when(F.col("doc_id") == F.col("d1"), F.struct("n_sh", "shingles"))).alias("a"),
+            F.max(F.when(F.col("doc_id") == F.col("d2"), F.struct("n_sh", "shingles"))).alias("b"),
+        )
+    )
     verified = (
-        cand.join(sized.select(F.col("doc_id").alias("d1"), F.col("shingles").alias("sh1"), F.col("n_sh").alias("n1")), "d1")
-        .join(sized.select(F.col("doc_id").alias("d2"), F.col("shingles").alias("sh2"), F.col("n_sh").alias("n2")), "d2")
-        .withColumn("common", F.size(F.array_intersect("sh1", "sh2")))
-        .withColumn("jaccard", F.col("common").cast("double") / (F.col("n1") + F.col("n2") - F.col("common")))
+        per_pair.withColumn("common", F.size(F.array_intersect("a.shingles", "b.shingles")))
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double") / (F.col("a.n_sh") + F.col("b.n_sh") - F.col("common")),
+        )
         .filter(F.col("jaccard") >= threshold)
     )
     return verified.select("d1", "d2", "jaccard")

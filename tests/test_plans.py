@@ -52,18 +52,22 @@ def test_whole_stage_codegen_active(spark, sf_dir):
     assert "WholeStageCodegen" in explain_str(df, "codegen")
 
 
-def test_minhash_lsh_reuses_signature_exchange(spark, sf_dir):
-    # The LSH band join self-joins the signatures; the repartition barrier in
-    # minhash_signatures must surface as a ReusedExchange (signatures computed
-    # once, not once per join side).  AQE only materializes reuse in the
-    # executed plan, so run the query first.
+def test_minhash_signatures_computed_once(spark, sf_dir):
+    # The LSH pipeline must evaluate the (expensive) signature expression
+    # exactly once: candidate pairs come from a bucket groupBy, not a
+    # signature self-join, so the plan may contain only a single instance of
+    # the minhash fold.  (Spark re-evaluates non-materialized subtrees per
+    # consumer; a duplicated fold means a join-shaped regression.)
     from sparkstreaming_quickstart_spark.operators.dedup import minhash_lsh_pairs
 
     d = load_table(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(d, "text", "doc_id", n=3, threshold=0.5)
     pairs.collect()
     executed = pairs._jdf.queryExecution().executedPlan().toString()
-    assert "ReusedExchange" in executed, executed
+    # AQE's toString appends the pre-execution plan under "== Initial Plan ==";
+    # only the final plan reflects what actually ran.
+    final_plan = executed.split("== Initial Plan ==")[0]
+    assert final_plan.count("lambdafunction(least") == 1, executed
 
 
 def test_embedding_prefilter_is_equijoin_and_subset(spark, sf_dir):
