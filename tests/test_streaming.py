@@ -124,3 +124,33 @@ def test_rate_stream_smoke(spark):
     assert rows, "rate stream produced no rows within 30s"
     assert set(rows[0].asDict()) == {"event_id", "ts", "user_id", "event_type", "value", "props"}
     assert rows[0].event_type in {"click", "view", "purchase", "error"}
+
+
+def test_rocksdb_state_store_matches_default(spark, sf_dir):
+    # The 100 TB streaming-state answer is the RocksDB state store (state
+    # spills off-heap/disk instead of living on the JVM heap).  Same query,
+    # same results, under both providers.
+    from sparkstreaming_quickstart_spark.streaming.pipeline import run_to_memory, tumbling_counts
+    from sparkstreaming_quickstart_spark.streaming.source import events_stream
+
+    def run():
+        agg = tumbling_counts(events_stream(spark, sf_dir), "1 hour", "2 hours")
+        return sorted(
+            (r.window_start, r.event_type, r.n_events, r.sum_value)
+            for r in spark.table(run_to_memory(agg, output_mode="complete")).collect()
+        )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    default = run()
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key, "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    try:
+        rocks = run()
+    finally:
+        if prev:
+            spark.conf.set(key, prev)
+        else:
+            spark.conf.unset(key)
+    assert rocks == default and len(rocks) > 0
