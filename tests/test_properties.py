@@ -1,0 +1,109 @@
+"""Property-based tests (hypothesis) for the composed operators.
+
+The reference ships zero assertions (SURVEY.md section 5.1); beyond the
+oracle-checked queries, these pin the operators' *semantics* on adversarial
+generated inputs: the as-of join against a pure-Python oracle, LSH candidate
+soundness against the exact formulation, and dedup keeper selection.
+
+Example counts are kept small: every example is a Spark job, so the budget
+goes to input diversity (ties, duplicates, empty sides) rather than volume.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from sparkstreaming_quickstart_spark.operators.asof import asof_join
+from sparkstreaming_quickstart_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+)
+
+_SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+def _t(minute: int) -> datetime.datetime:
+    return datetime.datetime(2024, 1, 1, 0, 0) + datetime.timedelta(minutes=minute)
+
+
+# Small key/time domains force collisions: same-key ties, equal timestamps,
+# keys present on only one side.
+_probe = st.tuples(st.integers(0, 3), st.integers(0, 30))
+_quote = st.tuples(st.integers(0, 3), st.integers(0, 30))
+
+
+@given(
+    probes=st.lists(_probe, min_size=1, max_size=12),
+    quotes=st.lists(_quote, min_size=0, max_size=12),
+)
+@_SETTINGS
+def test_asof_join_matches_python_oracle(spark, probes, quotes):
+    left = spark.createDataFrame(
+        [(i, k, _t(m)) for i, (k, m) in enumerate(probes)], ["event_id", "k", "ts"]
+    )
+    right = spark.createDataFrame(
+        [(100 + j, k, _t(m)) for j, (k, m) in enumerate(quotes)],
+        ["quote_id", "k", "qts"],
+    ) if quotes else spark.createDataFrame([], "quote_id long, k long, qts timestamp")
+    out = asof_join(
+        left,
+        right.select("k", "qts", "quote_id"),
+        on="k",
+        left_time="ts",
+        right_time="qts",
+        value_cols=["quote_id"],
+        tiebreak="quote_id",
+    )
+    got = {r.event_id: r.asof_quote_id for r in out.collect()}
+    for i, (k, m) in enumerate(probes):
+        # oracle: latest quote at/before the probe; tie -> max quote_id
+        eligible = [
+            (qm, 100 + j) for j, (qk, qm) in enumerate(quotes) if qk == k and qm <= m
+        ]
+        want = max(eligible)[1] if eligible else None
+        assert got[i] == want, f"probe {i} (k={k}, t={m}): got {got[i]}, want {want}"
+
+
+_doc = st.lists(st.sampled_from("abcdefgh"), min_size=4, max_size=10).map(" ".join)
+
+
+@given(texts=st.lists(_doc, min_size=2, max_size=10))
+@_SETTINGS
+def test_lsh_pairs_are_sound_wrt_exact_jaccard(spark, texts):
+    # Every LSH-reported pair must appear in the exact formulation with the
+    # same jaccard (candidates are verified exactly; no false positives).
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    exact = {
+        (r.d1, r.d2): r.jaccard
+        for r in ngram_jaccard_pairs(df, "text", "doc_id", n=2, threshold=0.3).collect()
+    }
+    lsh = {
+        (r.d1, r.d2): r.jaccard
+        for r in minhash_lsh_pairs(df, "text", "doc_id", n=2, threshold=0.3).collect()
+    }
+    assert set(lsh) <= set(exact)
+    for pair, j in lsh.items():
+        assert abs(j - exact[pair]) < 1e-12
+
+
+@given(
+    texts=st.lists(st.sampled_from(["aa bb", "cc dd", "ee ff"]), min_size=1, max_size=12)
+)
+@_SETTINGS
+def test_exact_dedup_keeps_lowest_id_and_counts(spark, texts):
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = {
+        r.keeper_id: r.n_copies for r in exact_dedup(df, "text", "doc_id").collect()
+    }
+    want: dict[str, list[int]] = {}
+    for i, t in enumerate(texts):
+        want.setdefault(t, []).append(i)
+    assert got == {min(ids): len(ids) for ids in want.values()}
