@@ -60,3 +60,59 @@ def extract_media_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return df.select(id_col, "payload").mapInPandas(run, schema=META_SCHEMA)
+
+
+def sample_frames(df: DataFrame, id_col: str = "doc_id", frame_bytes: int = 64, every: int = 2) -> DataFrame:
+    """Frame sampling over binary payloads: chunk into fixed-size frames, keep
+    every `every`-th.
+
+    Deliberately pure JVM (sequence + explode + binary substr): the expansion
+    multiplies row counts, so it belongs inside codegen, not in Python.  A
+    real video pipeline swaps the fixed-stride chunking for container-aware
+    offsets but keeps this exact plan shape (no shuffle: Generate preserves
+    partitioning; output rows stay on their input's executor).
+    """
+    n_frames = (F.floor((F.length("payload") - 1) / frame_bytes) + 1).cast("int")
+    return (
+        df.select(id_col, "payload", F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"))
+        .filter(F.col("frame_idx") % every == 0)
+        .select(
+            id_col,
+            F.col("frame_idx").cast("bigint").alias("frame_idx"),
+            F.substr("payload", F.col("frame_idx") * frame_bytes + 1, F.lit(frame_bytes)).alias("frame"),
+        )
+        .withColumn("frame_bytes", F.length("frame").cast("bigint"))
+    )
+
+
+RESIZED_SCHEMA = "doc_id bigint, resized binary, out_w int, out_h int"
+
+
+def fake_resize(payload: bytes, w: int, h: int) -> bytes:
+    """Deterministic stand-in for a decoder+resampler: truncate/zero-pad the
+    byte stream to exactly w*h bytes (a real implementation decodes, resamples
+    with PIL/libvips, and re-encodes; only this function changes)."""
+    target = w * h
+    return payload[:target].ljust(target, b"\0")
+
+
+def resize_media(df: DataFrame, w: int, h: int, id_col: str = "doc_id") -> DataFrame:
+    """mapInPandas resize: Arrow-batched binary in, fixed-size binary out.
+
+    Same plumbing contract as extract_media_meta: payloads stream through
+    Python once per Arrow batch, no shuffle, per-task memory bounded by
+    maxPartitionBytes x (output/input size ratio).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "resized": [fake_resize(bytes(p), w, h) for p in pdf["payload"]],
+                    "out_w": pd.Series([w] * len(pdf), dtype="int32"),
+                    "out_h": pd.Series([h] * len(pdf), dtype="int32"),
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(run, schema=RESIZED_SCHEMA)

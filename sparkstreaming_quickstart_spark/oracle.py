@@ -41,8 +41,8 @@ def _norm_cell(v: Any) -> Any:
         return v.isoformat()
     if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
         return tuple(_norm_cell(x) for x in v)
-    if isinstance(v, bytes):
-        return v.hex()
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
     return v
 
 

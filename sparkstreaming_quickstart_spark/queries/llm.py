@@ -300,3 +300,37 @@ def q61_tokens_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_number_tokens"),
     ).orderBy("doc_id")
+
+
+@register(
+    "q78_multimodal_frames",
+    sql="""
+    WITH f AS (
+        SELECT doc_id, text,
+               unnest(range(0, CAST(floor((length(text) - 1) / 64) AS BIGINT) + 1)) AS frame_idx
+        FROM documents)
+    SELECT doc_id, frame_idx,
+           substring(text, CAST(frame_idx * 64 + 1 AS BIGINT), 64) AS frame_str,
+           CAST(length(substring(text, CAST(frame_idx * 64 + 1 AS BIGINT), 64)) AS BIGINT) AS frame_bytes
+    FROM f
+    WHERE frame_idx % 2 = 0
+    ORDER BY doc_id, frame_idx
+    """,
+    doc="Multimodal frame sampling: binary payload chunked into 64-byte "
+    "frames, every 2nd kept -- JVM-side explode, no Python in the expansion "
+    "(operators/multimodal.py:sample_frames).  The frame slices stay binary "
+    "inside the plan and decode to string only at the output boundary so the "
+    "oracle compare is engine-neutral (documents are ASCII: char offsets == "
+    "byte offsets).",
+)
+def q78_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import sample_frames
+
+    d = with_binary_payload(load_table(spark, sf_dir, "documents"), "text")
+    frames = sample_frames(d, "doc_id", frame_bytes=64, every=2)
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.decode(F.col("frame"), "UTF-8").alias("frame_str"),
+        "frame_bytes",
+    ).orderBy("doc_id", "frame_idx")

@@ -122,3 +122,22 @@ def test_dsum_is_exact(spark):
     df = spark.createDataFrame([(0.1,), (0.2,), (0.3,)] * 1000, ["x"])
     total = df.repartition(13).agg(dsum("x").alias("s")).collect()[0].s
     assert total == 600.0  # float sum would drift; decimal sum is exact
+
+
+def test_resize_media_deterministic_fixed_size(spark):
+    from sparkstreaming_quickstart_spark.operators.multimodal import (
+        fake_resize,
+        resize_media,
+        with_binary_payload,
+    )
+
+    df = with_binary_payload(
+        spark.createDataFrame([(1, "short"), (2, "x" * 5000)], ["doc_id", "text"]), "text"
+    )
+    rows = {r.doc_id: r for r in resize_media(df, 64, 48).collect()}
+    assert set(rows) == {1, 2}
+    for r in rows.values():
+        assert len(r.resized) == 64 * 48 and (r.out_w, r.out_h) == (64, 48)
+    # short payload zero-padded; long payload truncated -- both deterministic
+    assert bytes(rows[1].resized) == fake_resize(b"short", 64, 48)
+    assert bytes(rows[2].resized) == b"x" * 3072
