@@ -154,3 +154,56 @@ def test_rocksdb_state_store_matches_default(spark, sf_dir):
         else:
             spark.conf.unset(key)
     assert rocks == default and len(rocks) > 0
+
+
+def test_watermark_finalizes_windows_and_drops_post_eviction_late_data(spark, tmp_path):
+    """Late-data semantics the reference's DStream pipeline (no event time)
+    could not express.  Spark's watermark guarantee is one-directional: data
+    within the delay is never dropped; data beyond it is dropped once the
+    window's state has been evicted (while state lives, a late row MAY still
+    merge).  So the deterministic assertion is: after intermediate batches
+    force eviction, window [10:00, 11:00) is emitted exactly once with its
+    pre-eviction count, and a later 10:45 straggler neither re-emits nor
+    resurrects it."""
+    import datetime
+    import time
+    import uuid
+
+    from pyspark.sql.types import LongType, StructField, StructType, TimestampType
+
+    def t(h, m):
+        return datetime.datetime(2024, 1, 1, h, m)
+
+    schema = StructType([StructField("event_id", LongType()), StructField("ts", TimestampType())])
+    src = tmp_path / "stream-in"
+    src.mkdir()
+    batches = [
+        [(1, t(10, 0)), (2, t(10, 30)), (3, t(13, 0))],  # watermark -> 12:00
+        [(4, t(13, 10))],  # eviction lag absorber
+        [(5, t(13, 20))],  # window 10 finalized+emitted by here
+        [(6, t(10, 45)), (7, t(13, 30))],  # 10:45 arrives after eviction -> dropped
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(src / f"b{i}"))
+        time.sleep(1.1)  # distinct mtimes keep file-source batch order stable
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/b*")
+        .withWatermark("ts", "1 hour")
+    )
+    agg = stream.groupBy(F.window("ts", "1 hour").alias("w")).count()
+    name = f"late_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    hour10 = [r["count"] for r in spark.table(name).collect() if r["w"].start.hour == 10]
+    # exactly one finalized emission, without the post-eviction straggler
+    assert hour10 == [2], spark.table(name).collect()
