@@ -18,7 +18,7 @@ import os
 import shutil
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType,
@@ -70,6 +70,37 @@ def events_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: int |
     return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
 
 
+def strip_confluent_header(value: Column | str) -> Column:
+    """Drop the Confluent wire-format prefix from an Avro message value.
+
+    The reference's KafkaAvroDeserializer resolves the writer schema from a
+    5-byte prefix -- magic byte 0 + big-endian 4-byte schema id
+    (Processor.java:51, registry lookup); Spark's `from_avro` expects a bare
+    Avro body under a pinned reader schema, so the prefix must go.
+    """
+    col = F.col(value) if isinstance(value, str) else value
+    return F.substr(col, F.lit(6), F.length(col) - F.lit(5))
+
+
+def _require_avro(spark: SparkSession) -> None:
+    """Fail fast with guidance if the spark-avro connector is absent.
+
+    The Python wrapper always imports; the jar-missing failure otherwise
+    surfaces only at analysis time as AVRO_NOT_LOADED -- probe analysis
+    eagerly so callers get one clear error at build time.
+    """
+    try:
+        from pyspark.sql.avro.functions import from_avro
+
+        probe = spark.range(1).select(from_avro(F.lit(bytes([0])), '"bytes"'))
+        probe._jdf.queryExecution().analyzed()
+    except Exception as exc:
+        raise NotImplementedError(
+            "spark-avro connector required for Avro decode: submit with "
+            "--packages org.apache.spark:spark-avro_2.13:<spark version>"
+        ) from exc
+
+
 def kafka_stream(
     spark: SparkSession,
     bootstrap_servers: str,
@@ -101,16 +132,10 @@ def kafka_stream(
         "timestamp",
     )
     if avro_schema_json is not None:
-        try:
-            from pyspark.sql.avro.functions import from_avro
-        except ImportError as exc:  # pragma: no cover - needs spark-avro jar
-            raise NotImplementedError("spark-avro package required for Avro decode") from exc
-        payload = (
-            # Strip the Confluent header: 1 magic byte + 4-byte schema id.
-            F.expr("substring(value, 6, length(value) - 5)")
-            if confluent_wire_format
-            else F.col("value")
-        )
+        _require_avro(spark)
+        from pyspark.sql.avro.functions import from_avro
+
+        payload = strip_confluent_header("value") if confluent_wire_format else F.col("value")
         out = out.withColumn("record", from_avro(payload, avro_schema_json))
     return out
 
