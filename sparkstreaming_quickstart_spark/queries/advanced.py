@@ -348,3 +348,39 @@ def q49_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(normalize, schema="event_id long, event_type string, value_minmax double")
         .orderBy("event_id")
     )
+
+
+@register(
+    "q79_grouped_agg_udaf",
+    sql="""
+    SELECT l_returnflag,
+           ROUND(SUM(l_extendedprice * l_discount) / SUM(l_discount), 6) AS disc_weighted_price,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="UDAF via a grouped-agg pandas UDF (Arrow-batched, one scalar per "
+    "group): discount-weighted mean price.  The mean is rounded so in-group "
+    "order sensitivity of float summation cannot flip the oracle hash.",
+)
+def q79_grouped_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @pandas_udf("double")
+    def weighted_mean(price: pd.Series, weight: pd.Series) -> float:
+        return float((price * weight).sum() / weight.sum())
+
+    # Spark disallows mixing grouped-agg pandas UDFs with JVM aggregates in
+    # one agg(), so the row count is a second pandas aggregate.
+    @pandas_udf("long")
+    def n_rows(price: pd.Series) -> int:
+        return len(price)
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(weighted_mean("l_extendedprice", "l_discount"), 6).alias("disc_weighted_price"),
+            n_rows("l_extendedprice").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -235,13 +235,15 @@ def q68_scalar_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id,
            to_json(struct_pack(event_id := event_id, event_type := event_type))::VARCHAR AS js,
            json_extract_string(props, '$.k') AS k_str,
-           [CAST(x AS VARCHAR) || '-' || event_type FOR x IN [event_id, user_id]] AS zipped
+           [CAST(x AS VARCHAR) || '-' || event_type FOR x IN [event_id, user_id]] AS zipped,
+           'STRUCT<k: BIGINT>' AS props_schema
     FROM events
     ORDER BY event_id
     """,
     doc="JSON serialization (to_json over a struct), json_tuple-style "
-    "extraction, and arrays_zip (two parallel arrays zipped then rendered "
-    "as strings so the oracle is engine-neutral).",
+    "extraction, arrays_zip (two parallel arrays zipped then rendered "
+    "as strings so the oracle is engine-neutral), and schema_of_json "
+    "(Spark infers the props schema; the oracle pins the expected DDL).",
 )
 def q77_json_roundtrip_zip(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
@@ -256,4 +258,5 @@ def q77_json_roundtrip_zip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_json(F.struct(F.col("event_id"), F.col("event_type"))).alias("js"),
         F.json_tuple(F.col("props"), "k").alias("k_str"),
         zipped.alias("zipped"),
+        F.schema_of_json(F.lit('{"k": 87}')).alias("props_schema"),
     ).orderBy("event_id")

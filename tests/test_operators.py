@@ -141,3 +141,18 @@ def test_resize_media_deterministic_fixed_size(spark):
     # short payload zero-padded; long payload truncated -- both deterministic
     assert bytes(rows[1].resized) == fake_resize(b"short", 64, 48)
     assert bytes(rows[2].resized) == b"x" * 3072
+
+
+def test_classic_row_udf_matches_builtin(spark, sf_dir):
+    # SURVEY 2.B lists the classic row-at-a-time UDF; it exists and is
+    # correct, but the builtin (codegen) form is the engine's hot path --
+    # this pins equivalence, not performance.
+    from pyspark.sql.functions import udf
+    from pyspark.sql.types import StringType
+
+    from sparkstreaming_quickstart_spark.sources.catalog import load_table
+
+    shout = udf(lambda s: s.upper() if s is not None else None, StringType())
+    d = load_table(spark, sf_dir, "documents").limit(50)
+    rows = d.select(shout("text").alias("a"), F.upper("text").alias("b")).collect()
+    assert rows and all(r.a == r.b for r in rows)
