@@ -294,3 +294,46 @@ def q76_stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFra
     )
     table = run_to_memory(out, output_mode="update")
     return spark.table(table).orderBy("user_id")
+
+
+@register(
+    "q84_stream_session_window",
+    sql="""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts ASC)
+                         > 1800000000
+                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts ASC) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events),
+    sessions AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM flagged)
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+    doc="STREAMING session_window (30-min gap) with watermark, drained via "
+    "availableNow -- the stateful merging-session operator; shares q35's "
+    "batch gaps-and-islands oracle (prefix consistency).",
+)
+def q84_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = events_stream(spark, sf_dir).withWatermark("ts", "2 hours")
+    agg = (
+        stream.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    table = run_to_memory(agg, output_mode="complete")
+    return spark.table(table).orderBy("user_id", "session_start")
