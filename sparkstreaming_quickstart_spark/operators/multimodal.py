@@ -74,7 +74,12 @@ def sample_frames(df: DataFrame, id_col: str = "doc_id", frame_bytes: int = 64, 
     """
     n_frames = (F.floor((F.length("payload") - 1) / frame_bytes) + 1).cast("int")
     return (
-        df.select(id_col, "payload", F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"))
+        # Empty payloads must yield zero frames; without the filter,
+        # sequence(0, -1) silently flips to a DESCENDING [0, -1] sequence
+        # (two-arg sequence defaults step to -1 when start > stop) and emits
+        # bogus frame rows.
+        df.filter(F.length("payload") > 0)
+        .select(id_col, "payload", F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"))
         .filter(F.col("frame_idx") % every == 0)
         .select(
             id_col,

@@ -30,11 +30,6 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
-def cosine(a: Column, b: Column) -> Column:
-    """dot / sqrt(|a|^2 * |b|^2) -- grouping chosen to match the oracle SQL."""
-    return dot(a, b) / F.sqrt(dot(a, a) * dot(b, b))
-
-
 def norm(a: Column) -> Column:
     """sqrt(|a|^2), for precomputing one norm per vector before a pair join.
 
@@ -43,6 +38,21 @@ def norm(a: Column) -> Column:
     association: sqrt each side, then multiply) in any oracle SQL.
     """
     return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity, null on a zero-norm side (same float association as
+    the pair-join form: sqrt each side, then multiply).  Inside the operators
+    the norms are precomputed per side instead of re-folded per pair."""
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
+
+
+def _pair_cosine(dot_col: Column, n1: Column, n2: Column, digits: int) -> Column:
+    """Scoring expression shared by every pair join: try_divide nulls out
+    zero-norm vectors (a padded/failed-encode embedding is legal input) where
+    plain division would abort the query under Spark 4's ANSI mode; null
+    scores then fail threshold filters and sort last in top-k rankings."""
+    return F.round(F.try_divide(dot_col, n1 * n2), digits)
 
 
 def topk_cosine(
@@ -78,7 +88,7 @@ def topk_cosine(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), round_digits).alias("cos_sim"),
+            _pair_cosine(dot(F.col("qv"), F.col("cv")), F.col("qn"), F.col("cn"), round_digits).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
@@ -140,7 +150,7 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 9).alias("cos_sim"),
+            _pair_cosine(dot(F.col("qv"), F.col("cv")), F.col("qn"), F.col("cn"), 9).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
@@ -191,7 +201,7 @@ def embedding_cosine_pairs(
         cand.select(
             "id1",
             "id2",
-            F.round(dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2")), round_digits).alias("cos_sim"),
+            _pair_cosine(dot(F.col("v1"), F.col("v2")), F.col("n1"), F.col("n2"), round_digits).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
@@ -256,7 +266,7 @@ def ann_lsh_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 9).alias("cos_sim"),
+            _pair_cosine(dot(F.col("qv"), F.col("cv")), F.col("qn"), F.col("cn"), 9).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())

@@ -139,9 +139,9 @@ def q29_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q35_session_window_builtin",
-    sql="""
+# Gaps-and-islands reformulation of a 30-min-gap session window; shared by
+# the batch (q35) and streaming (q84) twins so they cannot drift.
+SESSION_WINDOW_ORACLE = """
     WITH flagged AS (
         SELECT user_id, ts,
                CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts ASC)
@@ -161,7 +161,12 @@ def q29_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM sessions
     GROUP BY user_id, sid
     ORDER BY user_id, session_start
-    """,
+    """
+
+
+@register(
+    "q35_session_window_builtin",
+    sql=SESSION_WINDOW_ORACLE,
     doc="Built-in session_window (30-min gap) on batch data; oracle is the "
     "gaps-and-islands reformulation (window end = last event + gap).",
 )

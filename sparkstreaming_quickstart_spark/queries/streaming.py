@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from ..streaming.pipeline import run_to_memory, streaming_dedup, tumbling_counts
 from ..streaming.source import events_stream
 from . import register
+from .advanced import SESSION_WINDOW_ORACLE
 
 
 @register(
@@ -298,27 +299,7 @@ def q76_stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFra
 
 @register(
     "q84_stream_session_window",
-    sql="""
-    WITH flagged AS (
-        SELECT user_id, ts,
-               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts ASC)
-                         > 1800000000
-                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts ASC) IS NULL
-                    THEN 1 ELSE 0 END AS new_session
-        FROM events),
-    sessions AS (
-        SELECT user_id, ts,
-               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC
-                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-        FROM flagged)
-    SELECT user_id,
-           MIN(ts) AS session_start,
-           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
-           COUNT(*) AS n_events
-    FROM sessions
-    GROUP BY user_id, sid
-    ORDER BY user_id, session_start
-    """,
+    sql=SESSION_WINDOW_ORACLE,
     doc="STREAMING session_window (30-min gap) with watermark, drained via "
     "availableNow -- the stateful merging-session operator; shares q35's "
     "batch gaps-and-islands oracle (prefix consistency).",

@@ -156,3 +156,39 @@ def test_classic_row_udf_matches_builtin(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents").limit(50)
     rows = d.select(shout("text").alias("a"), F.upper("text").alias("b")).collect()
     assert rows and all(r.a == r.b for r in rows)
+
+
+def test_zero_norm_vectors_do_not_abort_similarity(spark):
+    # A zero vector (padded/failed-encode embedding) has undefined cosine;
+    # under Spark 4 ANSI mode a plain division would abort the whole query
+    # with DIVIDE_BY_ZERO.  try_divide nulls it out: excluded from threshold
+    # results, ranked last in top-k.
+    from sparkstreaming_quickstart_spark.operators.similarity import (
+        embedding_cosine_pairs,
+        topk_cosine,
+    )
+
+    rows = [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = embedding_cosine_pairs(df, "vec_id", "embedding", threshold=0.5).collect()
+    assert {(r.id1, r.id2) for r in pairs} == {(1, 2)}
+    top = topk_cosine(df, df, "vec_id", "embedding", "vec_id", "embedding", k=2).collect()
+    by_q = {}
+    for r in top:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.neighbor_id, r.cos_sim))
+    # query 1: real neighbor 2 first, zero-vector 3 last with null score
+    assert by_q[1][0][1] == 2 and by_q[1][1][2] is None
+
+
+def test_sample_frames_empty_payload_yields_no_frames(spark):
+    from sparkstreaming_quickstart_spark.operators.multimodal import (
+        sample_frames,
+        with_binary_payload,
+    )
+
+    df = with_binary_payload(
+        spark.createDataFrame([(1, ""), (2, "x" * 100)], ["doc_id", "text"]), "text"
+    )
+    out = sample_frames(df, "doc_id", frame_bytes=64, every=1).collect()
+    ids = sorted((r.doc_id, r.frame_idx) for r in out)
+    assert ids == [(2, 0), (2, 1)], ids
