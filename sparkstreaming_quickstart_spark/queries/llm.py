@@ -334,3 +334,34 @@ def q78_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.decode(F.col("frame"), "UTF-8").alias("frame_str"),
         "frame_bytes",
     ).orderBy("doc_id", "frame_idx")
+
+
+@register(
+    "q85_dedup_minhash_mllib",
+    sql=None,  # HashingTF feature hashing merges shingles -> rows-only
+    doc="Near-dup via the MLlib route (SURVEY 2.B: HashingTF -> MinHashLSH "
+    "-> approxSimilarityJoin, seeded): 3-word shingles hashed into a sparse "
+    "vector space, OR-amplified LSH candidate join, exact Jaccard distance "
+    "on the hashed features.  Complements q52's hand-rolled banded LSH; "
+    "rows-only because feature hashing can merge shingles, perturbing "
+    "Jaccard at the margin.",
+)
+def q85_dedup_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    from ..functions.text import word_shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select("doc_id", word_shingles("text", 3).alias("shingles"))
+    tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 20).transform(sh)
+    model = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42).fit(tf)
+    return (
+        model.approxSimilarityJoin(tf, tf, 0.5, distCol="dist")
+        .filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("d1"),
+            F.col("datasetB.doc_id").alias("d2"),
+            F.round(1 - F.col("dist"), 9).alias("shingle_jaccard"),
+        )
+        .orderBy("d1", "d2")
+    )
