@@ -365,3 +365,63 @@ def q85_dedup_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d1", "d2")
     )
+
+
+@register(
+    "q86_training_data_pipeline",
+    sql="""
+    WITH quality AS (
+        SELECT doc_id, text, lang, len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+        WHERE len(string_split(text, ' ')) BETWEEN 20 AND 200),
+    exact_kept AS (
+        SELECT MIN(doc_id) AS doc_id FROM quality GROUP BY md5(text)),
+    kept AS (
+        SELECT q.* FROM quality q JOIN exact_kept USING (doc_id)),
+    docs AS (
+        SELECT doc_id,
+               list_distinct([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks)-1)]) AS sh
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM kept)),
+    tok AS (SELECT doc_id, unnest(sh) AS shingle FROM docs),
+    sizes AS (SELECT doc_id, len(sh) AS n FROM docs),
+    near AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common
+        FROM tok a JOIN tok b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+    near_drop AS (
+        SELECT DISTINCT d2 AS doc_id
+        FROM near JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+        WHERE CAST(common AS DOUBLE) / (s1.n + s2.n - common) >= 0.5),
+    final AS (SELECT * FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM near_drop))
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM final
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    doc="End-to-end training-data prep composed from the engine's own "
+    "operators: token-length quality gate -> exact dedup (keep lowest id) -> "
+    "near-dup removal (MinHash-LSH candidates, exact-verified, higher id "
+    "dropped) -> per-language corpus stats.  One oracle checks the whole "
+    "chain.",
+)
+def q86_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = token_count("text")
+    quality = d.filter(n_tokens.between(20, 200)).select(
+        "doc_id", "text", "lang", n_tokens.alias("n_tokens")
+    )
+    keepers = exact_dedup(quality, "text", "doc_id").select(F.col("keeper_id").alias("doc_id"))
+    kept = quality.join(keepers, "doc_id", "left_semi")
+    near_drop = (
+        minhash_lsh_pairs(kept, "text", "doc_id", n=3, threshold=0.5)
+        .select(F.col("d2").alias("doc_id"))
+        .distinct()
+    )
+    final = kept.join(near_drop, "doc_id", "left_anti")
+    return (
+        final.groupBy("lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").cast("bigint").alias("total_tokens"))
+        .orderBy("lang")
+    )

@@ -192,3 +192,21 @@ def test_sample_frames_empty_payload_yields_no_frames(spark):
     out = sample_frames(df, "doc_id", frame_bytes=64, every=1).collect()
     ids = sorted((r.doc_id, r.frame_idx) for r in out)
     assert ids == [(2, 0), (2, 1)], ids
+
+
+def test_from_json_malformed_rows_yield_null_not_abort(spark):
+    # PERMISSIVE (default) JSON decode: corrupt rows become null structs, the
+    # query completes -- at 100 TB a single bad record must not kill the job.
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, '{"k": 5}'), (2, "{not json"), (3, None), (4, '{"k": "str"}')],
+        ["id", "props"],
+    )
+    out = {
+        r.id: r.k
+        for r in df.select("id", F.from_json("props", "k int").alias("p"))
+        .select("id", F.col("p.k").alias("k"))
+        .collect()
+    }
+    assert out == {1: 5, 2: None, 3: None, 4: None}

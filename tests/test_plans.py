@@ -83,3 +83,12 @@ def test_embedding_prefilter_is_equijoin_and_subset(spark, sf_dir):
     want = {(r.id1, r.id2) for r in exact.collect()}
     assert got and got <= want
     assert "NestedLoop" not in pre._jdf.queryExecution().executedPlan().toString()
+
+
+def test_tpch_q10_pushes_filter_and_broadcasts_dim(spark, sf_dir):
+    from sparkstreaming_quickstart_spark.queries.tpch import q80_tpch_q10_returns
+
+    df = q80_tpch_q10_returns(spark, sf_dir)
+    plan = explain_str(df, "formatted")
+    assert "l_returnflag" in plan.split("PushedFilters", 2)[-1].split("\n")[0] or "EqualTo(l_returnflag,R)" in plan
+    assert broadcast_join_count(df) >= 1, explain_str(df, "simple")
