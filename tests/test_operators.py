@@ -210,3 +210,17 @@ def test_from_json_malformed_rows_yield_null_not_abort(spark):
         .collect()
     }
     assert out == {1: 5, 2: None, 3: None, 4: None}
+
+
+def test_rand_seed_reproducible_within_fixed_partitioning(spark):
+    # rand(seed) is deterministic per (partition, row-offset) -- stable when
+    # the partitioning is stable, NOT across repartitionings.  That is why no
+    # oracle query uses it: the engine exposes it, and its reproducibility
+    # contract is pinned here instead.
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 1000, 1, 4)
+    a = [r.r for r in df.withColumn("r", F.rand(42)).collect()]
+    b = [r.r for r in df.withColumn("r", F.rand(42)).collect()]
+    assert a == b
+    assert len(set(a)) > 990  # actually random-looking, not constant
