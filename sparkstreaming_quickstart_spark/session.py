@@ -79,6 +79,16 @@ def tune(spark: SparkSession, shuffle_partitions: int | None = None) -> SparkSes
             pass  # conf not recognized / locked down -> keep going
     if shuffle_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        if spark.sparkContext.master.startswith("local"):
+            # Local mode reads small single-file tables: the default 128 MB
+            # split size leaves a 32-core box 3-way parallel on a 10 MB
+            # parquet.  4 MB splits restore parallelism.  LOCAL ONLY -- on a
+            # real cluster at 100 TB the 128 MB default is correct (4 MB
+            # there would mean ~25M tasks).
+            spark.conf.set("spark.sql.files.maxPartitionBytes", str(4 * 1024 * 1024))
+    except Exception:
+        pass
     _ship_package(spark)
     return spark
 
