@@ -105,3 +105,40 @@ def q64_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") % 50 == 0)
     return ivf_topk(q, e, "vec_id", "embedding", "vec_id", "embedding", dim=64, k=5, n_cells=16)
+
+
+@register(
+    "q87_stratified_sample",
+    sql=None,  # sample membership is partition-layout-dependent -> rows-only
+    doc="Stratified subsampling (sampleBy, seeded): per-language fractions "
+    "over documents -- the training-data downsampling primitive.  Bernoulli "
+    "per-row draws keyed by a fixed seed; reproducible under a fixed "
+    "partitioning, rows-only because no SQL oracle can replay Spark's RNG.",
+)
+def q87_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    langs = [r.lang for r in d.select("lang").distinct().collect()]
+    # downsample the two largest strata hard, keep the rest
+    fractions = {lang: (0.1 if i % 2 == 0 else 0.8) for i, lang in enumerate(sorted(langs))}
+    sampled = d.sampleBy("lang", fractions, seed=42)
+    return (
+        sampled.groupBy("lang")
+        .agg(F.count("*").alias("n_sampled"), F.sum("n_chars").alias("chars_kept"))
+        .orderBy("lang")
+    )
+
+
+@register(
+    "q88_freq_items",
+    sql=None,  # one-pass heavy-hitters sketch (false positives allowed) -> rows-only
+    doc="Frequent-items sketch (DataFrame.freqItems, single pass): heavy-"
+    "hitter event types and users -- the hot-key / hot-token detection "
+    "primitive for skew diagnosis at scale.",
+)
+def q88_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    out = e.freqItems(["event_type", "user_id"], support=0.1)
+    return out.select(
+        F.sort_array("event_type_freqItems").alias("hot_event_types"),
+        F.sort_array("user_id_freqItems").alias("hot_users"),
+    )

@@ -224,3 +224,15 @@ def test_rand_seed_reproducible_within_fixed_partitioning(spark):
     b = [r.r for r in df.withColumn("r", F.rand(42)).collect()]
     assert a == b
     assert len(set(a)) > 990  # actually random-looking, not constant
+
+
+def test_stratified_sample_reproducible_and_bounded(spark, sf_dir):
+    from sparkstreaming_quickstart_spark.sources.catalog import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    fractions = {r.lang: 0.2 for r in d.select("lang").distinct().collect()}
+    a = sorted(r.doc_id for r in d.sampleBy("lang", fractions, seed=7).collect())
+    b = sorted(r.doc_id for r in d.sampleBy("lang", fractions, seed=7).collect())
+    assert a == b, "seeded sampleBy must be reproducible under a fixed partitioning"
+    total = d.count()
+    assert 0 < len(a) < total  # actually sampled, not all/nothing
