@@ -262,3 +262,48 @@ def simhash_pairs(df: DataFrame, text_col: str, id_col: str, max_hamming: int = 
     return cand.withColumn("hamming", hamming.cast("int")).filter(F.col("hamming") <= max_hamming).select(
         "d1", "d2", "hamming"
     )
+
+
+def connected_components(pairs: DataFrame, max_iter: int = 15) -> DataFrame:
+    """Connected components over near-dup pairs: (doc_id, cluster_id) with
+    cluster_id = the minimum doc_id reachable in the pair graph.
+
+    Iterative min-label propagation (the DataFrame form of union-find):
+    every node starts labeled with itself; each round it adopts the minimum
+    label among itself and its neighbors; fixpoint when no label changes.
+    Rounds needed ~ graph diameter -- near-dup clusters are shallow (a dup
+    cluster is near-clique), so convergence is fast.  Each round is one
+    join + one aggregation, all distributed; the driver only checks the
+    converged flag.  localCheckpoint every round truncates the lineage so
+    plan size stays constant regardless of iteration count.
+
+    At 100 TB: this is the standard big-graph CC shape (label propagation);
+    for adversarial long-chain graphs swap in large-star/small-star, which
+    keeps the same per-round join structure.
+    """
+    edges = pairs.select(F.col("d1").alias("u"), F.col("d2").alias("v"))
+    edges = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    nodes = edges.select(F.col("u").alias("doc_id")).distinct()
+    labels = nodes.withColumn("label", F.col("doc_id")).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.u == labels.doc_id)
+            .groupBy(F.col("v").alias("doc_id"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select("doc_id", F.least(F.col("label"), F.col("nmin")).alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("cluster_id"))

@@ -425,3 +425,42 @@ def q86_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").cast("bigint").alias("total_tokens"))
         .orderBy("lang")
     )
+
+
+@register(
+    "q89_dedup_clusters",
+    sql="""
+    WITH RECURSIVE
+    docs AS (
+        SELECT doc_id,
+               list_distinct([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks)-1)]) AS sh
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+    tok AS (SELECT doc_id, unnest(sh) AS shingle FROM docs),
+    sizes AS (SELECT doc_id, len(sh) AS n FROM docs),
+    pairs AS (
+        SELECT d1, d2 FROM (
+            SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common
+            FROM tok a JOIN tok b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2) p
+        JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+        WHERE CAST(common AS DOUBLE) / (s1.n + s2.n - common) >= 0.5),
+    edges AS (SELECT d1 AS u, d2 AS v FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+    cc(node, label) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+        UNION
+        SELECT e.v, cc.label FROM cc JOIN edges e ON cc.node = e.u)
+    SELECT node AS doc_id, MIN(label) AS cluster_id FROM cc GROUP BY node
+    ORDER BY doc_id
+    """,
+    doc="Dedup clustering: connected components over near-dup pairs "
+    "(iterative min-label propagation, the DataFrame form of union-find; "
+    "operators/dedup.py:connected_components).  cluster_id = min doc_id "
+    "reachable; keep-one-per-cluster follows by filtering doc_id = "
+    "cluster_id.  Oracle = DuckDB recursive CTE over the exact pair graph.",
+)
+def q89_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, "text", "doc_id", n=3, threshold=0.5)
+    return connected_components(pairs).orderBy("doc_id")

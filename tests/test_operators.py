@@ -236,3 +236,15 @@ def test_stratified_sample_reproducible_and_bounded(spark, sf_dir):
     assert a == b, "seeded sampleBy must be reproducible under a fixed partitioning"
     total = d.count()
     assert 0 < len(a) < total  # actually sampled, not all/nothing
+
+
+def test_connected_components_chain_and_islands(spark):
+    # Chain 1-2-3 collapses to one cluster even though (1,3) was never a
+    # pair -- the property q86's simpler drop-d2 rule does not guarantee.
+    from sparkstreaming_quickstart_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (20, 22)], ["d1", "d2"]
+    )
+    got = {r.doc_id: r.cluster_id for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
