@@ -206,3 +206,38 @@ def q66_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("o_orderkey").over(w).alias("cheapest_order"),
         F.last("o_orderkey").over(wall).alias("priciest_order"),
     ).orderBy("o_orderpriority", "o_totalprice", "o_orderkey")
+
+
+@register(
+    "q90_window_range_frame",
+    sql="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                PARTITION BY o_custkey ORDER BY o_orderdate
+                RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS spend_30d
+    FROM orders
+    ORDER BY o_custkey, o_orderdate, o_orderkey
+    """,
+    doc="Value-based RANGE window frame (trailing 30 days per customer; peers "
+    "at equal order dates share the frame) -- complements q33's ROWS frames. "
+    "Spark side orders by epoch seconds with an equivalent numeric range.",
+)
+def q90_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.money import dec
+
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.sum(dec("o_totalprice")).over(w).cast("double").alias("spend_30d"),
+        )
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    )
