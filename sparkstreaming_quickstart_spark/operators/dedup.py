@@ -281,8 +281,12 @@ def connected_components(pairs: DataFrame, max_iter: int = 15) -> DataFrame:
     for adversarial long-chain graphs swap in large-star/small-star, which
     keeps the same per-round join structure.
     """
-    edges = pairs.select(F.col("d1").alias("u"), F.col("d2").alias("v"))
-    edges = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    # Materialize the (possibly expensive) pair computation ONCE: edges feed
+    # the union, the node set, and every propagation round -- lineage-backed,
+    # each of those would re-run the whole upstream pipeline (measured 5x+
+    # wall on the LSH pair graph at bench scale).
+    half = pairs.select(F.col("d1").alias("u"), F.col("d2").alias("v")).localCheckpoint(eager=True)
+    edges = half.union(half.select(F.col("v").alias("u"), F.col("u").alias("v")))
     nodes = edges.select(F.col("u").alias("doc_id")).distinct()
     labels = nodes.withColumn("label", F.col("doc_id")).localCheckpoint(eager=True)
     for _ in range(max_iter):

@@ -260,3 +260,29 @@ def q77_json_roundtrip_zip(spark: SparkSession, sf_dir: str) -> DataFrame:
         zipped.alias("zipped"),
         F.schema_of_json(F.lit('{"k": 87}')).alias("props_schema"),
     ).orderBy("event_id")
+
+
+@register(
+    "q91_explode_outer",
+    sql="""
+    WITH t AS (
+        SELECT doc_id,
+               CASE WHEN n_chars > 300 THEN string_split(text, ' ')[1:3] END AS head_toks
+        FROM documents)
+    SELECT doc_id, unnest(head_toks) AS tok FROM t WHERE head_toks IS NOT NULL
+    UNION ALL
+    SELECT doc_id, NULL AS tok FROM t WHERE head_toks IS NULL
+    ORDER BY doc_id, tok
+    """,
+    doc="explode_outer: null-preserving explode -- short documents keep one "
+    "row with a NULL token instead of disappearing (the oracle models "
+    "Spark's semantics with a UNION, since SQL UNNEST drops null arrays).",
+)
+def q91_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    head_toks = F.when(F.col("n_chars") > 300, F.slice(F.split("text", " "), 1, 3))
+    return (
+        d.select("doc_id", head_toks.alias("head_toks"))
+        .select("doc_id", F.explode_outer("head_toks").alias("tok"))
+        .orderBy("doc_id", "tok")
+    )
