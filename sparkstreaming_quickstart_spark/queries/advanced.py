@@ -389,3 +389,23 @@ def q79_grouped_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "q92_unpivot",
+    sql="""
+    SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+    ORDER BY p_partkey, metric
+    """,
+    doc="Unpivot (wide -> long, the inverse of q37's pivot): one row per "
+    "(part, metric).  Oracle models it with UNION ALL for portability.",
+)
+def q92_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.select("p_partkey", F.col("p_retailprice"), F.col("p_size").cast("double").alias("p_size"))
+        .unpivot("p_partkey", ["p_retailprice", "p_size"], "metric", "value")
+        .orderBy("p_partkey", "metric")
+    )
