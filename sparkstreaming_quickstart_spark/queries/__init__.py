@@ -63,12 +63,14 @@ def _ensure_loaded() -> None:
     # Import every query module for its registration side effects.
     from . import relational  # noqa: F401
     from . import tpch  # noqa: F401
+    from . import tpch_more  # noqa: F401
     from . import joins  # noqa: F401
     from . import aggregates  # noqa: F401
     from . import advanced  # noqa: F401
     from . import extras  # noqa: F401
     from . import windows  # noqa: F401
     from . import scalar  # noqa: F401
+    from . import scalar2  # noqa: F401
     from . import llm  # noqa: F401
     from . import streaming  # noqa: F401
 

@@ -1,0 +1,144 @@
+"""Second scalar-function batch (q101-q104): hashing/encoding, array set
+algebra, struct construction/access, date-arithmetic extras.
+
+All JVM-side built-ins (whole-stage codegen; no Python UDFs) — SURVEY.md §2.B
+scalar groups. Cross-engine determinism notes inline per query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+from . import register
+
+
+@register(
+    "q101_hash_encode",
+    sql="""
+    SELECT doc_id,
+           md5(text) AS text_md5,
+           sha256(text) AS text_sha256,
+           hex(substr(text, 1, 8)) AS prefix_hex,
+           to_base64(CAST(substr(text, 1, 24) AS BLOB)) AS prefix_b64,
+           reverse(lang) AS lang_rev,
+           repeat(lang, 2) AS lang_twice
+    FROM documents
+    WHERE doc_id < 100
+    ORDER BY doc_id
+    """,
+    doc="Hash/encoding family: md5, sha2-256, hex, base64 (on a short prefix "
+    "— both engines emit unchunked base64 for <57-byte inputs), reverse, "
+    "repeat. Content-hash functions are the backbone of exact dedup (q50) and "
+    "fingerprinting (q59) at 100 TB: hash once, shuffle the 16-byte digest "
+    "instead of the document.",
+)
+def q101_hash_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.sha2("text", 256).alias("text_sha256"),
+        F.hex(F.substring("text", 1, 8)).alias("prefix_hex"),
+        F.base64(F.substring("text", 1, 24).cast("binary")).alias("prefix_b64"),
+        F.reverse("lang").alias("lang_rev"),
+        F.repeat("lang", 2).alias("lang_twice"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "q102_array_set_algebra",
+    sql="""
+    SELECT doc_id,
+           list_sort(list_distinct(toks)) AS uniq_tokens,
+           list_sort(list_distinct(list_intersect(toks, ['the','a','of','and','to']))) AS stop_hits,
+           list_sort(list_distinct(list_filter(toks, t -> NOT list_contains(['the','a','of','and','to'], t)))) AS content_tokens,
+           CAST(len(list_distinct(toks)) AS INT) AS n_uniq
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks
+          FROM documents WHERE doc_id < 60)
+    ORDER BY doc_id
+    """,
+    doc="Array set algebra over tokenized text: array_distinct / "
+    "array_intersect / array_except, canonicalized by sort_array on both "
+    "engines (element order of set ops is engine-defined, sorted form is "
+    "not).",
+)
+def q102_array_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stop = F.array(*[F.lit(w) for w in ["the", "a", "of", "and", "to"]])
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 60)
+        .withColumn("toks", F.split("text", " "))
+    )
+    return d.select(
+        "doc_id",
+        F.sort_array(F.array_distinct("toks")).alias("uniq_tokens"),
+        F.sort_array(F.array_distinct(F.array_intersect(F.col("toks"), stop))).alias("stop_hits"),
+        F.sort_array(F.array_except(F.col("toks"), stop)).alias("content_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_uniq"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "q103_struct_ops",
+    sql="""
+    SELECT o_orderkey,
+           struct_pack(price := o_totalprice, status := o_orderstatus).price AS order_price,
+           struct_pack(price := o_totalprice, status := o_orderstatus).status AS order_status,
+           CASE WHEN o_totalprice >= 100000 THEN struct_pack(tier := 'big', pri := o_orderpriority).tier
+                ELSE struct_pack(tier := 'small', pri := o_orderpriority).tier END AS size_tier
+    FROM orders
+    WHERE o_orderkey < 500
+    ORDER BY o_orderkey
+    """,
+    doc="Struct construction + field access (named_struct / getField): nested "
+    "types round-trip through projection; the CASE proves structs flow "
+    "through conditionals (the driver compares the extracted scalars).",
+)
+def q103_struct_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    ps = F.struct(
+        F.col("o_totalprice").alias("price"), F.col("o_orderstatus").alias("status")
+    )
+    big = F.struct(F.lit("big").alias("tier"), F.col("o_orderpriority").alias("pri"))
+    small = F.struct(F.lit("small").alias("tier"), F.col("o_orderpriority").alias("pri"))
+    return o.select(
+        "o_orderkey",
+        ps.getField("price").alias("order_price"),
+        ps.getField("status").alias("order_status"),
+        F.when(F.col("o_totalprice") >= 100000, big.getField("tier"))
+        .otherwise(small.getField("tier"))
+        .alias("size_tier"),
+    ).orderBy("o_orderkey")
+
+
+@register(
+    "q104_date_extras",
+    sql="""
+    SELECT o_orderkey,
+           CAST(last_day(o_orderdate) AS TIMESTAMP) AS month_end,
+           CAST(o_orderdate + INTERVAL 3 MONTH AS TIMESTAMP) AS plus3m,
+           CAST(make_date(CAST(year(o_orderdate) AS INT), 1, 1) AS TIMESTAMP) AS year_start,
+           dayofyear(o_orderdate) AS doy,
+           weekofyear(o_orderdate) AS woy,
+           strftime(o_orderdate, '%Y-%m') AS ym
+    FROM orders
+    WHERE o_orderkey < 500
+    ORDER BY o_orderkey
+    """,
+    doc="Date-arithmetic extras: last_day, add_months, make_date, dayofyear, "
+    "ISO weekofyear, date_format — Spark built-ins vs DuckDB "
+    "last_day/INTERVAL/make_date/strftime.",
+)
+def q104_date_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    return o.select(
+        "o_orderkey",
+        F.last_day("o_orderdate").cast("timestamp").alias("month_end"),
+        F.add_months("o_orderdate", 3).cast("timestamp").alias("plus3m"),
+        F.make_date(F.year("o_orderdate"), F.lit(1), F.lit(1)).cast("timestamp").alias("year_start"),
+        F.dayofyear("o_orderdate").alias("doy"),
+        F.weekofyear("o_orderdate").alias("woy"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+    ).orderBy("o_orderkey")
