@@ -28,6 +28,7 @@ HEADLINE = [
     "q10_join_inner",
     "q11_join_multiway",
     "q18_join_asof",
+    "q95_tpch_q8_market_share",
     "q21_agg_rollup",
     "q30_window_topk",
     "q34_session_windows",

@@ -142,3 +142,116 @@ def q104_date_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.weekofyear("o_orderdate").alias("woy"),
         F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
     ).orderBy("o_orderkey")
+
+
+@register(
+    "q105_math_bitwise",
+    sql="""
+    SELECT l_orderkey, l_linenumber,
+           exp(l_discount) AS disc_exp,
+           ln(l_quantity + 1.0) AS qty_ln,
+           log10(l_extendedprice) AS price_log10,
+           pow(l_tax + 1.0, 2) AS tax_sq,
+           sin(l_discount) AS disc_sin,
+           cos(l_discount) AS disc_cos,
+           atan2(l_tax, l_discount + 0.01) AS rate_angle,
+           CAST(sign(l_quantity - 25.0) AS DOUBLE) AS qty_side,
+           (l_linenumber & 3) AS ln_and,
+           (l_linenumber | 4) AS ln_or,
+           xor(l_linenumber, 5) AS ln_xor,
+           (l_linenumber << 2) AS ln_shl,
+           (CAST(l_orderkey AS BIGINT) >> 3) AS ok_shr
+    FROM lineitem
+    WHERE l_orderkey < 400
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    doc="Transcendental math (exp/ln/log10/pow/sin/cos/atan2/signum) and "
+    "bitwise ops (&, |, xor, shifts). Both engines use IEEE-754 doubles and "
+    "libm-equivalent implementations; the oracle's 12-significant-digit "
+    "normalization absorbs any last-ulp difference.",
+)
+def q105_math_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 400)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.exp("l_discount").alias("disc_exp"),
+        F.log(F.col("l_quantity") + 1.0).alias("qty_ln"),
+        F.log10("l_extendedprice").alias("price_log10"),
+        F.pow(F.col("l_tax") + 1.0, 2).alias("tax_sq"),
+        F.sin("l_discount").alias("disc_sin"),
+        F.cos("l_discount").alias("disc_cos"),
+        F.atan2(F.col("l_tax"), F.col("l_discount") + 0.01).alias("rate_angle"),
+        F.signum(F.col("l_quantity") - 25.0).alias("qty_side"),
+        F.col("l_linenumber").bitwiseAND(F.lit(3)).alias("ln_and"),
+        F.col("l_linenumber").bitwiseOR(F.lit(4)).alias("ln_or"),
+        F.col("l_linenumber").bitwiseXOR(F.lit(5)).alias("ln_xor"),
+        F.shiftleft(F.col("l_linenumber"), 2).alias("ln_shl"),
+        F.shiftright(F.col("l_orderkey").cast("bigint"), 3).alias("ok_shr"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@register(
+    "q107_higher_order_predicates",
+    sql="""
+    SELECT vec_id,
+           list_bool_or([CAST(x AS DOUBLE) > 2.0 FOR x IN embedding]) AS has_large,
+           list_bool_and([abs(CAST(x AS DOUBLE)) < 10.0 FOR x IN embedding]) AS all_bounded,
+           list_dot_product([CAST(x AS DOUBLE) FOR x IN embedding],
+                            list_reverse([CAST(x AS DOUBLE) FOR x IN embedding])) AS palindrome_dot,
+           list_reverse([CAST(x AS DOUBLE) FOR x IN embedding])[1] AS last_component
+    FROM embeddings
+    WHERE vec_id < 200
+    ORDER BY vec_id
+    """,
+    doc="Higher-order predicates and pairwise combination: exists / forall / "
+    "zip_with / reverse over the embedding column.  Both engines fold the "
+    "zip_with dot product sequentially left-to-right, so the float sum is "
+    "order-identical (and 12-sig-digit normalization absorbs ulp noise).",
+)
+def q107_higher_order_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    emb = F.transform("embedding", lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.exists(emb, lambda x: x > 2.0).alias("has_large"),
+        F.forall(emb, lambda x: F.abs(x) < 10.0).alias("all_bounded"),
+        F.aggregate(
+            F.zip_with(emb, F.reverse(emb), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("palindrome_dot"),
+        F.reverse(emb).getItem(0).alias("last_component"),
+    ).orderBy("vec_id")
+
+
+@register(
+    "q108_regexp_extras",
+    sql="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT) AS n_numbers,
+           regexp_matches(text, '\\bthe\\b') AS has_the,
+           split_part(text, ' ', 2) AS second_word,
+           regexp_extract(text, '([A-Za-z]+)', 1) AS first_word,
+           try_cast(split_part(text, ' ', 1) AS INTEGER) AS leading_int
+    FROM documents
+    WHERE doc_id < 150
+    ORDER BY doc_id
+    """,
+    doc="Regexp extras + safe casting: regexp_count, rlike, split_part, "
+    "regexp_extract, try_cast (NULL on malformed input instead of a task "
+    "failure — the posture that keeps a 100 TB job from dying on one bad "
+    "record).",
+)
+def q108_regexp_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    return d.select(
+        "doc_id",
+        F.regexp_count("text", F.lit("[0-9]+")).alias("n_numbers"),
+        F.col("text").rlike(r"\bthe\b").alias("has_the"),
+        F.split_part(F.col("text"), F.lit(" "), F.lit(2)).alias("second_word"),
+        F.regexp_extract("text", "([A-Za-z]+)", 1).alias("first_word"),
+        F.split_part(F.col("text"), F.lit(" "), F.lit(1))
+        .try_cast("integer")
+        .alias("leading_int"),
+    ).orderBy("doc_id")

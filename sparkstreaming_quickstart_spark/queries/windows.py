@@ -241,3 +241,36 @@ def q90_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey", "o_orderdate", "o_orderkey")
     )
+
+
+@register(
+    "q106_window_nth_value",
+    sql="""
+    SELECT c_mktsegment, c_custkey, c_acctbal,
+           nth_value(c_custkey, 2) OVER (
+               PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_richest,
+           lag(c_custkey, 2, CAST(-1 AS BIGINT)) OVER (
+               PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC) AS two_above,
+           lead(c_custkey, 2, CAST(-1 AS BIGINT)) OVER (
+               PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC) AS two_below
+    FROM customer
+    ORDER BY c_mktsegment, c_acctbal DESC, c_custkey
+    """,
+    doc="nth_value over a full-partition frame plus lag/lead with offset 2 "
+    "and explicit defaults (complements q32's offset-1 lag/lead and q66's "
+    "first_value/last_value).",
+)
+def q106_window_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    order = [F.col("c_acctbal").desc(), F.col("c_custkey").asc()]
+    w = Window.partitionBy("c_mktsegment").orderBy(*order)
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return c.select(
+        "c_mktsegment",
+        "c_custkey",
+        "c_acctbal",
+        F.nth_value("c_custkey", 2).over(wfull).alias("second_richest"),
+        F.lag("c_custkey", 2, -1).over(w).alias("two_above"),
+        F.lead("c_custkey", 2, -1).over(w).alias("two_below"),
+    ).orderBy("c_mktsegment", F.col("c_acctbal").desc(), "c_custkey")

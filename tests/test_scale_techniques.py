@@ -54,3 +54,42 @@ def test_bucketed_join_avoids_shuffle(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS li_bucketed")
         spark.sql("DROP TABLE IF EXISTS o_bucketed")
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):
+    """A fact table partitioned on the join key is pruned at runtime by the
+    dim-side filter (DPP): the scan carries a dynamicpruning subquery and the
+    result equals the unpartitioned join.  At 100 TB this is the difference
+    between scanning every date partition and only the filtered ones."""
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    path = str(tmp_path / "orders_by_year")
+    o.write.partitionBy("o_year").mode("overwrite").parquet(path)
+    fact = spark.read.parquet(path).select("o_orderkey", "o_year")
+    # Dim filter is on a NON-join column so the year set is unknowable at
+    # plan time -- only runtime DPP can prune the fact partitions.
+    dim = (
+        o.groupBy("o_year")
+        .agg(F.min("o_orderdate").alias("first_order"))
+        .filter(F.col("first_order") < F.lit("1996-06-01").cast("timestamp"))
+        .select("o_year")
+    )
+    joined = fact.join(dim, "o_year")
+    plan = explain_str(joined, "formatted")
+    assert "dynamicpruning" in plan.lower(), plan
+    expected_years = {r.o_year for r in dim.collect()}
+    expected = o.filter(F.col("o_year").isin(expected_years)).count()
+    assert joined.count() == expected
+
+
+def test_join_strategy_hints_are_honored(spark, sf_dir):
+    """merge / shuffle_hash hints force SortMergeJoin / ShuffledHashJoin --
+    the manual override path when a specific strategy is known better (e.g.
+    SHJ when one side is modest but above the broadcast threshold)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    smj = li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
+    assert "SortMergeJoin" in explain_str(smj, "simple")
+    shj = li.join(o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey)
+    assert "ShuffledHashJoin" in explain_str(shj, "simple")
