@@ -42,3 +42,24 @@ def avg_token_len(text: Column | str) -> Column:
     n = token_count(c)
     total = F.length(c) - (n - 1)  # remove the single-space separators
     return total.cast("double") / n
+
+
+def token_chunks(text: Column | str, window: int = 32, stride: int = 24) -> Column:
+    """Sliding token-window chunks: array of (chunk_start, chunk_text) structs.
+
+    The chunking step of a training-data pipeline (split long documents into
+    overlapping context windows).  `chunk_start` is the 1-based token index;
+    the final chunk may be shorter than `window`.  One expression, no explode
+    and no Python — the caller explodes once to get a row per chunk, so a
+    100 TB corpus chunks in a single narrow (shuffle-free) projection.
+    """
+    t = tokens(text)
+    starts = F.sequence(F.lit(1), F.greatest(F.size(t), F.lit(1)), F.lit(stride))
+    return F.transform(
+        starts,
+        lambda st: F.struct(
+            st.alias("chunk_start"),
+            F.concat_ws(" ", F.slice(t, st, window)).alias("chunk_text"),
+            F.size(F.slice(t, st, window)).alias("n_chunk_tokens"),
+        ),
+    )

@@ -464,3 +464,91 @@ def q89_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(d, "text", "doc_id", n=3, threshold=0.5)
     return connected_components(pairs).orderBy("doc_id")
+
+
+@register(
+    "q109_doc_chunking",
+    sql="""
+    SELECT doc_id,
+           CAST(st AS INT) AS chunk_start,
+           array_to_string(toks[st : st + 31], ' ') AS chunk_text,
+           CAST(len(toks[st : st + 31]) AS INT) AS n_chunk_tokens
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks
+          FROM documents WHERE doc_id < 120),
+         UNNEST(generate_series(1, greatest(len(toks), 1), 24)) AS t(st)
+    ORDER BY doc_id, chunk_start
+    """,
+    doc="Document chunking: overlapping 32-token windows at stride 24 "
+    "(functions/text.py:token_chunks) — the context-window split step of a "
+    "training-data pipeline.  One narrow projection + one explode; no "
+    "shuffle, no Python.",
+)
+def q109_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import token_chunks
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    return (
+        d.select("doc_id", F.explode(token_chunks("text", 32, 24)).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.chunk_start").alias("chunk_start"),
+            F.col("c.chunk_text").alias("chunk_text"),
+            F.col("c.n_chunk_tokens").alias("n_chunk_tokens"),
+        )
+        .orderBy("doc_id", "chunk_start")
+    )
+
+
+@register(
+    "q110_text_normalize",
+    sql="""
+    SELECT doc_id,
+           lower(trim(regexp_replace(text, ' +', ' ', 'g'))) AS norm_text,
+           regexp_replace(text, '[0-9]+', '<NUM>', 'g') AS masked_text,
+           len(text) - len(replace(text, ' ', '')) AS n_spaces,
+           CAST(len(regexp_extract_all(text, '[^\\x00-\\x7F]')) AS INT) AS n_non_ascii
+    FROM documents
+    WHERE doc_id < 120
+    ORDER BY doc_id
+    """,
+    doc="Text normalization / scrubbing: whitespace collapse + case fold, "
+    "digit masking (the PII-redaction pattern: swap the regex for "
+    "email/phone/SSN classes in production), and non-ASCII audit counts. "
+    "All single-pass regexp_replace inside codegen — the cheapest possible "
+    "form of the first cleaning pass over a 100 TB corpus.",
+)
+def q110_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    return d.select(
+        "doc_id",
+        F.lower(F.trim(F.regexp_replace("text", " +", " "))).alias("norm_text"),
+        F.regexp_replace("text", "[0-9]+", "<NUM>").alias("masked_text"),
+        (F.length("text") - F.length(F.regexp_replace("text", " ", ""))).alias("n_spaces"),
+        F.regexp_count("text", F.lit("[^\\x00-\\x7F]")).alias("n_non_ascii"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "q111_label_centroids",
+    sql="""
+    SELECT label, CAST(pos AS INT) AS pos, AVG(CAST(v AS DOUBLE)) AS centroid_val
+    FROM (SELECT label, unnest(embedding) AS v,
+                 generate_subscripts(embedding, 1) AS pos
+          FROM embeddings)
+    GROUP BY label, pos
+    ORDER BY label, pos
+    """,
+    doc="Per-label elementwise centroid of the embedding column — the "
+    "k-means/IVF training step (operators/similarity.py uses these cells). "
+    "posexplode -> (label, dim) hash-agg: one shuffle keyed on "
+    "(label, dim), partial aggregation map-side, scales as labels x dims "
+    "regardless of corpus size.",
+)
+def q111_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("pos0", "v"))
+        .groupBy("label", (F.col("pos0") + 1).alias("pos"))
+        .agg(F.avg(F.col("v").cast("double")).alias("centroid_val"))
+        .orderBy("label", "pos")
+    )

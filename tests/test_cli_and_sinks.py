@@ -81,3 +81,44 @@ def test_partitioned_write_prunes(spark, sf_dir):
     plan = explain_str(back, "formatted")
     assert "PartitionFilters" in plan
     assert back.count() == e.filter(F.col("event_type") == "click").count()
+
+
+def test_csv_and_json_source_roundtrip(spark, sf_dir, tmp_path):
+    """CSV and JSON line formats read back losslessly under an explicit
+    schema (the generic-source surface beyond parquet; a reference user's
+    first non-Kafka input is usually one of these).  Timestamps pinned to a
+    format so the roundtrip is exact."""
+    from pyspark.sql import functions as F
+
+    from sparkstreaming_quickstart_spark.sources.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").limit(500)
+    csv_path, json_path = str(tmp_path / "li_csv"), str(tmp_path / "li_json")
+    li.write.option("header", True).option("timestampFormat", "yyyy-MM-dd HH:mm:ss").csv(csv_path)
+    li.write.option("timestampFormat", "yyyy-MM-dd HH:mm:ss").json(json_path)
+    back_csv = (
+        spark.read.schema(li.schema)
+        .option("header", True)
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+        .csv(csv_path)
+    )
+    back_json = (
+        spark.read.schema(li.schema)
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+        .json(json_path)
+    )
+    key = [r["l_orderkey"] for r in li.select("l_orderkey").orderBy("l_orderkey", "l_linenumber").collect()]
+    for back in (back_csv, back_json):
+        assert back.schema == li.schema
+        assert back.count() == 500
+        got = [r["l_orderkey"] for r in back.select("l_orderkey", "l_linenumber").orderBy("l_orderkey", "l_linenumber").collect()]
+        assert got == key
+    # value fidelity: exact decimal checksum matches across all three forms
+    def chk(df):
+        return df.agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("s"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("q"),
+        ).collect()[0]
+
+    assert chk(back_csv) == chk(li)
+    assert chk(back_json) == chk(li)

@@ -92,3 +92,16 @@ def test_tpch_q10_pushes_filter_and_broadcasts_dim(spark, sf_dir):
     plan = explain_str(df, "formatted")
     assert "l_returnflag" in plan.split("PushedFilters", 2)[-1].split("\n")[0] or "EqualTo(l_returnflag,R)" in plan
     assert broadcast_join_count(df) >= 1, explain_str(df, "simple")
+
+
+def test_tpch_q8_broadcasts_all_five_dims(spark, sf_dir):
+    """The 8-way Q8 join must broadcast every dimension (part, supplier,
+    nation x2, region) so the only shuffles are the fact-side equi-joins --
+    at 100 TB the lineitem/orders/customer joins shuffle on their keys and
+    nothing else moves."""
+    from sparkstreaming_quickstart_spark.queries.tpch_more import q95_tpch_q8_market_share
+
+    df = q95_tpch_q8_market_share(spark, sf_dir)
+    assert broadcast_join_count(df) >= 4, explain_str(df, "simple")
+    plan = explain_str(df, "formatted")
+    assert "PROMO" in plan  # p_type filter reached the part scan side
