@@ -409,3 +409,69 @@ def q92_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unpivot("p_partkey", ["p_retailprice", "p_size"], "metric", "value")
         .orderBy("p_partkey", "metric")
     )
+
+
+@register(
+    "q112_recursive_cte_spine",
+    sql="""
+    WITH RECURSIVE months(month_start) AS (
+        SELECT TIMESTAMP '1995-01-01'
+        UNION ALL
+        SELECT month_start + INTERVAL 1 MONTH FROM months
+        WHERE month_start < TIMESTAMP '2001-07-01')
+    SELECT m.month_start, COUNT(o.o_orderkey) AS n_orders
+    FROM months m
+    LEFT JOIN orders o ON date_trunc('month', o.o_orderdate) = m.month_start
+    GROUP BY m.month_start
+    ORDER BY m.month_start
+    """,
+    doc="Recursive CTE (Spark >=4.0): calendar-spine generation + left join "
+    "so empty months appear with zero counts — the gaps-preserving time "
+    "series pattern.  Identical SQL runs on both engines.",
+)
+def q112_recursive_cte_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH RECURSIVE months(month_start) AS (
+            SELECT TIMESTAMP '1995-01-01'
+            UNION ALL
+            SELECT month_start + INTERVAL 1 MONTH FROM months
+            WHERE month_start < TIMESTAMP '2001-07-01')
+        SELECT m.month_start, COUNT(o.o_orderkey) AS n_orders
+        FROM months m
+        LEFT JOIN orders o ON date_trunc('month', o.o_orderdate) = m.month_start
+        GROUP BY m.month_start
+        ORDER BY m.month_start
+        """
+    )
+
+
+@register(
+    "q113_lateral_topk",
+    sql="""
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c,
+         LATERAL (SELECT o.o_orderkey, o.o_totalprice
+                  FROM orders o WHERE o.o_custkey = c.c_custkey
+                  ORDER BY o.o_totalprice DESC, o.o_orderkey ASC LIMIT 1) t
+    WHERE c.c_custkey < 300
+    ORDER BY c.c_custkey
+    """,
+    doc="Correlated LATERAL subquery (per-customer top order).  Catalyst "
+    "decorrelates this to a ranked window join — same result as the "
+    "row_number formulation (q30) through the SQL-standard spelling.",
+)
+def q113_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer c,
+             LATERAL (SELECT o.o_orderkey, o.o_totalprice
+                      FROM orders o WHERE o.o_custkey = c.c_custkey
+                      ORDER BY o.o_totalprice DESC, o.o_orderkey ASC LIMIT 1) t
+        WHERE c.c_custkey < 300
+        ORDER BY c.c_custkey
+        """
+    )

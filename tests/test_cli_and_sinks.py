@@ -122,3 +122,25 @@ def test_csv_and_json_source_roundtrip(spark, sf_dir, tmp_path):
 
     assert chk(back_csv) == chk(li)
     assert chk(back_json) == chk(li)
+
+
+def test_observation_metrics_single_pass(spark, sf_dir):
+    """df.observe collects operational metrics (row counts, sums) during the
+    one real pass over the data -- at 100 TB a second count() scan is not an
+    option, so pipelines attach observations instead."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from sparkstreaming_quickstart_spark.sources.catalog import load_table
+
+    obs = Observation("ingest_stats")
+    li = load_table(spark, sf_dir, "lineitem").observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_seen"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty_total"),
+    )
+    kept = li.filter(F.col("l_returnflag") == "R").count()
+    stats = obs.get
+    assert stats["rows_seen"] == load_table(spark, sf_dir, "lineitem").count()
+    assert kept < stats["rows_seen"]
+    assert stats["qty_total"] is not None
