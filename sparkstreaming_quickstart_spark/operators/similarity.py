@@ -123,7 +123,7 @@ def ivf_topk(
     """
     from pyspark.sql import Window
 
-    planes = np.random.RandomState(seed).standard_normal((n_cells, dim))
+    planes = ivf_centroids(dim, n_cells, seed)
     cents = [F.array(*[F.lit(float(v)) for v in row]) for row in planes]
 
     def cell(vec: Column) -> Column:
@@ -209,6 +209,40 @@ def embedding_cosine_pairs(
 
 def _hyperplanes(dim: int, nbits: int, seed: int = 42) -> np.ndarray:
     return np.random.RandomState(seed).standard_normal((nbits, dim))
+
+
+def ivf_centroids(dim: int, n_cells: int, seed: int = 7) -> np.ndarray:
+    """The seeded centroid matrix `ivf_topk` quantizes against (shared with
+    the oracle-SQL generators so both engines see identical literals)."""
+    return np.random.RandomState(seed).standard_normal((n_cells, dim))
+
+
+def sql_vec(row) -> str:
+    """A numpy row as a DuckDB DOUBLE[] literal.  repr() emits the shortest
+    round-trip decimal, which DuckDB parses back to the identical double, so
+    Spark (literal via py4j) and DuckDB (literal via SQL text) compute on
+    bitwise-equal constants -- probed: cell/bucket assignments match exactly
+    at sf0.01."""
+    return "[" + ", ".join(repr(float(x)) for x in row) + "]"
+
+
+def sql_cell_expr(planes: np.ndarray, vec: str = "v") -> str:
+    """DuckDB mirror of `ivf_topk`'s argmax cell assignment (first max wins
+    in both list_position and array_position)."""
+    scores = ", ".join(f"list_dot_product({vec}, {sql_vec(r)})" for r in planes)
+    return f"CAST(list_position([{scores}], list_max([{scores}])) AS INT)"
+
+
+def sql_bucket_expr(planes: np.ndarray, vec: str = "v") -> str:
+    """DuckDB mirror of `bucketize`'s sign-bit bucket id."""
+    return (
+        "CAST("
+        + " + ".join(
+            f"(CASE WHEN list_dot_product({vec}, {sql_vec(r)}) > 0 THEN {1 << i} ELSE 0 END)"
+            for i, r in enumerate(planes)
+        )
+        + " AS INT)"
+    )
 
 
 def bucketize(df: DataFrame, vec: str, dim: int, nbits: int = 8, seed: int = 42) -> DataFrame:

@@ -60,20 +60,22 @@ def q26_agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q27_agg_collect",
     sql="""
     SELECT c_nationkey,
-           list_sort(list(DISTINCT c_mktsegment)) AS segments,
+           array_to_string(list_sort(list(DISTINCT c_mktsegment)), '|') AS segments,
            COUNT(*) AS n_customers
     FROM customer
     GROUP BY c_nationkey
     ORDER BY c_nationkey
     """,
-    doc="collect_set with canonical ordering (sort_array) for a stable oracle.",
+    doc="collect_set with canonical ordering (sort_array); serialized to a "
+    "pipe-joined string at the output boundary so the driver's value-hash "
+    "comparator (which cannot hash ndarray cells) sees a scalar column.",
 )
 def q27_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     return (
         c.groupBy("c_nationkey")
         .agg(
-            F.sort_array(F.collect_set("c_mktsegment")).alias("segments"),
+            F.array_join(F.sort_array(F.collect_set("c_mktsegment")), "|").alias("segments"),
             F.count("*").alias("n_customers"),
         )
         .orderBy("c_nationkey")

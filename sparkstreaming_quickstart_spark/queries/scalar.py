@@ -207,14 +207,15 @@ def q45_explode_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT p_partkey,
            translate(p_type, 'aeiou', 'AEIOU') AS type_tr,
            CAST(instr(p_name, 'o') AS INT) AS first_o,
-           string_split(p_name, ' ')[2:4] AS mid_tokens,
-           flatten([string_split(p_name, ' '), ['x']]) AS plus_sentinel,
-           CAST(generate_series(1, least(p_size, 5)) AS INT[]) AS seq_small
+           array_to_string(string_split(p_name, ' ')[2:4], '|') AS mid_tokens,
+           array_to_string(flatten([string_split(p_name, ' '), ['x']]), '|') AS plus_sentinel,
+           array_to_string(generate_series(1, least(p_size, 5)), '|') AS seq_small
     FROM part
     ORDER BY p_partkey
     """,
     doc="Scalar coverage extras: translate, instr, array slice, flatten, "
-    "sequence -- each with an exact DuckDB twin.",
+    "sequence -- each with an exact DuckDB twin.  Array results are "
+    "pipe-joined at the output boundary (driver comparator needs scalars).",
 )
 def q68_scalar_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part")
@@ -223,9 +224,9 @@ def q68_scalar_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey",
         F.translate(F.col("p_type"), "aeiou", "AEIOU").alias("type_tr"),
         F.instr(F.col("p_name"), "o").alias("first_o"),
-        F.slice(toks, 2, 3).alias("mid_tokens"),
-        F.flatten(F.array(toks, F.array(F.lit("x")))).alias("plus_sentinel"),
-        F.sequence(F.lit(1), F.least(F.col("p_size"), F.lit(5))).alias("seq_small"),
+        F.array_join(F.slice(toks, 2, 3), "|").alias("mid_tokens"),
+        F.array_join(F.flatten(F.array(toks, F.array(F.lit("x")))), "|").alias("plus_sentinel"),
+        F.array_join(F.sequence(F.lit(1), F.least(F.col("p_size"), F.lit(5))), "|").alias("seq_small"),
     ).orderBy("p_partkey")
 
 
@@ -235,7 +236,7 @@ def q68_scalar_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id,
            to_json(struct_pack(event_id := event_id, event_type := event_type))::VARCHAR AS js,
            json_extract_string(props, '$.k') AS k_str,
-           [CAST(x AS VARCHAR) || '-' || event_type FOR x IN [event_id, user_id]] AS zipped,
+           array_to_string([CAST(x AS VARCHAR) || '-' || event_type FOR x IN [event_id, user_id]], '|') AS zipped,
            'STRUCT<k: BIGINT>' AS props_schema
     FROM events
     ORDER BY event_id
@@ -257,7 +258,7 @@ def q77_json_roundtrip_zip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.to_json(F.struct(F.col("event_id"), F.col("event_type"))).alias("js"),
         F.json_tuple(F.col("props"), "k").alias("k_str"),
-        zipped.alias("zipped"),
+        F.array_join(zipped, "|").alias("zipped"),
         F.schema_of_json(F.lit('{"k": 87}')).alias("props_schema"),
     ).orderBy("event_id")
 

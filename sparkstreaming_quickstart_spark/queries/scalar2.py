@@ -51,9 +51,9 @@ def q101_hash_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q102_array_set_algebra",
     sql="""
     SELECT doc_id,
-           list_sort(list_distinct(toks)) AS uniq_tokens,
-           list_sort(list_distinct(list_intersect(toks, ['the','a','of','and','to']))) AS stop_hits,
-           list_sort(list_distinct(list_filter(toks, t -> NOT list_contains(['the','a','of','and','to'], t)))) AS content_tokens,
+           array_to_string(list_sort(list_distinct(toks)), '|') AS uniq_tokens,
+           COALESCE(array_to_string(list_sort(list_distinct(list_intersect(toks, ['the','a','of','and','to']))), '|'), '') AS stop_hits,
+           array_to_string(list_sort(list_distinct(list_filter(toks, t -> NOT list_contains(['the','a','of','and','to'], t)))), '|') AS content_tokens,
            CAST(len(list_distinct(toks)) AS INT) AS n_uniq
     FROM (SELECT doc_id, string_split(text, ' ') AS toks
           FROM documents WHERE doc_id < 60)
@@ -73,9 +73,9 @@ def q102_array_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return d.select(
         "doc_id",
-        F.sort_array(F.array_distinct("toks")).alias("uniq_tokens"),
-        F.sort_array(F.array_distinct(F.array_intersect(F.col("toks"), stop))).alias("stop_hits"),
-        F.sort_array(F.array_except(F.col("toks"), stop)).alias("content_tokens"),
+        F.array_join(F.sort_array(F.array_distinct("toks")), "|").alias("uniq_tokens"),
+        F.array_join(F.sort_array(F.array_distinct(F.array_intersect(F.col("toks"), stop))), "|").alias("stop_hits"),
+        F.array_join(F.sort_array(F.array_except(F.col("toks"), stop)), "|").alias("content_tokens"),
         F.size(F.array_distinct("toks")).alias("n_uniq"),
     ).orderBy("doc_id")
 
