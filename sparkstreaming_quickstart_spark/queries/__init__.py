@@ -65,7 +65,8 @@ _LOADED = False
 _PRIORITY: list[str] = [
     # LLM-pipeline block (dedup / similarity / text / multimodal)
     "q50_dedup_exact", "q51_dedup_jaccard_exact", "q52_dedup_minhash_lsh",
-    "q53_dedup_simhash", "q65_dedup_embedding_cosine", "q54_similarity_topk",
+    "q53_dedup_simhash", "q65_dedup_embedding_cosine",
+    "q114_dedup_embedding_exact", "q54_similarity_topk",
     "q55_similarity_ann_lsh", "q56_text_stats", "q57_text_quality",
     "q58_text_langid", "q59_text_fingerprint", "q60_multimodal_meta",
     "q61_tokens_regex", "q78_multimodal_frames", "q85_dedup_minhash_mllib",

@@ -72,6 +72,28 @@ def test_minhash_lsh_equals_exact_on_testdata(spark, sf_dir):
     assert lsh == exact
 
 
+def test_minhash_lsh_hot_bucket_cap(spark):
+    # A pathological bucket -- many documents sharing every band key -- must
+    # be dropped before the quadratic in-bucket pair expansion, and the drop
+    # must be observable.  200 identical docs (one bucket of 200 per band)
+    # plus one genuine near-dup pair that stays under the cap.
+    from pyspark.sql import Observation
+
+    rows = [(i, "a b c d e f g h i j k l") for i in range(200)]
+    rows += [(900, "p q r s t u v w x y z zz"), (901, "p q r s t u v w x y z yy")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    obs = Observation("lsh_cap")
+    pairs = minhash_lsh_pairs(
+        df, "text", "doc_id", n=3, threshold=0.5, bucket_cap=50, observation=obs
+    ).collect()
+    got = {(r.d1, r.d2) for r in pairs}
+    # the 200-clone cluster is capped away; the small pair survives
+    assert (900, 901) in got
+    assert not any(d1 < 200 and d2 < 200 for d1, d2 in got)
+    assert obs.get["hot_buckets_dropped"] > 0
+    assert obs.get["hot_bucket_members_dropped"] >= 200
+
+
 def test_simhash_identical_docs_distance_zero(spark):
     df = spark.createDataFrame(
         [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"), (3, "one two three four")],
