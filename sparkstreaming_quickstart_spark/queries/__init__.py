@@ -83,6 +83,10 @@ _PRIORITY: list[str] = [
     # Remaining extras (incl. new invariant oracles)
     "q87_stratified_sample", "q88_freq_items", "q64_similarity_ivf",
     "q09_multiset_ops", "q36_percentiles", "q62_from_json_struct",
+    # New this round: the six remaining TPC-H shapes (all 22 now covered)
+    "q115_tpch_q2_min_cost", "q116_tpch_q9_profit",
+    "q117_tpch_q11_important_stock", "q118_tpch_q16_supplier_cnt",
+    "q119_tpch_q20_promotion", "q120_tpch_q21_waiting",
     # Window block (local-pass only so far)
     "q30_window_topk", "q31_window_ranks", "q32_window_running",
     "q33_window_frame", "q34_session_windows", "q66_window_distribution",
@@ -107,6 +111,7 @@ def _ensure_loaded() -> None:
     from . import scalar2  # noqa: F401
     from . import llm  # noqa: F401
     from . import streaming  # noqa: F401
+    from . import tpch_full  # noqa: F401
 
     rank = {name: i for i, name in enumerate(_PRIORITY)}
     ordered = sorted(

