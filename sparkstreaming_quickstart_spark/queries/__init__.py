@@ -87,6 +87,9 @@ _PRIORITY: list[str] = [
     "q115_tpch_q2_min_cost", "q116_tpch_q9_profit",
     "q117_tpch_q11_important_stock", "q118_tpch_q16_supplier_cnt",
     "q119_tpch_q20_promotion", "q120_tpch_q21_waiting",
+    # New this round: second-wave LLM-pipeline operators
+    "q121_tfidf", "q122_embedding_quantize", "q123_hash_sample",
+    "q124_kmeans_refine", "q125_key_skew_histogram",
     # Window block (local-pass only so far)
     "q30_window_topk", "q31_window_ranks", "q32_window_running",
     "q33_window_frame", "q34_session_windows", "q66_window_distribution",
@@ -112,6 +115,7 @@ def _ensure_loaded() -> None:
     from . import llm  # noqa: F401
     from . import streaming  # noqa: F401
     from . import tpch_full  # noqa: F401
+    from . import llm_extras  # noqa: F401
 
     rank = {name: i for i, name in enumerate(_PRIORITY)}
     ordered = sorted(

@@ -1,0 +1,240 @@
+"""Second wave of LLM-data-pipeline operators (round 2): TF-IDF scoring,
+embedding quantization, deterministic hash sampling, a k-means refinement
+iteration (the production source for q64's IVF centroids), and key-skew
+diagnosis.  All carry full DuckDB value oracles.
+
+Reference context: the reference has no analytics surface (SURVEY.md 2.A);
+these are charter-driven training-data-pipeline components (SURVEY.md 2.B
+extensions), same family as queries/llm.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+from . import register
+
+
+@register(
+    "q121_tfidf",
+    sql="""
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks WHERE doc_id < 40 GROUP BY 1, 2),
+    df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n FROM documents)
+    SELECT t.doc_id, t.token, t.tf,
+           ROUND(t.tf * ln(CAST(n.n AS DOUBLE) / d.df), 6) AS tfidf
+    FROM tf t JOIN df d USING (token), n
+    ORDER BY doc_id, token
+    """,
+    doc="TF-IDF document-term scoring: term frequency over a target slice, "
+    "document frequency and N over the FULL corpus (the real retrieval/"
+    "quality-weighting pattern).  One explode + two hash-aggs; the df side "
+    "is a token-keyed shuffle bounded by vocabulary size, not corpus size. "
+    "Rounded to 6 digits so ln() ulp differences cannot flip the oracle.",
+)
+def q121_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = (
+        toks.filter(F.col("doc_id") < 40)
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count("*").alias("n"))
+    return (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            F.round(F.col("tf") * F.log(F.col("n").cast("double") / F.col("df")), 6).alias("tfidf"),
+        )
+        .orderBy("doc_id", "token")
+    )
+
+
+@register(
+    "q122_embedding_quantize",
+    sql="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE vec_id < 100),
+    s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS amax FROM v)
+    SELECT vec_id,
+           ROUND(127.0 / amax, 6) AS scale,
+           array_to_string(list_transform(v, x -> CAST(round(x * (127.0 / amax)) AS INT)), '|') AS q8
+    FROM s
+    WHERE amax > 0
+    ORDER BY vec_id
+    """,
+    doc="Symmetric int8 embedding quantization (the storage/bandwidth scale "
+    "path for ANN corpora: 4x smaller than float32, dot products stay "
+    "proportional).  Pure per-row higher-order expressions, no shuffle; "
+    "both engines round half-away-from-zero so the lattice agrees.",
+)
+def q122_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    ev = e.select("vec_id", v.alias("v")).withColumn(
+        "amax", F.array_max(F.transform("v", lambda x: F.abs(x)))
+    )
+    scale = F.lit(127.0) / F.col("amax")
+    return (
+        ev.filter(F.col("amax") > 0)
+        .select(
+            "vec_id",
+            F.round(scale, 6).alias("scale"),
+            F.array_join(
+                F.transform("v", lambda x: F.round(x * scale).cast("int")), "|"
+            ).alias("q8"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@register(
+    "q123_hash_sample",
+    sql="""
+    WITH keyed AS (
+        SELECT lang, doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 17, 16) AS hkey
+        FROM documents),
+    ranked AS (
+        SELECT lang, doc_id, hkey,
+               CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hkey, doc_id) AS INT) AS rk
+        FROM keyed)
+    SELECT lang, doc_id, rk FROM ranked WHERE rk <= 5
+    ORDER BY lang, rk
+    """,
+    doc="Deterministic per-group sampling: rank by a content hash of the id "
+    "(lower-half md5 hex; lexicographic hex order == unsigned numeric "
+    "order in both engines) and keep the first k per stratum.  Unlike "
+    "rand()-based sampling this is partition-layout-independent and "
+    "replayable anywhere -- the reproducible-subset primitive for building "
+    "eval slices from a 100 TB corpus.  One window shuffle on the stratum "
+    "key.",
+)
+def q123_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    hkey = F.substring(F.md5(F.col("doc_id").cast("string")), 17, 16)
+    w = Window.partitionBy("lang").orderBy("hkey", "doc_id")
+    return (
+        d.select("lang", "doc_id", hkey.alias("hkey"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("lang", "doc_id", "rk")
+        .orderBy("lang", "rk")
+    )
+
+
+def _q124_oracle_sql() -> str:
+    # Literal seeded init (same matrix as q64's quantizer), one unrolled
+    # refinement: assign -> per-(cell,dim) mean rounded to 6 -> reassign.
+    from ..operators.similarity import ivf_centroids, sql_cell_expr
+
+    cell0 = sql_cell_expr(ivf_centroids(dim=64, n_cells=16))
+    return f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    a0 AS (SELECT vec_id, v, {cell0} AS cell FROM v),
+    means AS (
+        SELECT cell, pos, ROUND(AVG(x), 6) AS m
+        FROM (SELECT cell, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM a0)
+        GROUP BY cell, pos),
+    cents AS (SELECT cell, list(m ORDER BY pos) AS c FROM means GROUP BY cell),
+    scored AS (
+        SELECT a0.vec_id, cents.cell AS new_cell,
+               list_dot_product(a0.v, cents.c) AS s
+        FROM a0, cents),
+    best AS (
+        SELECT vec_id, new_cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, new_cell) AS rk
+        FROM scored)
+    SELECT new_cell AS cell, COUNT(*) AS n_members
+    FROM best WHERE rk = 1
+    GROUP BY new_cell
+    ORDER BY cell
+    """
+
+
+@register(
+    "q124_kmeans_refine",
+    sql=_q124_oracle_sql(),
+    doc="One k-means refinement iteration over the embedding corpus -- the "
+    "training step that produces q64's IVF centroids in production: assign "
+    "to seeded init cells (argmax dot), recompute centroids as per-(cell,"
+    "dim) means (posexplode + hash-agg, the q111 shape), collect the k x dim "
+    "model state to the driver (bounded: 16x64 doubles -- model state, not "
+    "data), reassign against the updated centroids, output the new cell "
+    "occupancy.  Means are rounded to 6 digits on both sides so float "
+    "reduce-order ulps cannot flip the (argmax) reassignment.",
+)
+def q124_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import dot, ivf_centroids
+
+    planes = ivf_centroids(dim=64, n_cells=16)
+    cents0 = [F.array(*[F.lit(float(x)) for x in row]) for row in planes]
+
+    def argmax_cell(vec, cent_cols):
+        scores = F.array(*[dot(vec, c) for c in cent_cols])
+        return F.array_position(scores, F.array_max(scores)).cast("int")
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    a0 = e.withColumn("cell", argmax_cell(F.col("v"), cents0))
+    means = (
+        a0.select("cell", F.posexplode("v").alias("pos0", "x"))
+        .groupBy("cell", (F.col("pos0") + 1).alias("pos"))
+        .agg(F.round(F.avg("x"), 6).alias("m"))
+    )
+    # Model-state collect: k x dim rounded means (bounded, not data-sized).
+    rows = means.collect()
+    by_cell: dict[int, dict[int, float]] = {}
+    for r in rows:
+        by_cell.setdefault(r.cell, {})[r.pos] = r.m
+    cells = sorted(by_cell)
+    cents1 = [
+        F.array(*[F.lit(by_cell[c][p]) for p in sorted(by_cell[c])]) for c in cells
+    ]
+    # Reassign against updated centroids; map argmax index back to cell id.
+    cell_ids = F.array(*[F.lit(c) for c in cells])
+    new_cell = cell_ids[argmax_cell(F.col("v"), cents1) - 1]
+    return (
+        a0.withColumn("new_cell", new_cell)
+        .groupBy(F.col("new_cell").alias("cell"))
+        .agg(F.count("*").alias("n_members"))
+        .orderBy("cell")
+    )
+
+
+@register(
+    "q125_key_skew_histogram",
+    sql="""
+    WITH counts AS (SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id)
+    SELECT length(CAST(c AS VARCHAR)) AS magnitude_digits,
+           COUNT(*) AS n_keys, MIN(c) AS min_count, MAX(c) AS max_count
+    FROM counts
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    doc="Key-skew diagnosis: per-key frequency histogram bucketed by decimal "
+    "magnitude (digit count -- exact in both engines, unlike float log "
+    "buckets at power boundaries).  The 30-second answer to 'will this key "
+    "skew the shuffle?' before running a 100 TB join; two hash-aggs, second "
+    "one over at most ~20 buckets.",
+)
+def q125_key_skew_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    counts = e.groupBy("user_id").agg(F.count("*").alias("c"))
+    return (
+        counts.groupBy(F.length(F.col("c").cast("string")).alias("magnitude_digits"))
+        .agg(
+            F.count("*").alias("n_keys"),
+            F.min("c").alias("min_count"),
+            F.max("c").alias("max_count"),
+        )
+        .orderBy("magnitude_digits")
+    )

@@ -105,3 +105,26 @@ def test_tpch_q8_broadcasts_all_five_dims(spark, sf_dir):
     assert broadcast_join_count(df) >= 4, explain_str(df, "simple")
     plan = explain_str(df, "formatted")
     assert "PROMO" in plan  # p_type filter reached the part scan side
+
+
+def test_tpch_q9_broadcasts_dims_and_pushes_like(spark, sf_dir):
+    """Q9's 5-way join: part/supplier/nation broadcast, the LIKE filter
+    reaches the part scan -- only lineitem-orders shuffles at 100 TB."""
+    from sparkstreaming_quickstart_spark.queries.tpch_full import q116_tpch_q9_profit
+
+    df = q116_tpch_q9_profit(spark, sf_dir)
+    assert broadcast_join_count(df) >= 3, explain_str(df, "simple")
+    plan = explain_str(df, "formatted")
+    assert "gear" in plan  # p_name LIKE pushed toward the part scan
+
+
+def test_tpch_q21_semi_anti_no_cartesian(spark, sf_dir):
+    """Q21's EXISTS / NOT EXISTS self-joins must plan as semi/anti joins on
+    the order key (never a cartesian): the non-equi supplier inequality is a
+    residual condition on an equi-join."""
+    from sparkstreaming_quickstart_spark.queries.tpch_full import q120_tpch_q21_waiting
+
+    df = q120_tpch_q21_waiting(spark, sf_dir)
+    plan = explain_str(df, "simple")
+    assert "LeftSemi" in plan and "LeftAnti" in plan, plan
+    assert "Cartesian" not in plan, plan
