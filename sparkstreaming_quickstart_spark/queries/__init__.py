@@ -82,7 +82,7 @@ _PRIORITY: list[str] = [
     "q68_scalar_extras", "q77_json_roundtrip_zip", "q102_array_set_algebra",
     # Remaining extras (incl. new invariant oracles)
     "q87_stratified_sample", "q88_freq_items", "q64_similarity_ivf",
-    "q09_multiset_ops", "q36_percentiles", "q62_from_json_struct",
+    "q09_multiset_ops", "q36_percentiles",
     # New this round: the six remaining TPC-H shapes (all 22 now covered)
     "q115_tpch_q2_min_cost", "q116_tpch_q9_profit",
     "q117_tpch_q11_important_stock", "q118_tpch_q16_supplier_cnt",
