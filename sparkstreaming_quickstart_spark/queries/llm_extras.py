@@ -211,6 +211,102 @@ def q124_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q126_bigram_lm",
+    sql="""
+    WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+    pairs AS (
+        SELECT unnest([{'w1': t[i], 'w2': t[i+1]} FOR i IN range(1, len(t))]) AS p
+        FROM toks),
+    big AS (SELECT p.w1 AS w1, p.w2 AS w2, COUNT(*) AS c2 FROM pairs GROUP BY 1, 2)
+    SELECT w1, w2, c2, cond_prob FROM (
+        SELECT w1, w2, c2,
+               ROUND(CAST(c2 AS DOUBLE) / SUM(c2) OVER (PARTITION BY w1), 6) AS cond_prob
+        FROM big)
+    WHERE c2 >= 5
+    ORDER BY w1, w2
+    """,
+    doc="Bigram language-model counts with conditional probability "
+    "p(w2|w1) -- the classic n-gram LM / next-token-statistics pass over a "
+    "corpus.  Bigrams come from zipping each token array with its own "
+    "shift (arrays_zip of two slices: one projection, no self-join); one "
+    "hash-agg on (w1, w2) plus a w1-partitioned window for the denominator. "
+    "Both engines divide the same exact integers, rounded to 6.",
+)
+def q126_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    pairs = F.arrays_zip(
+        F.slice(t, 1, F.size(t) - 1).alias("w1"), F.slice(t, 2, F.size(t) - 1).alias("w2")
+    )
+    big = (
+        d.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count("*").alias("c2"))
+    )
+    w = Window.partitionBy("w1")
+    return (
+        big.withColumn("cond_prob", F.round(F.col("c2").cast("double") / F.sum("c2").over(w), 6))
+        .filter(F.col("c2") >= 5)
+        .orderBy("w1", "w2")
+    )
+
+
+@register(
+    "q127_winsorized_stats",
+    sql="""
+    WITH pct AS (
+        SELECT event_type,
+               quantile_cont(value, 0.05) AS p05,
+               quantile_cont(value, 0.95) AS p95
+        FROM events GROUP BY event_type)
+    SELECT e.event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN e.value < p.p05 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low,
+           CAST(SUM(CASE WHEN e.value > p.p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high,
+           ROUND(p.p05, 6) AS p05, ROUND(p.p95, 6) AS p95,
+           CAST(SUM(CAST(ROUND(LEAST(GREATEST(e.value, p.p05), p.p95), 2) AS DECIMAL(18,2))) AS DOUBLE) AS winsorized_sum
+    FROM events e JOIN pct p USING (event_type)
+    GROUP BY e.event_type, p.p05, p.p95
+    ORDER BY e.event_type
+    """,
+    doc="Winsorized (outlier-clipped) statistics per group: exact "
+    "interpolated p05/p95 per event_type joined back (broadcast: one row "
+    "per group), values clamped then summed as exact decimals -- the "
+    "robust-statistics pass a quality pipeline runs before thresholding on "
+    "noisy metrics.  Clip counts are exact integers; the clamped sum is "
+    "rounded to cents before the decimal cast so both engines land on the "
+    "identical lattice.",
+)
+def q127_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    pct = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.05)).alias("p05"),
+        F.percentile("value", F.lit(0.95)).alias("p95"),
+    )
+    j = e.join(F.broadcast(pct), "event_type")
+    clamped = F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95"))
+    return (
+        j.groupBy("event_type", "p05", "p95")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("value") < F.col("p05"), 1).otherwise(0)).alias("n_clipped_low"),
+            F.sum(F.when(F.col("value") > F.col("p95"), 1).otherwise(0)).alias("n_clipped_high"),
+            F.sum(F.round(clamped, 2).cast("decimal(18,2)")).cast("double").alias("winsorized_sum"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "n_clipped_low",
+            "n_clipped_high",
+            F.round("p05", 6).alias("p05"),
+            F.round("p95", 6).alias("p95"),
+            "winsorized_sum",
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
     "q125_key_skew_histogram",
     sql="""
     WITH counts AS (SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id)
