@@ -307,6 +307,51 @@ def q127_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q128_hll_sketch_union",
+    sql="""
+    WITH per AS (
+        SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
+        FROM events GROUP BY event_type),
+    overall AS (SELECT COUNT(DISTINCT user_id) AS exact_users FROM events)
+    SELECT event_type, exact_users, TRUE AS sketch_within_5pct FROM per
+    UNION ALL
+    SELECT 'ALL' AS event_type, exact_users, TRUE AS sketch_within_5pct FROM overall
+    ORDER BY event_type
+    """,
+    doc="DataSketches HLL with sketch MERGE (hll_sketch_agg per group -> "
+    "hll_union_agg across groups): the re-aggregation pattern that makes "
+    "distinct counting composable at 100 TB -- per-partition/per-day "
+    "sketches persist and union later without touching raw data, which "
+    "approx_count_distinct (q24) cannot do.  Sketch values are "
+    "deterministic (register max is order-independent) but not "
+    "SQL-reproducible, so the oracle checks exact counts plus the accuracy "
+    "invariant pinned TRUE, the q24 pattern.",
+)
+def q128_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    per = e.groupBy("event_type").agg(
+        F.expr("hll_sketch_agg(user_id)").alias("sk"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    ratio = F.expr("hll_sketch_estimate(sk)").cast("double") / F.col("exact_users")
+    per_out = per.select(
+        "event_type", "exact_users", ratio.between(0.95, 1.05).alias("sketch_within_5pct")
+    )
+    glob_exact = e.agg(F.countDistinct("user_id").alias("exact_users"))
+    gratio = F.col("gest").cast("double") / F.col("exact_users")
+    glob_out = (
+        per.agg(F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("gest"))
+        .crossJoin(F.broadcast(glob_exact))
+        .select(
+            F.lit("ALL").alias("event_type"),
+            "exact_users",
+            gratio.between(0.95, 1.05).alias("sketch_within_5pct"),
+        )
+    )
+    return per_out.unionByName(glob_out).orderBy("event_type")
+
+
+@register(
     "q125_key_skew_histogram",
     sql="""
     WITH counts AS (SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id)

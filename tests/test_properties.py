@@ -107,3 +107,48 @@ def test_exact_dedup_keeps_lowest_id_and_counts(spark, texts):
     for i, t in enumerate(texts):
         want.setdefault(t, []).append(i)
     assert got == {min(ids): len(ids) for ids in want.values()}
+
+
+# Avro codec property: arbitrary records over the supported type surface
+# roundtrip exactly (pure Python, no Spark job -- examples are cheap).
+_avro_schema = {
+    "type": "record",
+    "name": "prop",
+    "fields": [
+        {"name": "s", "type": "string"},
+        {"name": "n", "type": "long"},
+        {"name": "d", "type": "double"},
+        {"name": "flag", "type": "boolean"},
+        {"name": "maybe", "type": ["null", "long"]},
+        {"name": "xs", "type": {"type": "array", "items": "long"}},
+        {"name": "kv", "type": {"type": "map", "values": "string"}},
+    ],
+}
+
+
+@given(
+    s=st.text(max_size=40),
+    n=st.integers(min_value=-(2**62), max_value=2**62),
+    d=st.floats(allow_nan=False, allow_infinity=True),
+    flag=st.booleans(),
+    maybe=st.one_of(st.none(), st.integers(min_value=-(2**31), max_value=2**31)),
+    xs=st.lists(st.integers(min_value=-(2**40), max_value=2**40), max_size=8),
+    kv=st.dictionaries(st.text(max_size=8), st.text(max_size=8), max_size=5),
+)
+@settings(max_examples=200, deadline=None)
+def test_avro_codec_roundtrip_property(s, n, d, flag, maybe, xs, kv):
+    from sparkstreaming_quickstart_spark.streaming.avro_wire import decode, encode
+
+    value = {"s": s, "n": n, "d": d, "flag": flag, "maybe": maybe, "xs": xs, "kv": kv}
+    out, pos = decode(encode(value, _avro_schema), _avro_schema)
+    assert out == value
+
+
+@given(sid=st.integers(min_value=0, max_value=2**31 - 1))
+@settings(max_examples=50, deadline=None)
+def test_avro_wire_header_roundtrip_property(sid):
+    from sparkstreaming_quickstart_spark.streaming.avro_wire import wire_decode, wire_encode
+
+    schema = {"type": "record", "name": "m", "fields": [{"name": "x", "type": "long"}]}
+    got_sid, rec = wire_decode(wire_encode(sid, {"x": 7}, schema), {sid: schema})
+    assert got_sid == sid and rec == {"x": 7}
