@@ -38,12 +38,40 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--avro-schema", default=None, help="reader Avro schema JSON (value decode)")
     p.add_argument("--replay-dir", default=None, help="run off the events.parquet replay instead of Kafka")
     p.add_argument("--drain", action="store_true", help="availableNow: process everything then stop")
+    p.add_argument(
+        "--query",
+        default=None,
+        metavar="NAME",
+        help="run a registered analytics query (see --list-queries) against "
+        "--sf-dir and print the result instead of starting the pipeline",
+    )
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.01", help="table directory for --query")
+    p.add_argument("--limit", type=int, default=20, help="rows to show for --query")
+    p.add_argument("--explain", action="store_true", help="with --query: print the physical plan too")
+    p.add_argument("--list-queries", action="store_true", help="list registered query names and exit")
     return p
 
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+    if args.list_queries:
+        from .queries import all_queries
+
+        for name, q in all_queries().items():
+            print(f"{name}\t{(q.doc or '').strip().splitlines()[0] if q.doc else ''}")
+        return 0
     spark = get_spark(args.name)
+    if args.query:
+        from .queries import all_queries
+
+        registry = all_queries()
+        if args.query not in registry:
+            raise SystemExit(f"unknown query {args.query!r}; see --list-queries")
+        df = registry[args.query].fn(spark, args.sf_dir)
+        if args.explain:
+            df.explain("formatted")
+        df.show(args.limit, truncate=False)
+        return 0
     if args.replay_dir:
         stream = events_stream(spark, args.replay_dir).select(
             F.col("event_id").cast("string").alias("key"),

@@ -351,6 +351,83 @@ def q128_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_out.unionByName(glob_out).orderBy("event_type")
 
 
+def _q129_oracle_sql() -> str:
+    # Reuse the exact-Jaccard pair graph at 0.7 (the q52 threshold), unroll
+    # three damped iterations.  Every node of this graph has degree >= 1 so
+    # no dangling-mass term is needed.
+    head = """
+    WITH docs AS (
+        SELECT doc_id,
+               list_distinct([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks)-1)]) AS sh
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+    tok AS (SELECT doc_id, unnest(sh) AS shingle FROM docs),
+    sizes AS (SELECT doc_id, len(sh) AS n FROM docs),
+    prs AS (
+        SELECT d1, d2 FROM (
+            SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common
+            FROM tok a JOIN tok b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2) p
+        JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+        WHERE CAST(common AS DOUBLE) / (s1.n + s2.n - common) >= 0.7),
+    edges AS (SELECT d1 AS u, d2 AS v FROM prs UNION ALL SELECT d2, d1 FROM prs),
+    deg AS (SELECT u, COUNT(*) AS d FROM edges GROUP BY u),
+    nn AS (SELECT CAST(COUNT(DISTINCT u) AS DOUBLE) AS n FROM edges),
+    p0 AS (SELECT u AS node, 1.0 / nn.n AS p FROM deg, nn)
+    """
+    iters = "".join(
+        f""",
+    p{i} AS (
+        SELECT e.v AS node, ROUND(0.15 / nn.n + 0.85 * SUM(p{i-1}.p / deg.d), 9) AS p
+        FROM edges e JOIN p{i-1} ON e.u = p{i-1}.node JOIN deg ON e.u = deg.u, nn
+        GROUP BY e.v, nn.n)"""
+        for i in (1, 2, 3)
+    )
+    return head + iters + """
+    SELECT node AS doc_id, p AS pagerank FROM p3 ORDER BY doc_id
+    """
+
+
+@register(
+    "q129_pagerank_neardup",
+    sql=_q129_oracle_sql(),
+    doc="Three damped PageRank iterations over the near-dup pair graph -- "
+    "the iterative-graph-algorithm shape beyond q89's connected components "
+    "(canonical-document selection inside dup clusters: highest-rank node "
+    "= best-connected representative).  Each iteration is one edge join + "
+    "one hash-agg, all distributed; ranks are rounded to 9 digits per "
+    "iteration on both sides so neighbor-sum float order cannot drift.  At "
+    "100 TB the loop runs with lineage truncation per round exactly like "
+    "connected_components; the oracle unrolls the identical three "
+    "iterations as CTEs.",
+)
+def q129_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import minhash_lsh_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    prs = minhash_lsh_pairs(d, "text", "doc_id", n=3, threshold=0.7).select("d1", "d2")
+    half = prs.localCheckpoint(eager=True)
+    edges = half.select(F.col("d1").alias("u"), F.col("d2").alias("v")).union(
+        half.select(F.col("d2").alias("u"), F.col("d1").alias("v"))
+    )
+    deg = edges.groupBy("u").agg(F.count("*").alias("d"))
+    n = deg.agg(F.count("*").cast("double").alias("n"))
+    p = deg.crossJoin(F.broadcast(n)).select(F.col("u").alias("node"), (F.lit(1.0) / F.col("n")).alias("p"))
+    for _ in range(3):
+        contrib = (
+            edges.join(p, edges.u == p.node)
+            .join(deg, "u")
+            .select(F.col("v"), (F.col("p") / F.col("d")).alias("c"))
+        )
+        p = (
+            contrib.groupBy(F.col("v").alias("node"))
+            .agg(F.sum("c").alias("s"))
+            .crossJoin(F.broadcast(n))
+            .select("node", F.round(F.lit(0.15) / F.col("n") + F.lit(0.85) * F.col("s"), 9).alias("p"))
+            .localCheckpoint(eager=True)
+        )
+    return p.select(F.col("node").alias("doc_id"), F.col("p").alias("pagerank")).orderBy("doc_id")
+
+
 @register(
     "q125_key_skew_histogram",
     sql="""

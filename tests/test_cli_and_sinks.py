@@ -42,6 +42,29 @@ def test_cli_replay_drain(sf_dir):
     assert "event_type" in out.stdout  # console sink printed records
 
 
+def test_cli_query_mode_runs_registered_query(sf_dir):
+    out = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "sparkstreaming_quickstart_spark",
+            "--query",
+            "q01_pricing_summary",
+            "--sf-dir",
+            sf_dir,
+            "--limit",
+            "3",
+        ],
+        cwd="/root/repo",
+        env={**os.environ, "SPARK_GRAFT_CPUS": "4"},
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "l_returnflag" in out.stdout and "sum_qty" in out.stdout
+
+
 def test_cli_requires_kafka_args():
     out = subprocess.run(
         [sys.executable, "-m", "sparkstreaming_quickstart_spark"],
