@@ -429,6 +429,97 @@ def q129_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q130_multimodal_resize",
+    sql="""
+    SELECT doc_id,
+           CAST(32 AS INT) AS out_w, CAST(8 AS INT) AS out_h,
+           md5(rpad(substr(text, 1, 256), 256, chr(0))) AS resized_md5,
+           CAST(256 AS BIGINT) AS n_out
+    FROM documents
+    WHERE doc_id < 200
+    ORDER BY doc_id
+    """,
+    doc="Multimodal resize plumbing as a registered query: Arrow-batched "
+    "mapInPandas binary-in/binary-out (operators/multimodal.py:resize_media; "
+    "the resampler is the honest deterministic stand-in -- truncate/zero-pad "
+    "-- since no codec libs ship here, and only that function changes in "
+    "production).  The oracle replays the stand-in in the string domain "
+    "(documents are ASCII: chars == bytes) and compares md5 digests of the "
+    "resized payloads, since the comparator shouldn't ship raw binaries.",
+)
+def q130_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import resize_media, with_binary_payload
+
+    d = with_binary_payload(
+        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200), "text"
+    )
+    out = resize_media(d, w=32, h=8)
+    return out.select(
+        "doc_id",
+        "out_w",
+        "out_h",
+        F.md5("resized").alias("resized_md5"),
+        F.length("resized").cast("bigint").alias("n_out"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "q131_variant_json",
+    sql="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           json_extract_string(props, '$.k') IS NOT NULL AS valid,
+           '{"k":' || json_extract_string(props, '$.k') || '}' AS canonical
+    FROM events
+    WHERE event_id < 2000
+    ORDER BY event_id
+    """,
+    doc="Spark 4 VARIANT ingestion: parse_json -> semi-structured VARIANT "
+    "column, typed extraction via variant_get, validity via try_parse_json, "
+    "canonical re-serialization via to_json.  VARIANT is the 100 TB "
+    "semi-structured path: binary-encoded, shreddable, no per-query "
+    "re-parsing of JSON text.  The oracle reconstructs the compact "
+    "canonical form from the extracted field.",
+)
+def q131_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    v = e.withColumn("v", F.expr("parse_json(props)"))
+    return v.select(
+        "event_id",
+        F.expr("variant_get(v, '$.k', 'bigint')").alias("k"),
+        F.expr("try_parse_json(props)").isNotNull().alias("valid"),
+        F.expr("to_json(v)").alias("canonical"),
+    ).orderBy("event_id")
+
+
+@register(
+    "q132_approx_top_k",
+    sql="""
+    WITH ranked AS (
+        SELECT event_type, COUNT(*) AS c
+        FROM events GROUP BY event_type
+        ORDER BY c DESC, event_type LIMIT 3)
+    SELECT array_to_string(list(event_type || '=' || c ORDER BY c DESC, event_type), '|') AS top3
+    FROM ranked
+    """,
+    doc="approx_top_k: sketch-based heavy-hitter top-k in one pass (the "
+    "streaming-friendly form of ORDER BY count LIMIT k -- no full "
+    "aggregation shuffle needed at 100 TB).  At test scale the sketch "
+    "capacity exceeds the distinct count, so the result is exact and the "
+    "oracle compares against the exact top-3 (count ties absent in the "
+    "fixtures; serialized as item=count).",
+)
+def q132_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.selectExpr("approx_top_k(event_type, 3) AS tk").select(
+        F.array_join(
+            F.transform("tk", lambda s: F.concat(s["item"], F.lit("="), s["count"].cast("string"))),
+            "|",
+        ).alias("top3")
+    )
+
+
+@register(
     "q125_key_skew_histogram",
     sql="""
     WITH counts AS (SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id)
