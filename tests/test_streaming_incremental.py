@@ -42,6 +42,76 @@ def test_multi_batch_replay_incremental_agg(spark, sf_dir):
     assert totals == expected
 
 
+def test_watermark_drops_late_data_across_batches(spark, sf_dir):
+    """Late-data semantics, not just prefix consistency: rows arriving in a
+    later micro-batch with event times older than the watermark are DROPPED
+    from the windowed aggregation.  Watermark updates lag one batch, so the
+    replay is three files -- two on-time halves (the first advances the
+    watermark the second batch runs under), then the late half, which the
+    third batch drops entirely.  Expected output = batch aggregation over
+    the ON-TIME rows only, restricted to windows closed by the final
+    watermark (append mode withholds still-open trailing windows)."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    src = load_table(spark, sf_dir, "events")
+    m = src.select(F.expr("percentile(cast(ts as double), 0.5)").alias("m")).collect()[0].m
+    ontime = src.filter(F.col("ts").cast("double") >= m)
+    late = src.filter(F.col("ts").cast("double") < m)
+    splits = [
+        ontime.filter(F.col("event_id") % 2 == 0),
+        ontime.filter(F.col("event_id") % 2 == 1),
+        late,
+    ]
+    workdir = tempfile.mkdtemp(prefix="ssq-late-parts-")
+    stage = tempfile.mkdtemp(prefix="ssq-late-stage-")
+    now = time.time()
+    for i, part in enumerate(splits):
+        part.coalesce(1).write.parquet(os.path.join(workdir, f"p{i}"))
+        f = glob.glob(os.path.join(workdir, f"p{i}", "*.parquet"))[0]
+        tgt = os.path.join(stage, f"{i}.parquet")
+        shutil.copy(f, tgt)
+        # file stream source picks up oldest-mtime first: pin the replay order
+        os.utime(tgt, (now - 300 + i * 100, now - 300 + i * 100))
+
+    stream = spark.readStream.schema(src.schema).option("maxFilesPerTrigger", 1).parquet(stage)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), F.col("w.end").alias("we"), "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_drop_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ssq-late-ck-"))
+        .start()
+    )
+    q.awaitTermination()
+    dropped = sum(
+        p["stateOperators"][0].get("numRowsDroppedByWatermark", 0) for p in q.recentProgress
+    )
+    assert dropped > 0, "the late batch must hit the watermark filter"
+    got = {(r.ws, r.n) for r in spark.table("late_drop_test").select("ws", "n").collect()}
+    final_wm = ontime.select(
+        (F.max("ts").cast("double") - 3600).alias("wm")
+    ).collect()[0].wm
+    expected = {
+        (r.ws, r.n)
+        for r in (
+            ontime.groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count("*").alias("n"))
+            .select(F.col("w.start").alias("ws"), F.col("w.end").alias("we"), "n")
+            .filter(F.col("we").cast("double") <= final_wm)
+        ).collect()
+    }
+    assert got == expected
+
+
 def test_stateful_update_mode_final_state_under_multi_batch(spark, sf_dir):
     # Update-mode stateful queries emit one row per (key, micro-batch); the
     # registered q74 reduction must yield exactly the final state per key even
