@@ -520,6 +520,78 @@ def q132_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q133_collation_group",
+    sql="""
+    WITH mixed AS (
+        SELECT p_brand,
+               CASE WHEN p_partkey % 2 = 0 THEN lower(p_type) ELSE upper(p_type) END AS t
+        FROM part)
+    SELECT p_brand,
+           COUNT(DISTINCT lower(t)) AS n_types_ci,
+           COUNT(DISTINCT t) AS n_types_cs,
+           COUNT(*) AS n
+    FROM mixed
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+    doc="Spark 4 string collations: distinct-count under UTF8_LCASE vs the "
+    "default binary collation over a deliberately case-mixed column.  "
+    "Collation-aware comparison happens inside codegen (no lower() copies "
+    "of the data at rest); the oracle models UTF8_LCASE with lower() -- "
+    "equivalent for this ASCII domain.",
+)
+def q133_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    mixed = F.when(F.col("p_partkey") % 2 == 0, F.lower("p_type")).otherwise(
+        F.upper("p_type")
+    )
+    return (
+        p.select("p_brand", mixed.alias("t"))
+        .groupBy("p_brand")
+        .agg(
+            F.countDistinct(F.expr("collate(t, 'UTF8_LCASE')")).alias("n_types_ci"),
+            F.countDistinct("t").alias("n_types_cs"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@register(
+    "q134_xml_decode",
+    sql="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           event_type AS t,
+           event_type AS t_xpath
+    FROM events
+    WHERE event_id < 2000
+    ORDER BY event_id
+    """,
+    doc="XML ingestion (Spark 4 from_xml + xpath_string): the query builds a "
+    "wire-shaped XML message from existing columns, then decodes it back "
+    "through both the schema'd parser and an XPath extraction; the oracle "
+    "derives the same fields relationally, so a parser regression (dropped "
+    "or misparsed fields) hash-mismatches.",
+)
+def q134_xml_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    k = F.get_json_object("props", "$.k")
+    xml = F.concat(
+        F.lit("<e><k>"), k, F.lit("</k><t>"), F.col("event_type"), F.lit("</t></e>")
+    )
+    parsed = e.withColumn("xml", xml).withColumn(
+        "x", F.expr("from_xml(xml, 'k BIGINT, t STRING')")
+    )
+    return parsed.select(
+        "event_id",
+        F.col("x.k").alias("k"),
+        F.col("x.t").alias("t"),
+        F.expr("xpath_string(xml, '/e/t')").alias("t_xpath"),
+    ).orderBy("event_id")
+
+
+@register(
     "q125_key_skew_histogram",
     sql="""
     WITH counts AS (SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id)
