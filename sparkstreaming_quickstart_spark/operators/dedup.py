@@ -77,6 +77,47 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str, n: int = 3, t
     return jac.filter(F.col("jaccard") >= threshold).select("d1", "d2", "jaccard")
 
 
+def _minhash_chunked(
+    docs: DataFrame, num_hashes: int, seed: int, spread: bool = True, chunk: int = 24
+) -> tuple[DataFrame, int]:
+    """(doc_id, mh0..mhK) with the signature split across small array columns.
+
+    The chunking is a measured JIT-size fix, not semantics: one N-wide fold's
+    generated method leaves the JIT's comfortable range past ~48 elements
+    (at sf0.1: 96-wide 2.9-5.8s bimodal, 24-wide chunks a stable 1.9s), and
+    keeping the chunks as separate COLUMNS (rather than concat-ing them back
+    into one array) lets consumers index a single chunk without evaluating
+    the others.  Returns the frame and the chunk width used.
+    """
+    fam = _hash_family(num_hashes, seed)
+    if spread:
+        par = docs.sparkSession.sparkContext.defaultParallelism
+        if docs.rdd.getNumPartitions() < par:
+            docs = docs.repartition(par)
+    # Hash the shingles in their own projection first: referencing the
+    # transform() inline inside every fold lambda re-evaluates it per family
+    # element (no CSE inside higher-order functions; measured 25% of
+    # signature wall at sf0.1).
+    xs = F.transform("shingles", lambda s: F.pmod(F.xxhash64(s), F.lit(_P)))
+    hashed = docs.select("doc_id", xs.alias("xs"))
+
+    def fold(sub: list[tuple[int, int]]):
+        fams = F.array(*[F.struct(F.lit(a).alias("a"), F.lit(b).alias("b")) for a, b in sub])
+        return F.transform(
+            fams,
+            lambda p: F.aggregate(
+                F.col("xs"),
+                F.lit(_P).cast("long"),
+                lambda acc, x: F.least(acc, (p["a"] * x + p["b"]) % F.lit(_P)),
+            ),
+        )
+
+    cols = [
+        fold(fam[i : i + chunk]).alias(f"mh{i // chunk}") for i in range(0, len(fam), chunk)
+    ]
+    return hashed.select("doc_id", *cols), chunk
+
+
 def minhash_signatures(docs: DataFrame, num_hashes: int = 128, seed: int = 42, spread: bool = True) -> DataFrame:
     """Compute the minhash signature as one array column `mh` per doc_id.
 
@@ -101,27 +142,10 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 128, seed: int = 42, s
     projections, leaving the projection above the exchange and still
     duplicated per join side; minhash_lsh_pairs is shaped around this).
     """
-    fam = _hash_family(num_hashes, seed)
-    if spread:
-        par = docs.sparkSession.sparkContext.defaultParallelism
-        if docs.rdd.getNumPartitions() < par:
-            docs = docs.repartition(par)
-    # Hash the shingles in their own projection first: referencing the
-    # transform() inline inside all `num_hashes` fold lambdas re-evaluates it
-    # per family element (no CSE inside higher-order functions; measured 25%
-    # of signature wall at sf0.1).
-    xs = F.transform("shingles", lambda s: F.pmod(F.xxhash64(s), F.lit(_P)))
-    hashed = docs.select("doc_id", xs.alias("xs"))
-    fams = F.array(*[F.struct(F.lit(a).alias("a"), F.lit(b).alias("b")) for a, b in fam])
-    mh = F.transform(
-        fams,
-        lambda p: F.aggregate(
-            F.col("xs"),
-            F.lit(_P).cast("long"),
-            lambda acc, x: F.least(acc, (p["a"] * x + p["b"]) % F.lit(_P)),
-        ),
-    )
-    return hashed.select("doc_id", mh.alias("mh"))
+    chunked, chunk = _minhash_chunked(docs, num_hashes, seed, spread)
+    parts = [F.col(c) for c in chunked.columns if c.startswith("mh")]
+    mh = parts[0] if len(parts) == 1 else F.concat(*parts)
+    return chunked.select("doc_id", mh.alias("mh"))
 
 
 def minhash_lsh_pairs(
@@ -168,21 +192,24 @@ def minhash_lsh_pairs(
     """
     rows = num_hashes // bands
     docs = shingle_docs(df, text_col, id_col, n)
-    sigs = minhash_signatures(docs, num_hashes, seed)
+    # Signature arrives as small chunk columns (JIT-size fix; see
+    # _minhash_chunked) sized a multiple of the band width, so every band's
+    # slice lives inside exactly one chunk and banding indexes that chunk
+    # alone -- re-concatenating first measured +0.7s at sf0.1 because each
+    # access would drag the whole concat expression along.
+    chunk_width = max(rows, (24 // rows) * rows)
+    sigs, chunk_width = _minhash_chunked(docs, num_hashes, seed, chunk=chunk_width)
     # One row per (doc, band); band key = hash of that band's signature slice.
     # xxhash64 consumes the signature longs directly -- hashing through a
     # string concat costs 128 long->string casts per doc and measured ~2x the
     # whole banding stage.
+    def band_key(b: int):
+        c, off = (b * rows) // chunk_width, (b * rows) % chunk_width
+        return F.xxhash64(F.lit(b), *[F.col(f"mh{c}")[off + r] for r in range(rows)])
+
     banded = sigs.select(
         "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(F.lit(b), *[F.col("mh")[b * rows + r] for r in range(rows)])
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band", "band_key"),
+        F.posexplode(F.array(*[band_key(b) for b in range(bands)])).alias("band", "band_key"),
     )
     # Bucket members -> all (d1 < d2) pairs, generated inside each bucket.
     # One shuffle over the banded rows; same k^2-per-bucket work the self-join
