@@ -116,6 +116,7 @@ def _ensure_loaded() -> None:
     from . import streaming  # noqa: F401
     from . import tpch_full  # noqa: F401
     from . import llm_extras  # noqa: F401
+    from . import timeseries  # noqa: F401
 
     rank = {name: i for i, name in enumerate(_PRIORITY)}
     ordered = sorted(
