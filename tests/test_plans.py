@@ -67,10 +67,9 @@ def test_minhash_signatures_computed_once(spark, sf_dir):
     # AQE's toString appends the pre-execution plan under "== Initial Plan ==";
     # only the final plan reflects what actually ran.
     final_plan = executed.split("== Initial Plan ==")[0]
-    # The signature splits into 24-hash fold chunks (JIT-size sweet spot), so
-    # one evaluation of the pipeline shows exactly ceil(96/24)=4 fold lambdas;
-    # a join-shaped regression (signatures per join side) would double that.
-    assert final_plan.count("lambdafunction(least") == 4, executed
+    # The signature stage is one Arrow mapInPandas kernel; a join-shaped
+    # regression (signatures evaluated per join side) would show two.
+    assert final_plan.count("MapInPandas") == 1, executed
 
 
 def test_embedding_prefilter_is_equijoin_and_subset(spark, sf_dir):
