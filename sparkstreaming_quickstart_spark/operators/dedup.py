@@ -15,9 +15,10 @@ JVM fold; see minhash_signatures):
   * simhash_pairs      -- 64-bit SimHash fingerprints + block banding for
                           Hamming-distance<=k pairs.
 
-Determinism: hash family is (a_j * xxhash64(shingle) + b_j) mod p with
-constants derived from a fixed seed, so results are stable across runs,
-partitionings, and cluster sizes.
+Determinism: hash family is (a_j * (h(shingle) mod p) + b_j) mod p with
+h = xxhash64 over the shingle's token hashes and constants derived from a
+fixed seed, so results are stable across runs, partitionings, and cluster
+sizes.
 """
 
 from __future__ import annotations
@@ -30,7 +31,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import word_shingles
+from ..functions.text import tokens, word_shingles
 
 # Mersenne prime 2^31-1: a*x + b stays well within signed-64 range (no
 # overflow), keeping the multiply-mod family well-defined.
@@ -57,6 +58,44 @@ def shingle_docs(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataF
         F.col(id_col).alias("doc_id"),
         word_shingles(text_col, n).alias("shingles"),
     ).withColumn("n_sh", F.size("shingles"))
+
+
+def _shingle_hashes(th: str, n: int) -> Column:
+    """Distinct shingle hashes from a token-hash array column: each shingle is
+    xxhash64 over its n consecutive token hashes.  Mirrors word_shingles'
+    windowing exactly (same start indices; out-of-range token hashes are NULL,
+    which xxhash64 skips, so a short document's single partial shingle hashes
+    the tokens it has -- the analogue of concat_ws over a short slice)."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(th) - n, F.lit(0))),
+            lambda i: F.xxhash64(*[F.get(th, i + k) for k in range(n)]),
+        )
+    )
+
+
+def hashed_shingle_docs(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """(doc_id, xs: distinct shingle hashes as longs, n_sh) per document.
+
+    The scale form of shingle_docs: tokens are xxhash64-ed ONCE, shingles are
+    xxhash64 over the n consecutive token hashes -- no shingle string is ever
+    materialized, every downstream key (minhash input, inverted-index join,
+    set intersection) is an 8-byte long instead of a ~3-word string.  The map
+    string-shingle -> hash is injective up to 64-bit collisions
+    (P ~ n_shingles^2 / 2^64, negligible even at 100 TB corpus scale), so
+    Jaccard over these sets equals Jaccard over the string shingles.
+
+    Token hashes land in their own projection before the shingle window
+    references them n times: Spark does no CSE inside lambda bodies, so an
+    inline token-hash subtree would re-hash every token n times.
+    """
+    hashed = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.transform(tokens(text_col), lambda w: F.xxhash64(w)).alias("th"),
+    )
+    return hashed.select("doc_id", _shingle_hashes("th", n).alias("xs")).withColumn(
+        "n_sh", F.size("xs")
+    )
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str, n: int = 3, threshold: float = 0.5) -> DataFrame:
@@ -86,9 +125,9 @@ def _minhash_batches(num_hashes: int, seed: int):
 
     Evaluates the whole (hash_family x shingle) grid per batch with numpy and
     takes per-document minima via `minimum.reduceat` on the concatenated
-    shingle hashes.  Bit-identical to the JVM fold it replaced: every operand
-    is < 2^31-1 (xs is pmod-reduced, a/b drawn below _P), so a*x + b < 2^62
-    never wraps and `%` agrees between engines on positive values.
+    shingle hashes.  Bit-identical to the JVM fold it replaced: after the
+    pmod reduction every operand is < 2^31-1 (a/b drawn below _P), so
+    a*x + b < 2^62 never wraps and `%` agrees between engines on positives.
 
     Rows are processed in 1024-doc slices so the (num_hashes x shingles)
     intermediate stays ~40 MB regardless of Arrow batch size.
@@ -110,6 +149,9 @@ def _minhash_batches(num_hashes: int, seed: int):
                     xcat = np.concatenate(
                         [np.asarray(x, dtype=np.int64) for x, keep in zip(sub["xs"], ne) if keep]
                     )
+                    # Raw 64-bit shingle hashes -> [0, p).  numpy's % takes
+                    # the divisor's sign, so this IS pmod for negative inputs.
+                    xcat %= _P
                     starts = np.zeros(int(ne.sum()), dtype=np.int64)
                     np.cumsum(lens[ne][:-1], out=starts[1:])
                     v = (A * xcat[None, :] + B) % _P
@@ -122,10 +164,11 @@ def _minhash_batches(num_hashes: int, seed: int):
 def minhash_signatures(docs: DataFrame, num_hashes: int = 128, seed: int = 42, spread: bool = True) -> DataFrame:
     """Compute the minhash signature as one array column `mh` per doc_id.
 
-    For each hash j: min over shingles of (a_j * h(s) + b_j) mod p, where
-    h(s) = xxhash64(s) mapped to [0, p).  Shingle hashing stays JVM-side
-    (xxhash64 is codegen); the (family x shingle) min-grid runs as ONE
-    Arrow-batched mapInPandas kernel (`_minhash_batches`).
+    `docs` is hashed_shingle_docs output: (doc_id, xs) with xs the distinct
+    shingle hashes.  For each hash j: min over shingles of
+    (a_j * (h mod p) + b_j) mod p.  Shingle hashing stays JVM-side (xxhash64
+    is codegen); the (family x shingle) min-grid runs as ONE Arrow-batched
+    mapInPandas kernel (`_minhash_batches`).
 
     This is the measured exception to the stay-JVM rule.  Three pure-JVM
     formulations were benchmarked at sf0.1 (5000 docs, 96 hashes, ~52
@@ -157,10 +200,7 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 128, seed: int = 42, s
         par = docs.sparkSession.sparkContext.defaultParallelism
         if docs.rdd.getNumPartitions() < par:
             docs = docs.repartition(par)
-    # Hash shingles in their own JVM projection; the Python kernel only ever
-    # sees 64-bit ints, never strings.
-    xs = F.transform("shingles", lambda s: F.pmod(F.xxhash64(s), F.lit(_P)))
-    hashed = docs.select("doc_id", xs.alias("xs"))
+    hashed = docs.select("doc_id", "xs")
     return hashed.mapInPandas(_minhash_batches(num_hashes, seed), "doc_id long, mh array<long>")
 
 
@@ -206,7 +246,7 @@ def minhash_lsh_pairs(
     bench scale).
     """
     rows = num_hashes // bands
-    docs = shingle_docs(df, text_col, id_col, n)
+    docs = hashed_shingle_docs(df, text_col, id_col, n)
     # Signatures arrive materialized from the Arrow kernel (see
     # minhash_signatures); band keys index the mh array of that single
     # MapInPandas node -- element access here is a cheap projection over
@@ -255,22 +295,29 @@ def minhash_lsh_pairs(
         .distinct()
     )
     # Exact verify: explode each pair to (pair, member), join the RAW text for
-    # just those members (column-pruned scan), shingle the few candidate rows
-    # post-join, regroup to a row per pair with both shingle sets.
+    # just those members (column-pruned scan), re-derive the hashed shingle
+    # set for the few candidate rows post-join, regroup to a row per pair.
+    # Jaccard over the hashed sets equals Jaccard over the string shingles
+    # (injective up to 64-bit collisions), and the intersect works on longs.
     raw = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text"))
     long = cand.select("d1", "d2", F.explode(F.array(F.col("d1"), F.col("d2"))).alias("doc_id"))
-    member = long.join(raw, "doc_id").select(
-        "d1",
-        "d2",
-        "doc_id",
-        word_shingles("__text", n).alias("shingles"),
-    ).withColumn("n_sh", F.size("shingles"))
+    member = (
+        long.join(raw, "doc_id")
+        .select(
+            "d1",
+            "d2",
+            "doc_id",
+            F.transform(tokens("__text"), lambda w: F.xxhash64(w)).alias("th"),
+        )
+        .select("d1", "d2", "doc_id", _shingle_hashes("th", n).alias("xs"))
+        .withColumn("n_sh", F.size("xs"))
+    )
     per_pair = member.groupBy("d1", "d2").agg(
-        F.max(F.when(F.col("doc_id") == F.col("d1"), F.struct("n_sh", "shingles"))).alias("a"),
-        F.max(F.when(F.col("doc_id") == F.col("d2"), F.struct("n_sh", "shingles"))).alias("b"),
+        F.max(F.when(F.col("doc_id") == F.col("d1"), F.struct("n_sh", "xs"))).alias("a"),
+        F.max(F.when(F.col("doc_id") == F.col("d2"), F.struct("n_sh", "xs"))).alias("b"),
     )
     verified = (
-        per_pair.withColumn("common", F.size(F.array_intersect("a.shingles", "b.shingles")))
+        per_pair.withColumn("common", F.size(F.array_intersect("a.xs", "b.xs")))
         .withColumn(
             "jaccard",
             F.col("common").cast("double") / (F.col("a.n_sh") + F.col("b.n_sh") - F.col("common")),
