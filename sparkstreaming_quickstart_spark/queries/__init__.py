@@ -117,6 +117,7 @@ def _ensure_loaded() -> None:
     from . import tpch_full  # noqa: F401
     from . import llm_extras  # noqa: F401
     from . import timeseries  # noqa: F401
+    from . import traindata  # noqa: F401
 
     rank = {name: i for i, name in enumerate(_PRIORITY)}
     ordered = sorted(

@@ -130,3 +130,14 @@ def test_tpch_q21_semi_anti_no_cartesian(spark, sf_dir):
     plan = explain_str(df, "simple")
     assert "LeftSemi" in plan and "LeftAnti" in plan, plan
     assert "Cartesian" not in plan, plan
+
+
+def test_decontaminate_broadcasts_eval_grams(spark, sf_dir):
+    """q139: the eval-set shingle side must broadcast (benchmarks are small
+    by construction); the corpus side's only shuffle is the per-doc count.
+    A sort-merge join here would shuffle the full exploded corpus at 100 TB."""
+    from sparkstreaming_quickstart_spark.queries.traindata import q139_decontaminate
+
+    df = q139_decontaminate(spark, sf_dir)
+    assert broadcast_join_count(df) >= 1, explain_str(df, "simple")
+    assert "SortMergeJoin" not in explain_str(df, "simple")
