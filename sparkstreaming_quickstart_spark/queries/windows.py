@@ -151,9 +151,11 @@ def q34_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged = e.select(
         "user_id",
         "ts",
+        # Interval arithmetic (not unix_micros) so the query is agnostic to
+        # whether the parquet reader surfaces ts as TIMESTAMP or TIMESTAMP_NTZ.
         F.when(
             F.lag("ts").over(w).isNull()
-            | (F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w) > 1_800_000_000),
+            | (F.col("ts") - F.lag("ts").over(w) > F.expr("INTERVAL 30 MINUTE")),
             1,
         )
         .otherwise(0)

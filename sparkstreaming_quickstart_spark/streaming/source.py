@@ -21,26 +21,48 @@ import tempfile
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    DataType,
     DoubleType,
     LongType,
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
     TimestampType,
 )
 
 from ..session import tune
 
-EVENTS_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # TIMESTAMP(NANOS) parquet -> long
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+
+def _events_ts_type(sf_dir: str) -> DataType:
+    """Pick the stream-schema type for events.ts from the parquet footer.
+
+    The fixture generator has shipped both TIMESTAMP(NANOS) (which Spark's
+    reader surfaces as long under `nanosAsLong`) and TIMESTAMP(MICROS)
+    (naive -> TIMESTAMP_NTZ).  Deriving the type from the file keeps the
+    stream source in lockstep with whatever the batch reader sees instead of
+    baking in one generator's choice.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pq.read_schema(os.path.join(sf_dir, "events.parquet")).field("ts").type
+    if pa.types.is_timestamp(t) and t.unit != "ns":
+        return TimestampType() if t.tz else TimestampNTZType()
+    return LongType()  # nanos read as long; converted to micros below
+
+
+def events_schema(sf_dir: str) -> StructType:
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", _events_ts_type(sf_dir)),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
 
 
 def _stage_events_dir(sf_dir: str) -> str:
@@ -65,13 +87,21 @@ def _stage_events_dir(sf_dir: str) -> str:
 
 
 def events_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None) -> DataFrame:
-    """Replay events.parquet as a file-source stream (ts converted to micros)."""
+    """Replay events.parquet as a file-source stream (ts as a timestamp)."""
     tune(spark)
-    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    schema = events_schema(sf_dir)
+    reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(_stage_events_dir(sf_dir))
-    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if isinstance(schema["ts"].dataType, LongType):
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif isinstance(schema["ts"].dataType, TimestampNTZType):
+        # Watermarks require TIMESTAMP (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE on
+        # NTZ).  tune() pins the session timezone to UTC, so this cast is a
+        # value-preserving reinterpretation, not a shift.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def strip_confluent_header(value: Column | str) -> Column:

@@ -10,7 +10,6 @@ from pyspark.sql import functions as F
 
 from sparkstreaming_quickstart_spark.sources.catalog import load_table
 from sparkstreaming_quickstart_spark.streaming.pipeline import run_foreach_batch
-from sparkstreaming_quickstart_spark.streaming.source import EVENTS_SCHEMA
 
 
 def test_multi_batch_replay_incremental_agg(spark, sf_dir):
@@ -57,9 +56,11 @@ def test_watermark_drops_late_data_across_batches(spark, sf_dir):
     import time
 
     src = load_table(spark, sf_dir, "events")
-    m = src.select(F.expr("percentile(cast(ts as double), 0.5)").alias("m")).collect()[0].m
-    ontime = src.filter(F.col("ts").cast("double") >= m)
-    late = src.filter(F.col("ts").cast("double") < m)
+    # Double-cast goes via TIMESTAMP so the arithmetic works whether the
+    # parquet reader surfaced ts as TIMESTAMP or TIMESTAMP_NTZ (UTC session).
+    m = src.select(F.expr("percentile(cast(cast(ts as timestamp) as double), 0.5)").alias("m")).collect()[0].m
+    ontime = src.filter(F.col("ts").cast("timestamp").cast("double") >= m)
+    late = src.filter(F.col("ts").cast("timestamp").cast("double") < m)
     splits = [
         ontime.filter(F.col("event_id") % 2 == 0),
         ontime.filter(F.col("event_id") % 2 == 1),
@@ -76,7 +77,12 @@ def test_watermark_drops_late_data_across_batches(spark, sf_dir):
         # file stream source picks up oldest-mtime first: pin the replay order
         os.utime(tgt, (now - 300 + i * 100, now - 300 + i * 100))
 
-    stream = spark.readStream.schema(src.schema).option("maxFilesPerTrigger", 1).parquet(stage)
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .withColumn("ts", F.col("ts").cast("timestamp"))  # watermark needs LTZ
+    )
     agg = (
         stream.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour").alias("w"))
@@ -98,7 +104,7 @@ def test_watermark_drops_late_data_across_batches(spark, sf_dir):
     assert dropped > 0, "the late batch must hit the watermark filter"
     got = {(r.ws, r.n) for r in spark.table("late_drop_test").select("ws", "n").collect()}
     final_wm = ontime.select(
-        (F.max("ts").cast("double") - 3600).alias("wm")
+        (F.max(F.col("ts").cast("timestamp")).cast("double") - 3600).alias("wm")
     ).collect()[0].wm
     expected = {
         (r.ws, r.n)
@@ -106,7 +112,7 @@ def test_watermark_drops_late_data_across_batches(spark, sf_dir):
             ontime.groupBy(F.window("ts", "1 hour").alias("w"))
             .agg(F.count("*").alias("n"))
             .select(F.col("w.start").alias("ws"), F.col("w.end").alias("we"), "n")
-            .filter(F.col("we").cast("double") <= final_wm)
+            .filter(F.col("we").cast("timestamp").cast("double") <= final_wm)
         ).collect()
     }
     assert got == expected
