@@ -83,13 +83,18 @@ _PRIORITY: list[str] = [
     # Remaining extras (incl. new invariant oracles)
     "q87_stratified_sample", "q88_freq_items", "q64_similarity_ivf",
     "q09_multiset_ops", "q36_percentiles",
-    # New this round: the six remaining TPC-H shapes (all 22 now covered)
-    "q115_tpch_q2_min_cost", "q116_tpch_q9_profit",
-    "q117_tpch_q11_important_stock", "q118_tpch_q16_supplier_cnt",
-    "q119_tpch_q20_promotion", "q120_tpch_q21_waiting",
     # New this round: second-wave LLM-pipeline operators
     "q121_tfidf", "q122_embedding_quantize", "q123_hash_sample",
     "q124_kmeans_refine", "q125_key_skew_histogram",
+    # Third-wave corpus-prep / time-series operators (newest, least proven;
+    # the remaining TPC-H shapes moved below -- classic SQL is the lowest
+    # driver-err risk in the registry)
+    "q143_dataset_mixing", "q139_decontaminate", "q130_multimodal_resize",
+    "q135_timeseries_gapfill", "q137_similarity_topk_int8", "q144_data_card",
+    # The six TPC-H shapes completed this round (all 22 covered)
+    "q115_tpch_q2_min_cost", "q116_tpch_q9_profit",
+    "q117_tpch_q11_important_stock", "q118_tpch_q16_supplier_cnt",
+    "q119_tpch_q20_promotion", "q120_tpch_q21_waiting",
     # Window block (local-pass only so far)
     "q30_window_topk", "q31_window_ranks", "q32_window_running",
     "q33_window_frame", "q34_session_windows", "q66_window_distribution",

@@ -219,3 +219,132 @@ def q142_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.orderBy(F.desc("c12"), "w1", "w2").limit(20)
+
+
+def _q143_oracle_sql() -> str:
+    # Mirror of the Spark plan: per-source counts -> temperature weights ->
+    # per-source keep rate -> deterministic md5-keyed Bernoulli.  The keep
+    # decision compares 20-bit hex strings (identical md5/hex/lpad semantics
+    # in both engines, verified byte-for-byte), so the sampled set is exactly
+    # reproducible cross-engine; rates are rounded to 6 decimals so the
+    # double arithmetic cannot flip a threshold between engines.
+    return """
+    WITH counts AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+    tot AS (SELECT SUM(POW(n_docs, 0.5)) AS z, SUM(n_docs) AS n_total FROM counts),
+    rates AS (
+        SELECT source, n_docs,
+               ROUND(LEAST(1.0, 0.5 * n_total * POW(n_docs, 0.5) / z / n_docs), 6) AS rate
+        FROM counts, tot),
+    keyed AS (
+        SELECT source, doc_id,
+               upper(substr(md5(CAST(doc_id AS VARCHAR)), 18, 5)) AS hk
+        FROM documents)
+    SELECT k.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN hk < lpad(hex(CAST(FLOOR(rate * 1048576) AS BIGINT)), 5, '0')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+           MAX(rate) AS target_rate
+    FROM keyed k JOIN rates USING (source)
+    GROUP BY k.source
+    ORDER BY k.source
+    """
+
+
+@register(
+    "q143_dataset_mixing",
+    sql=_q143_oracle_sql(),
+    doc="Temperature-weighted dataset mixing (alpha=0.5, budget=50% of the "
+    "corpus): per-source keep rates proportional to n^alpha / n -- the "
+    "standard recipe for up-weighting small sources when composing a "
+    "training mix -- applied via a deterministic md5(doc_id) Bernoulli "
+    "key, so the mix is exactly reproducible under any partitioning and "
+    "re-run.  Rates come from a tiny per-source aggregate that broadcasts "
+    "back onto the corpus scan: one shuffle for the source counts, zero "
+    "for the sampling pass.  At 100 TB the same plan holds -- the rate "
+    "table is source-cardinality-sized (dozens of rows).",
+)
+def q143_dataset_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    tot = counts.agg(
+        F.sum(F.pow("n_docs", F.lit(0.5))).alias("z"),
+        F.sum("n_docs").alias("n_total"),
+    )
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.lit(0.5) * F.col("n_total") * F.pow("n_docs", F.lit(0.5)) / F.col("z") / F.col("n_docs"),
+            ),
+            6,
+        ).alias("rate"),
+    )
+    thresh = F.lpad(F.hex(F.floor(F.col("rate") * F.lit(1048576)).cast("bigint")), 5, "0")
+    keyed = d.select(
+        "source",
+        F.upper(F.substring(F.md5(F.col("doc_id").cast("string")), 18, 5)).alias("hk"),
+    )
+    return (
+        keyed.join(F.broadcast(rates), "source")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("hk") < thresh, 1).otherwise(0)).cast("long").alias("n_sampled"),
+            F.max("rate").alias("target_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "q144_data_card",
+    sql="""
+    WITH t AS (
+        SELECT source, lang, len(string_split(text, ' ')) AS n_tok, md5(text) AS th
+        FROM documents)
+    SELECT COALESCE(source, 'ALL') AS card_source,
+           COALESCE(lang, 'ALL') AS card_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           ROUND(AVG(n_tok), 4) AS avg_tokens,
+           ROUND(1.0 - CAST(COUNT(DISTINCT th) AS DOUBLE) / COUNT(*), 6) AS dup_frac
+    FROM t
+    GROUP BY ROLLUP (source, lang)
+    ORDER BY card_source, card_lang
+    """,
+    doc="Corpus data card: one-pass ROLLUP over (source, lang) with doc/"
+    "token counts, mean length, and the exact duplicate fraction (1 - "
+    "distinct text hashes / docs) -- the dataset-composition report "
+    "published alongside a training corpus.  The rollup reuses one "
+    "shuffle; the distinct-count is per-group exact (at 100 TB swap in "
+    "approx_count_distinct or the q128 HLL sketches for the same shape).",
+)
+def q144_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "source",
+        "lang",
+        token_count("text").alias("n_tok"),
+        F.md5(F.col("text").cast("binary")).alias("th"),
+    )
+    return (
+        t.rollup("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.round(F.avg("n_tok"), 4).alias("avg_tokens"),
+            F.round(
+                F.lit(1.0) - F.countDistinct("th").cast("double") / F.count("*"), 6
+            ).alias("dup_frac"),
+        )
+        .select(
+            F.coalesce("source", F.lit("ALL")).alias("card_source"),
+            F.coalesce("lang", F.lit("ALL")).alias("card_lang"),
+            "n_docs",
+            "n_tokens",
+            "avg_tokens",
+            "dup_frac",
+        )
+        .orderBy("card_source", "card_lang")
+    )
