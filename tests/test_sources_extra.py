@@ -1,0 +1,113 @@
+"""Source-format coverage beyond parquet/CSV/JSON: ORC roundtrip, the
+binaryFile source feeding the multimodal pipeline, and a custom Python
+DataSource (Spark 4 extension point) -- the ingestion surfaces a
+training-data pipeline uses for raw media drops and bespoke feeds."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sparkstreaming_quickstart_spark.sources.catalog import load_table
+
+
+def test_orc_roundtrip_exact(spark, sf_dir, tmp_path):
+    """ORC writes and reads back losslessly (schema + decimal checksum).
+    ORC is Spark-native columnar like parquet: pushdown and pruning apply,
+    so it is a drop-in at 100 TB where the lake standard is ORC."""
+    li = load_table(spark, sf_dir, "lineitem").limit(400)
+    path = str(tmp_path / "li_orc")
+    li.write.orc(path)
+    back = spark.read.orc(path)
+    assert back.schema == li.schema
+    assert back.count() == 400
+    chk = lambda df: df.agg(  # noqa: E731
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("s")
+    ).collect()[0].s
+    assert chk(back) == chk(li)
+
+
+def test_orc_predicate_pushdown(spark, sf_dir, tmp_path):
+    """The ORC scan carries the filter to the reader (same PushedFilters
+    discipline the parquet plan tests pin)."""
+    li = load_table(spark, sf_dir, "lineitem").limit(400)
+    path = str(tmp_path / "li_orc_pd")
+    li.write.orc(path)
+    plan = (
+        spark.read.orc(path)
+        .filter(F.col("l_quantity") > 25)
+        .select("l_orderkey")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [" in plan and "l_quantity" in plan
+
+
+def test_binaryfile_source_feeds_multimodal(spark, tmp_path):
+    """format('binaryFile') lists raw files as (path, length, content binary)
+    rows -- the ingestion step for image/audio drops.  The content column
+    feeds the same Arrow-batched metadata extractor the multimodal queries
+    use, proving the plumbing end-to-end from files on disk."""
+    from sparkstreaming_quickstart_spark.operators.multimodal import extract_media_meta
+
+    blobs = {f"m{i}.bin": bytes([i]) * (10 + i) for i in range(5)}
+    for name, payload in blobs.items():
+        (tmp_path / name).write_bytes(payload)
+
+    df = spark.read.format("binaryFile").load(str(tmp_path))
+    rows = df.select("path", "length", "content").collect()
+    assert len(rows) == 5
+    by_name = {r.path.rsplit("/", 1)[-1]: r for r in rows}
+    for name, payload in blobs.items():
+        assert by_name[name].length == len(payload)
+        assert bytes(by_name[name].content) == payload
+
+    media = df.select(
+        F.monotonically_increasing_id().alias("doc_id"),
+        F.col("content").alias("payload"),
+    )
+    meta = extract_media_meta(media)
+    got = {r.n_bytes for r in meta.collect()}
+    assert got == {len(p) for p in blobs.values()}
+
+
+def test_python_datasource_custom_reader(spark):
+    """Custom Python DataSource (Spark 4): a deterministic synthetic feed
+    registered under a short name and read like any built-in format, with
+    one reader task per InputPartition -- the extension point for bespoke
+    feeds (tar shards, WARC dumps, proprietary stores) without a JVM
+    connector.  Registration is per-session; the source emits rows from
+    its partition value deterministically so the test is exact."""
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    class SyntheticEventsSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "synthetic_events"
+
+        def schema(self):
+            return "part int, seq int, val double"
+
+        def reader(self, schema):
+            return _Reader(self.options)
+
+    class _Reader(DataSourceReader):
+        def __init__(self, options):
+            self.n_parts = int(options.get("parts", "4"))
+            self.rows_per_part = int(options.get("rowsperpart", "25"))
+
+        def partitions(self):
+            return [InputPartition(i) for i in range(self.n_parts)]
+
+        def read(self, partition):
+            p = partition.value
+            for i in range(self.rows_per_part):
+                yield (p, i, float(p * 1000 + i) / 8.0)
+
+    spark.dataSource.register(SyntheticEventsSource)
+    df = spark.read.format("synthetic_events").option("parts", 4).option("rowsPerPart", 25).load()
+    assert df.count() == 100
+    assert df.select(F.countDistinct("part")).collect()[0][0] == 4
+    got = df.agg(F.sum("val").alias("s")).collect()[0].s
+    expect = sum(float(p * 1000 + i) / 8.0 for p in range(4) for i in range(25))
+    assert abs(got - expect) < 1e-9
