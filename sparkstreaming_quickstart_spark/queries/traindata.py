@@ -221,6 +221,63 @@ def q142_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy(F.desc("c12"), "w1", "w2").limit(20)
 
 
+@register(
+    "q145_sequence_packing",
+    sql="""
+    WITH RECURSIVE d AS (
+        SELECT lang, doc_id, len(string_split(text, ' ')) AS n_tok,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+        FROM documents),
+    r AS (
+        SELECT lang, doc_id, n_tok, rn, 0 AS bin, n_tok AS fill FROM d WHERE rn = 1
+        UNION ALL
+        SELECT d.lang, d.doc_id, d.n_tok, d.rn,
+               CASE WHEN r.fill + d.n_tok <= 512 THEN r.bin ELSE r.bin + 1 END,
+               CASE WHEN r.fill + d.n_tok <= 512 THEN r.fill + d.n_tok ELSE d.n_tok END
+        FROM d JOIN r ON d.lang = r.lang AND d.rn = r.rn + 1)
+    SELECT lang, CAST(bin AS BIGINT) AS bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+    FROM r GROUP BY lang, bin ORDER BY lang, bin
+    """,
+    doc="Greedy sequence packing: whole documents fill 512-token context "
+    "bins in doc_id order per language; a bin closes when the next doc "
+    "would overflow it.  The bin id depends on a running reset, which no "
+    "window function expresses (unlike q141's pure prefix-sum shard), so "
+    "the per-group scan runs as an Arrow-batched applyInPandas kernel -- "
+    "the custom-stateful-batch-operator tier -- against a recursive-CTE "
+    "DuckDB oracle replaying the identical greedy fold.  Parallelism is "
+    "per-lang (one group per task); at 100 TB packing runs per (lang, "
+    "shard-range) bucket exactly like q141's two-pass note, keeping "
+    "groups bounded.",
+)
+def q145_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "lang", "doc_id", token_count("text").alias("n_tok")
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        bins, fill, b = [], 0, 0
+        for t in pdf["n_tok"]:
+            if fill and fill + t > 512:
+                b, fill = b + 1, 0
+            fill += int(t)
+            bins.append(b)
+        pdf["bin"] = pd.Series(bins, dtype="int64")
+        return pdf
+
+    packed = d.groupBy("lang").applyInPandas(
+        pack, "lang string, doc_id long, n_tok long, bin long"
+    )
+    return (
+        packed.groupBy("lang", "bin")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tok").alias("n_tokens"))
+        .orderBy("lang", "bin")
+    )
+
+
 def _q143_oracle_sql() -> str:
     # Mirror of the Spark plan: per-source counts -> temperature weights ->
     # per-source keep rate -> deterministic md5-keyed Bernoulli.  The keep
