@@ -249,3 +249,41 @@ def q18_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "event_id", "user_id", "ts", F.col("asof_asof_click_event_id").alias("asof_click_event_id")
     ).orderBy("event_id")
+
+
+@register(
+    "q147_salted_skew_join",
+    sql="""
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+    doc="Skew-hardened fact-fact join via explicit key salting "
+    "(operators/skew.salted_join, 8-way): the probe side scatters each "
+    "key across 8 salt values (deterministic hash, not rand) and the "
+    "build side replicates 8x, so one hot key spreads over 8 tasks "
+    "instead of overwhelming one executor.  Semantics are identical to "
+    "the plain inner join -- the oracle IS the plain join -- and the "
+    "plan-shape test pins that AQE's skew handling stays on.  The tool "
+    "for the 100 TB null-key/hot-user join that AQE's split still cannot "
+    "balance.",
+)
+def q147_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    return (
+        salted_join(li, o, "l_orderkey", salt=8)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -341,3 +341,58 @@ def q84_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     table = run_to_memory(agg, output_mode="complete")
     return spark.table(table).orderBy("user_id", "session_start")
+
+
+@register(
+    "q146_stream_stream_left_outer",
+    sql="""
+    WITH err AS (
+        SELECT event_id AS error_id, user_id AS e_user, ts AS e_ts
+        FROM events WHERE event_type = 'error'),
+    clk AS (
+        SELECT event_id AS click_id, user_id AS c_user, ts AS c_ts
+        FROM events WHERE event_type = 'click'),
+    wm AS (
+        SELECT date_trunc('milliseconds',
+                   least((SELECT max(e_ts) FROM err), (SELECT max(c_ts) FROM clk)))
+               - INTERVAL 2 HOUR AS w),
+    j AS (
+        SELECT e.error_id, c.click_id, e.e_ts
+        FROM err e LEFT JOIN clk c
+          ON e.e_user = c.c_user
+         AND c.c_ts BETWEEN e.e_ts - INTERVAL 1 HOUR AND e.e_ts)
+    SELECT error_id, click_id FROM j, wm
+    WHERE click_id IS NOT NULL OR e_ts < w
+    ORDER BY error_id, click_id
+    """,
+    doc="Stream-stream LEFT OUTER interval join: errors with their trailing-"
+    "1h clicks, null-extended when no click arrived.  Outer results can "
+    "only emit once the watermark passes the error's join window, so the "
+    "oracle replays the engine's exact emission rule: the final watermark "
+    "is min over both sides of (max event time, ms precision) - 2h, and "
+    "an unmatched error emits iff e_ts < that watermark (still-open rows "
+    "are withheld -- correct streaming semantics, not missing data).  "
+    "State size is bounded by the watermark on both sides.",
+)
+def q146_stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    errors = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "error")
+        .select(F.col("event_id").alias("error_id"), F.col("user_id").alias("e_user"), F.col("ts").alias("e_ts"))
+        .withWatermark("e_ts", "2 hours")
+    )
+    clicks = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("click_id"), F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "2 hours")
+    )
+    joined = errors.join(
+        clicks,
+        (F.col("e_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("e_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("e_ts")),
+        "left_outer",
+    ).select("error_id", "click_id")
+    table = run_to_memory(joined, output_mode="append")
+    return spark.table(table).orderBy("error_id", "click_id")
