@@ -86,11 +86,12 @@ _PRIORITY: list[str] = [
     # New this round: second-wave LLM-pipeline operators
     "q121_tfidf", "q122_embedding_quantize", "q123_hash_sample",
     "q124_kmeans_refine", "q125_key_skew_histogram",
-    # Third-wave corpus-prep / time-series operators (newest, least proven;
-    # the remaining TPC-H shapes moved below -- classic SQL is the lowest
-    # driver-err risk in the registry)
-    "q143_dataset_mixing", "q139_decontaminate", "q130_multimodal_resize",
-    "q135_timeseries_gapfill", "q137_similarity_topk_int8", "q144_data_card",
+    # Third-wave operators (newest, least proven; the remaining TPC-H shapes
+    # moved below -- classic SQL is the lowest driver-err risk in the registry)
+    "q145_sequence_packing", "q146_stream_stream_left_outer",
+    "q147_salted_skew_join", "q143_dataset_mixing", "q144_data_card",
+    "q139_decontaminate", "q130_multimodal_resize",
+    "q135_timeseries_gapfill", "q137_similarity_topk_int8",
     # The six TPC-H shapes completed this round (all 22 covered)
     "q115_tpch_q2_min_cost", "q116_tpch_q9_profit",
     "q117_tpch_q11_important_stock", "q118_tpch_q16_supplier_cnt",
