@@ -619,3 +619,59 @@ def q125_key_skew_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("magnitude_digits")
     )
+
+
+@register(
+    "q148_embedding_gram",
+    sql="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    ei AS (SELECT vec_id, generate_subscripts(v, 1) - 1 AS i, unnest(v) AS x FROM v),
+    ej AS (SELECT vec_id, generate_subscripts(v, 1) - 1 AS j, unnest(v) AS x FROM v)
+    SELECT CAST(ei.i AS INT) AS i, CAST(ej.j AS INT) AS j,
+           ROUND(SUM(ei.x * ej.x), 4) AS g
+    FROM ei JOIN ej USING (vec_id)
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    doc="One-pass distributed gram matrix G = sum_rows v v^T over the "
+    "embedding corpus -- the linear-algebra primitive under PCA/whitening/"
+    "covariance for embedding post-processing.  Each partition reduces its "
+    "rows to a dim x dim partial with one numpy matmul (Arrow-batched "
+    "mapInPandas); the shuffle then carries O(partitions x dim^2) partial "
+    "cells, never row data, and the final agg is dim^2-sized.  At 100 TB "
+    "the reduction is scan-bound: the Python boundary emits 4096 cells per "
+    "partition regardless of row count.  The DuckDB oracle replays the "
+    "same sums via a position self-join (quadratic in dim, fine at oracle "
+    "scale); results rounded to 4 decimals to absorb float reduce-order.",
+)
+def q148_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "embeddings").select("embedding")
+
+    def gram_partials(batches):
+        G = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+            G = M.T @ M if G is None else G + M.T @ M
+        if G is None:
+            return
+        dim = G.shape[0]
+        idx = np.arange(dim)
+        yield pd.DataFrame(
+            {
+                "i": np.repeat(idx, dim).astype("int32"),
+                "j": np.tile(idx, dim).astype("int32"),
+                "partial": G.ravel(),
+            }
+        )
+
+    partials = e.mapInPandas(gram_partials, "i int, j int, partial double")
+    return (
+        partials.groupBy("i", "j")
+        .agg(F.round(F.sum("partial"), 4).alias("g"))
+        .orderBy("i", "j")
+    )
