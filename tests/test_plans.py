@@ -141,3 +141,49 @@ def test_decontaminate_broadcasts_eval_grams(spark, sf_dir):
     df = q139_decontaminate(spark, sf_dir)
     assert broadcast_join_count(df) >= 1, explain_str(df, "simple")
     assert "SortMergeJoin" not in explain_str(df, "simple")
+
+
+def test_dataset_mixing_broadcasts_rate_table(spark, sf_dir):
+    # q143's per-source rate table is dozens of rows; it must broadcast back
+    # onto the corpus scan (a shuffle join here would shuffle the whole
+    # corpus at 100 TB to join against ~20 rows).
+    from sparkstreaming_quickstart_spark.queries.traindata import q143_dataset_mixing
+
+    df = q143_dataset_mixing(spark, sf_dir)
+    assert broadcast_join_count(df) >= 1, explain_str(df, "simple")
+
+
+def test_sequence_packing_single_group_shuffle(spark, sf_dir):
+    # q145: one shuffle to group by lang for the packing kernel, one for the
+    # (lang, bin) reaggregation, plus the output sort -- no hidden extras.
+    from sparkstreaming_quickstart_spark.queries.traindata import q145_sequence_packing
+
+    df = q145_sequence_packing(spark, sf_dir)
+    plan = explain_str(df, "simple")
+    assert "FlatMapGroupsInPandas" in plan or "FlatMapGroupsInArrow" in plan, plan
+    assert shuffle_count(df) <= 3, plan
+
+
+def test_gram_matrix_shuffles_partials_not_rows(spark, sf_dir):
+    # q148 must reduce each partition to dim^2 partial cells BEFORE any
+    # shuffle: the plan is scan -> MapInPandas -> (partial agg) -> exchange.
+    # A Generate (explode) node would mean the dim^2 expansion happens
+    # row-wise JVM-side -- the O(rows x dim^2) shuffle this operator exists
+    # to avoid.
+    from sparkstreaming_quickstart_spark.queries.llm_extras import q148_embedding_gram
+
+    df = q148_embedding_gram(spark, sf_dir)
+    plan = explain_str(df, "simple")
+    assert "MapInPandas" in plan, plan
+    assert "Generate" not in plan, plan
+    assert shuffle_count(df) <= 2, plan
+
+
+def test_salted_join_spreads_salt_before_shuffle(spark, sf_dir):
+    # q147: the salt column must exist on both shuffle inputs (key spreading
+    # happens before the exchange, otherwise salting did nothing).
+    from sparkstreaming_quickstart_spark.queries.joins import q147_salted_skew_join
+
+    df = q147_salted_skew_join(spark, sf_dir)
+    plan = explain_str(df, "simple")
+    assert "__salt" in plan, plan
