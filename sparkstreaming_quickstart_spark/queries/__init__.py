@@ -124,6 +124,7 @@ def _ensure_loaded() -> None:
     from . import llm_extras  # noqa: F401
     from . import timeseries  # noqa: F401
     from . import traindata  # noqa: F401
+    from . import analytics  # noqa: F401
 
     rank = {name: i for i, name in enumerate(_PRIORITY)}
     ordered = sorted(

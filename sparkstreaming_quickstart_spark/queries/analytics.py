@@ -1,0 +1,126 @@
+"""Event-analytics operators: funnel conversion and retention cohorts.
+
+The classic product-analytics shapes every events pipeline ends up running;
+both are single-pass aggregations with full DuckDB value oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+from . import register
+
+
+@register(
+    "q149_funnel_steps",
+    sql="""
+    WITH per_user AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+               MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        FROM events
+        GROUP BY user_id),
+    flags AS (
+        SELECT user_id,
+               (t_view IS NOT NULL) AS s1,
+               (t_view IS NOT NULL AND t_click IS NOT NULL AND t_click >= t_view) AS s2,
+               (t_view IS NOT NULL AND t_click IS NOT NULL AND t_click >= t_view
+                AND t_purchase IS NOT NULL AND t_purchase >= t_click) AS s3
+        FROM per_user)
+    SELECT 'view' AS step, CAST(1 AS INT) AS step_order,
+           CAST(SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS n_users FROM flags
+    UNION ALL
+    SELECT 'view>click', 2, CAST(SUM(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) FROM flags
+    UNION ALL
+    SELECT 'view>click>purchase', 3, CAST(SUM(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) FROM flags
+    ORDER BY step_order
+    """,
+    doc="Funnel conversion (view -> click -> purchase, ordered by each "
+    "user's FIRST occurrence of every step): one hash-agg collapses the "
+    "event log to a row per user (min timestamp per step -- conditional "
+    "aggregation, no joins, no window), then three counts.  The standard "
+    "product-analytics funnel without MATCH_RECOGNIZE: at 100 TB this is "
+    "one shuffle on user_id and a constant-size second agg.",
+)
+def q149_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+
+    def first_ts(step: str):
+        return F.min(F.when(F.col("event_type") == step, F.col("ts")))
+
+    per_user = e.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    s1 = F.col("t_view").isNotNull()
+    s2 = s1 & F.col("t_click").isNotNull() & (F.col("t_click") >= F.col("t_view"))
+    s3 = s2 & F.col("t_purchase").isNotNull() & (F.col("t_purchase") >= F.col("t_click"))
+    flags = per_user.select(
+        s1.alias("s1"), s2.alias("s2"), s3.alias("s3")
+    )
+    counts = flags.agg(
+        F.sum(F.when(F.col("s1"), 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("s2"), 1).otherwise(0)).cast("long").alias("n2"),
+        F.sum(F.when(F.col("s3"), 1).otherwise(0)).cast("long").alias("n3"),
+    )
+    steps = counts.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("view").alias("step"), F.lit(1).alias("step_order"), F.col("n1").alias("n_users")),
+                F.struct(F.lit("view>click").alias("step"), F.lit(2).alias("step_order"), F.col("n2").alias("n_users")),
+                F.struct(
+                    F.lit("view>click>purchase").alias("step"), F.lit(3).alias("step_order"), F.col("n3").alias("n_users")
+                ),
+            )
+        ).alias("r")
+    )
+    return steps.select("r.step", "r.step_order", "r.n_users").orderBy("step_order")
+
+
+@register(
+    "q150_retention_cohorts",
+    sql="""
+    WITH firsts AS (
+        SELECT user_id, MIN(date_trunc('day', ts)) AS cohort_day
+        FROM events GROUP BY user_id),
+    activity AS (
+        SELECT DISTINCT e.user_id, f.cohort_day,
+               datediff('day', f.cohort_day, date_trunc('day', e.ts)) AS day_offset
+        FROM events e JOIN firsts f USING (user_id))
+    SELECT cohort_day, CAST(day_offset AS INT) AS day_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_active
+    FROM activity
+    WHERE day_offset <= 7
+    GROUP BY cohort_day, day_offset
+    ORDER BY cohort_day, day_offset
+    """,
+    doc="Retention cohorts: users grouped by first-active day, counted "
+    "distinct per (cohort, day-offset) for the first week.  Two shuffles "
+    "on user_id (first-day agg + the cohort join -- co-partitioned, so "
+    "AQE plans them back to back without a third exchange) and a distinct "
+    "over (user, cohort, offset) that collapses before the final "
+    "cohort-sized aggregation.  The offset cap bounds output to cohorts x "
+    "8 rows regardless of corpus size.",
+)
+def q150_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(F.min(F.date_trunc("day", "ts")).alias("cohort_day"))
+    activity = (
+        e.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.date_trunc("day", F.col("ts")), F.col("cohort_day")).alias("day_offset"),
+        )
+        .filter(F.col("day_offset") <= 7)
+        .distinct()
+    )
+    return (
+        activity.groupBy("cohort_day", F.col("day_offset").cast("int").alias("day_offset"))
+        .agg(F.count("*").alias("n_active"))
+        .orderBy("cohort_day", "day_offset")
+    )
