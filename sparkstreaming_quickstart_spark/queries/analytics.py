@@ -124,3 +124,45 @@ def q150_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_active"))
         .orderBy("cohort_day", "day_offset")
     )
+
+
+@register(
+    "q151_fuzzy_title_join",
+    sql="""
+    WITH t AS (
+        SELECT doc_id,
+               array_to_string(string_split(text, ' ')[1:5], ' ') AS title,
+               string_split(text, ' ')[1] AS blk
+        FROM documents)
+    SELECT a.doc_id AS d1, b.doc_id AS d2,
+           CAST(levenshtein(a.title, b.title) AS INT) AS edit_dist
+    FROM t a JOIN t b ON a.blk = b.blk AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.title, b.title) <= 10
+    ORDER BY d1, d2
+    """,
+    doc="Fuzzy string-similarity join (record linkage): 5-token document "
+    "prefixes matched within edit distance 10, candidates blocked on the "
+    "first token so the pair space is per-block, not corpus^2 -- the "
+    "standard blocking+verify shape fuzzy joins take at scale.  The "
+    "verify uses Spark's thresholded levenshtein (early-exits the DP "
+    "once the budget is exceeded -- O(threshold x len) not O(len^2)); "
+    "the DuckDB oracle computes the full distance and filters, same "
+    "result.  Production blocking would add a length band and a q-gram "
+    "bucket; the plan shape (equi-join on block key + cheap verify) is "
+    "the part that survives 100x.",
+)
+def q151_fuzzy_title_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    t = d.select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(toks, 1, 5)).alias("title"),
+        F.element_at(toks, 1).alias("blk"),
+    )
+    a = t.select(F.col("doc_id").alias("d1"), F.col("title").alias("t1"), "blk")
+    b = t.select(F.col("doc_id").alias("d2"), F.col("title").alias("t2"), "blk")
+    pairs = a.join(b, "blk").filter(F.col("d1") < F.col("d2"))
+    scored = pairs.select(
+        "d1", "d2", F.levenshtein(F.col("t1"), F.col("t2"), 10).alias("edit_dist")
+    )
+    return scored.filter(F.col("edit_dist") >= 0).orderBy("d1", "d2")
