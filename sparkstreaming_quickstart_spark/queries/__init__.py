@@ -89,9 +89,11 @@ _PRIORITY: list[str] = [
     # Third-wave operators (newest, least proven; the remaining TPC-H shapes
     # moved below -- classic SQL is the lowest driver-err risk in the registry)
     "q145_sequence_packing", "q146_stream_stream_left_outer",
-    "q147_salted_skew_join", "q143_dataset_mixing", "q144_data_card",
+    "q147_salted_skew_join", "q148_embedding_gram",
+    "q152_stream_global_topk", "q143_dataset_mixing", "q144_data_card",
     "q139_decontaminate", "q130_multimodal_resize",
     "q135_timeseries_gapfill", "q137_similarity_topk_int8",
+    "q149_funnel_steps", "q150_retention_cohorts", "q151_fuzzy_title_join",
     # The six TPC-H shapes completed this round (all 22 covered)
     "q115_tpch_q2_min_cost", "q116_tpch_q9_profit",
     "q117_tpch_q11_important_stock", "q118_tpch_q16_supplier_cnt",
