@@ -93,3 +93,46 @@ def test_join_strategy_hints_are_honored(spark, sf_dir):
     assert "SortMergeJoin" in explain_str(smj, "simple")
     shj = li.join(o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey)
     assert "ShuffledHashJoin" in explain_str(shj, "simple")
+
+
+def test_runtime_bloom_filter_join_injects(spark, sf_dir):
+    """Runtime Bloom-filter join: when a selective filter sits on one side of
+    a shuffle join, the optimizer builds a Bloom filter from that side and
+    prunes the other side's rows BEFORE the shuffle -- at 100 TB this is the
+    row-level analogue of dynamic partition pruning.  The creation/application
+    thresholds are sized for TB-scale inputs, so the test scales them down to
+    fixture scale and pins that the rewrite actually fires (an optimizer
+    regression would silently fall back to shuffling the full fact side)."""
+    from pyspark.sql import functions as F
+
+    from sparkstreaming_quickstart_spark.sources.catalog import load_table
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force a shuffle join
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+        j = li.join(o, li.l_orderkey == o.o_orderkey).select("l_orderkey", "l_quantity")
+        plan = j._jdf.queryExecution().optimizedPlan().toString().lower()
+        assert "bloom" in plan or "might_contain" in plan, plan[:2000]
+        # and the rewrite must not change results
+        n_filtered = j.count()
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+        li2 = load_table(spark, sf_dir, "lineitem")
+        o2 = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+        assert li2.join(o2, li2.l_orderkey == o2.o_orderkey).count() == n_filtered
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
