@@ -65,12 +65,16 @@ def main() -> None:
     # constant regardless of data size and therefore irrelevant to the 100 TB
     # throughput this bench is a proxy for; measured at sf0.1 the second run
     # still carries warm-up residue (e.g. q55 8.2/2.0/1.7s), so min-of-3 is
-    # the steady-state cost and is also robust to co-tenant noise.
+    # the steady-state cost.  The repetitions are INTERLEAVED (three full
+    # passes over the list, min per query) rather than back-to-back: this VM
+    # shows minute-scale host-tenant noise windows, and back-to-back repeats
+    # let one bad window poison all three samples of a single query (observed
+    # 5x on an otherwise-unchanged plan); interleaving spreads each query's
+    # samples across the whole bench so the min sees at least one quiet pass.
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        q = registry[name]
-        best = None
-        for _ in range(3):
+    for _pass in range(3):
+        for name in HEADLINE:
+            q = registry[name]
             t0 = time.time()
             df = q.fn(spark, sf_dir)
             if name in ROW_PRESERVING:
@@ -78,8 +82,9 @@ def main() -> None:
             else:
                 df.collect()
             elapsed = time.time() - t0
-            best = elapsed if best is None else min(best, elapsed)
-        timings[name] = round(best, 3)
+            prev = timings.get(name)
+            timings[name] = elapsed if prev is None else min(prev, elapsed)
+    timings = {k: round(v, 3) for k, v in timings.items()}
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
