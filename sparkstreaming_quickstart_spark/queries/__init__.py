@@ -94,6 +94,13 @@ _PRIORITY: list[str] = [
     "q139_decontaminate", "q130_multimodal_resize",
     "q135_timeseries_gapfill", "q137_similarity_topk_int8",
     "q149_funnel_steps", "q150_retention_cohorts", "q151_fuzzy_title_join",
+    # Fourth-wave operators (newest: statistics, corpus quality, vector
+    # sketching, error-safe scalars, chained streaming aggregation)
+    "q153_regr_aggregates", "q154_listagg_median", "q155_doc_perplexity",
+    "q156_random_projection", "q157_countmin_heavy_hitters",
+    "q158_corpus_dup_ngrams", "q159_stream_chained_windows",
+    "q160_null_safe_join", "q161_pq_topk", "q162_try_functions",
+    "q163_state_store_reader", "q164_stream_dedup_within_watermark",
     # The six TPC-H shapes completed this round (all 22 covered)
     "q115_tpch_q2_min_cost", "q116_tpch_q9_profit",
     "q117_tpch_q11_important_stock", "q118_tpch_q16_supplier_cnt",
@@ -127,6 +134,9 @@ def _ensure_loaded() -> None:
     from . import timeseries  # noqa: F401
     from . import traindata  # noqa: F401
     from . import analytics  # noqa: F401
+    from . import statistics  # noqa: F401
+    from . import corpus_quality  # noqa: F401
+    from . import vectors  # noqa: F401
 
     rank = {name: i for i, name in enumerate(_PRIORITY)}
     ordered = sorted(

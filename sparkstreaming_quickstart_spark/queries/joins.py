@@ -287,3 +287,44 @@ def q147_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "q160_null_safe_join",
+    sql="""
+    WITH e AS (
+        SELECT CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER) % 7 = 0
+                    THEN NULL
+                    ELSE CAST(json_extract_string(props, '$.k') AS INTEGER) % 7 END AS join_key
+        FROM events),
+    d AS (
+        SELECT CASE WHEN n_nationkey % 7 = 0 THEN NULL ELSE n_nationkey % 7 END AS join_key,
+               n_name
+        FROM nation)
+    SELECT e.join_key, COUNT(*) AS n_pairs
+    FROM e JOIN d ON e.join_key IS NOT DISTINCT FROM d.join_key
+    GROUP BY e.join_key
+    ORDER BY e.join_key NULLS FIRST
+    """,
+    doc="Null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys match "
+    "each other instead of silently dropping -- the semantics a sessionizer "
+    "needs when 'unattributed' is itself a join key.  Planner note: Spark "
+    "compiles <=> to a HASHED join key (EqualNullSafe is a valid equi-join "
+    "key), so this stays a broadcast-hash join, NOT a nested-loop -- "
+    "null-safety costs nothing at 100 TB.  The NULL group is the classic "
+    "skew key; at scale the q147 salting path applies to it verbatim.",
+)
+def q160_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("integer") % 7
+    e = ev.select(F.when(k == 0, F.lit(None)).otherwise(k).alias("join_key"))
+    nk = F.col("n_nationkey") % 7
+    d = load_table(spark, sf_dir, "nation").select(
+        F.when(nk == 0, F.lit(None)).otherwise(nk).alias("join_key"), "n_name"
+    )
+    return (
+        e.join(F.broadcast(d), e["join_key"].eqNullSafe(d["join_key"]))
+        .groupBy(e["join_key"])
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy(F.asc_nulls_first("join_key"))
+    )

@@ -255,3 +255,49 @@ def q108_regexp_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
         .try_cast("integer")
         .alias("leading_int"),
     ).orderBy("doc_id")
+
+
+@register(
+    "q162_try_functions",
+    sql="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_quantity = 25 THEN NULL
+                ELSE floor(l_extendedprice / (l_quantity - 25.0) * 10000) / 10000
+                END AS safe_ratio,
+           CASE WHEN l_linenumber BETWEEN 1 AND 2
+                THEN [l_partkey, l_suppkey][l_linenumber] END AS maybe_elem,
+           TRY_CAST(l_orderkey ||
+                    CASE WHEN l_linenumber > 3 THEN 'x' ELSE '' END AS INTEGER) AS parsed
+    FROM lineitem
+    WHERE l_orderkey < 300
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    doc="ANSI-mode error-safe scalar family (Spark 4 defaults to ANSI, where "
+    "div-by-zero / bad casts / out-of-bounds THROW): try_divide, "
+    "try_element_at, try_cast return NULL instead, making row-level data "
+    "errors non-fatal without disabling ANSI for the whole job -- the "
+    "contract a 100 TB ingest needs (one malformed row must not kill a "
+    "6-hour job).  Pure codegen projections; the oracle spells each "
+    "try_* as its explicit CASE guard.",
+)
+def q162_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 300)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        # floor-at-4-digits, not ROUND: the quotient is the same double in
+        # both engines, but .xxxx5 ties round differently (Spark half-up,
+        # DuckDB half-even); floor of the shared double cannot disagree.
+        (F.floor(F.try_divide(F.col("l_extendedprice"), F.col("l_quantity") - 25.0) * 10000) / 10000).alias(
+            "safe_ratio"
+        ),
+        F.try_element_at(
+            F.array("l_partkey", "l_suppkey"), F.col("l_linenumber")
+        ).alias("maybe_elem"),
+        F.concat(
+            F.col("l_orderkey").cast("string"),
+            F.when(F.col("l_linenumber") > 3, F.lit("x")).otherwise(F.lit("")),
+        )
+        .try_cast("integer")
+        .alias("parsed"),
+    ).orderBy("l_orderkey", "l_linenumber")

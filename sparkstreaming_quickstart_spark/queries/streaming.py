@@ -433,3 +433,146 @@ def q152_stream_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     table = run_to_memory(agg, output_mode="complete")
     return spark.table(table).orderBy(F.col("total_value").desc(), F.col("user_id").asc())
+
+
+@register(
+    "q159_stream_chained_windows",
+    sql="""
+    WITH wm AS (
+        SELECT date_trunc('milliseconds', max(ts)) - INTERVAL 2 HOUR AS w FROM events),
+    rollup6 AS (
+        SELECT TIMESTAMP '1970-01-01'
+                   + CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT) * INTERVAL 1 SECOND
+                   AS window_start,
+               event_type,
+               COUNT(*) AS n_events,
+               COUNT(DISTINCT floor(epoch(ts) / 3600)) AS n_subwindows,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        FROM events GROUP BY 1, 2)
+    SELECT window_start, event_type, n_events, n_subwindows, total_value
+    FROM rollup6, wm
+    WHERE window_start + INTERVAL 6 HOUR <= wm.w
+    ORDER BY window_start, event_type
+    """,
+    doc="CHAINED stateful operators (Spark 3.5+/4.x multiple-stateful-ops "
+    "support): a 1-hour tumbling aggregation feeds a second 6-hour window "
+    "aggregation over window_time() of the first, both in one streaming "
+    "query (append mode -- complete is not composable upstream).  The "
+    "hierarchical-rollup shape of every metrics pipeline (minute->hour->"
+    "day) without a second job or an intermediate topic.  State stays "
+    "bounded: the shared watermark evicts both operators' windows.  The "
+    "oracle replays the append-mode emission rule exactly: a 6h window "
+    "emits iff its end <= final watermark (min ms-truncated max event "
+    "time - 2h), so withheld trailing windows are correct semantics, not "
+    "missing data.  The inner decimal sum keeps the rollup exact under "
+    "any micro-batch split.",
+)
+def q159_stream_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "2 hours")
+    hourly = ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("v"),
+    )
+    six = (
+        hourly.groupBy(F.window(F.window_time("w"), "6 hours").alias("w6"), "event_type")
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.count("*").alias("n_subwindows"),
+            F.sum("v").cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w6.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "n_subwindows",
+            "total_value",
+        )
+    )
+    table = run_to_memory(six, output_mode="append")
+    return spark.table(table).orderBy("window_start", "event_type")
+
+
+@register(
+    "q163_state_store_reader",
+    sql="""
+    WITH wm AS (
+        SELECT date_trunc('milliseconds', max(ts)) - INTERVAL 2 HOUR AS w FROM events),
+    h AS (
+        SELECT TIMESTAMP '1970-01-01'
+                   + CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) * INTERVAL 1 SECOND
+                   AS window_start,
+               event_type,
+               COUNT(*) AS n_events
+        FROM events GROUP BY 1, 2)
+    SELECT window_start, event_type, n_events
+    FROM h, wm
+    WHERE window_start + INTERVAL 1 HOUR > wm.w
+    ORDER BY window_start, event_type
+    """,
+    doc="Spark 4 State Data Source: drain an hourly windowed aggregation "
+    "with availableNow (append mode), then read the live operator state "
+    "BACK out of the checkpoint with spark.read.format('statestore') -- "
+    "the state-introspection/debugging path for a production streaming "
+    "job (inspect skew, hot keys, or stuck windows without stopping the "
+    "query).  Append mode emits a window iff window.end <= watermark "
+    "(probed, boundary inclusive), so the retained state is exactly the "
+    "complement: windows with end > final watermark -- which is what the "
+    "oracle computes from batch.  The emitted/retained split here and in "
+    "q159 are two views of the same eviction rule.",
+)
+def q163_state_store_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    ckpt = tempfile.mkdtemp(prefix="ssq-statestore-")
+    stream = events_stream(spark, sf_dir).withWatermark("ts", "2 hours")
+    agg = stream.groupBy(F.window("ts", "1 hour").alias("w"), "event_type").agg(
+        F.count("*").alias("n_events")
+    )
+    q = (
+        agg.writeStream.format("noop")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    state = spark.read.format("statestore").load(ckpt)
+    # The state schema uses physical names, not query aliases (probed): the
+    # key's window field is `window`, the value's single aggregation buffer
+    # is `count` -- resolve the buffer by position to stay robust.
+    buf = state.schema["value"].dataType.names[0]
+    return state.select(
+        F.col("key.window.start").alias("window_start"),
+        F.col("key.event_type").alias("event_type"),
+        F.col(f"value.{buf}").alias("n_events"),
+    ).orderBy("window_start", "event_type")
+
+
+@register(
+    "q164_stream_dedup_within_watermark",
+    sql="""
+    SELECT DISTINCT user_id, event_type FROM events
+    ORDER BY user_id, event_type
+    """,
+    doc="dropDuplicatesWithinWatermark (Spark 3.5+): streaming dedup whose "
+    "state carries a TTL -- a key's state is dropped once the watermark "
+    "passes its first-seen event time + delay, so state size is bounded "
+    "by the watermark horizon instead of growing with lifetime key "
+    "cardinality (the difference that matters at 100 TB: q72's plain "
+    "dropDuplicates state never shrinks).  A key re-emits if it recurs "
+    "after its state expired, so the output is reduced to DISTINCT keys, "
+    "which is split-invariant (correct under any micro-batch replay, the "
+    "q74 lesson).",
+)
+def q164_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = events_stream(spark, sf_dir).withWatermark("ts", "2 hours")
+    dd = stream.select("user_id", "event_type", "ts").dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+    table = run_to_memory(dd, output_mode="append")
+    return (
+        spark.table(table)
+        .select("user_id", "event_type")
+        .distinct()
+        .orderBy("user_id", "event_type")
+    )

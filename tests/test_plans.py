@@ -187,3 +187,49 @@ def test_salted_join_spreads_salt_before_shuffle(spark, sf_dir):
     df = q147_salted_skew_join(spark, sf_dir)
     plan = explain_str(df, "simple")
     assert "__salt" in plan, plan
+
+
+def test_jl_projection_is_shuffle_free_codegen(spark, sf_dir):
+    # q156: the JL sketch must be one narrow projection -- no shuffle (the
+    # sign matrix is a plan-time constant, not a broadcast join) and inside
+    # whole-stage codegen (512 additions is well under the janino limit).
+    from sparkstreaming_quickstart_spark.queries.vectors import q156_random_projection
+
+    df = q156_random_projection(spark, sf_dir)
+    # the only exchange allowed is the final orderBy's range partition
+    assert shuffle_count(df) <= 1, explain_str(df, "simple")
+    assert "WholeStageCodegen" in explain_str(df, "codegen")
+
+
+def test_pq_codes_single_arrow_kernel_and_broadcast_lut(spark, sf_dir):
+    # q161: code assignment must be ONE Arrow kernel pass over the corpus
+    # (the Column-expression spelling of 8x16x8 distance terms breaks janino
+    # codegen and falls back to interpreted -- measured ~20x slower), and the
+    # per-query LUTs must arrive via broadcast, never a shuffle of the corpus.
+    from sparkstreaming_quickstart_spark.queries.vectors import q161_pq_topk
+
+    df = q161_pq_topk(spark, sf_dir)
+    plan = explain_str(df, "simple")
+    assert plan.count("MapInPandas") == 1, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    # corpus-side DATA shuffles: only the top-k window's partition-by-query
+    # exchange and the final orderBy (the LUT BroadcastExchange is not a
+    # data shuffle); the partial WindowGroupLimit must pre-filter to
+    # per-partition top-k BEFORE that exchange (map-side top-k).
+    data_shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert data_shuffles <= 2, plan
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_cms_counter_grid_is_bounded_aggregation(spark, sf_dir):
+    # q157: the sketch build must aggregate into the fixed 4x512 counter grid
+    # (key domain 2048 regardless of vocabulary) and the candidate probe must
+    # broadcast against it -- if the counters ever shuffle per-token the
+    # sketch has lost its bounded-memory point.
+    from sparkstreaming_quickstart_spark.queries.corpus_quality import (
+        q157_countmin_heavy_hitters,
+    )
+
+    df = q157_countmin_heavy_hitters(spark, sf_dir)
+    plan = explain_str(df, "simple")
+    assert "BroadcastExchange" in plan, plan
