@@ -101,6 +101,10 @@ _PRIORITY: list[str] = [
     "q158_corpus_dup_ngrams", "q159_stream_chained_windows",
     "q160_null_safe_join", "q161_pq_topk", "q162_try_functions",
     "q163_state_store_reader", "q164_stream_dedup_within_watermark",
+    # Fifth wave: SQL-language surface + remaining pipeline ops
+    "q165_sql_udf", "q166_sql_scripting", "q167_map_in_arrow",
+    "q168_feature_hashing", "q169_neardup_triangles", "q170_union_by_name",
+    "q171_parameterized_sql",
     # The six TPC-H shapes completed this round (all 22 covered)
     "q115_tpch_q2_min_cost", "q116_tpch_q9_profit",
     "q117_tpch_q11_important_stock", "q118_tpch_q16_supplier_cnt",
@@ -137,6 +141,7 @@ def _ensure_loaded() -> None:
     from . import statistics  # noqa: F401
     from . import corpus_quality  # noqa: F401
     from . import vectors  # noqa: F401
+    from . import wave5  # noqa: F401
 
     rank = {name: i for i, name in enumerate(_PRIORITY)}
     ordered = sorted(

@@ -233,3 +233,14 @@ def test_cms_counter_grid_is_bounded_aggregation(spark, sf_dir):
     df = q157_countmin_heavy_hitters(spark, sf_dir)
     plan = explain_str(df, "simple")
     assert "BroadcastExchange" in plan, plan
+
+
+def test_triangle_joins_broadcast_the_edge_set(spark, sf_dir):
+    # q169: the LSH edge set is sparse by construction, so the triangle
+    # double-join must be broadcast-hash (zero shuffle) -- through a cached
+    # relation AQE does not re-coalesce, so a shuffle here would run at full
+    # spark.sql.shuffle.partitions width on a few hundred rows.
+    from sparkstreaming_quickstart_spark.queries.wave5 import q169_neardup_triangles
+
+    df = q169_neardup_triangles(spark, sf_dir)
+    assert broadcast_join_count(df) >= 2, explain_str(df, "simple")
