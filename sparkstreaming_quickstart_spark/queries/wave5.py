@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import md5_lower64
-from ..sources.catalog import load_table
+from ..sources.catalog import load_table, spread
 from . import register
 from .llm import _jaccard_oracle
 
@@ -59,7 +59,7 @@ def q165_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q166_sql_scripting",
     sql="""
-    WITH ks AS (SELECT unnest(generate_series(0, 63)) AS k),
+    WITH ks AS (SELECT unnest(generate_series(10, 63)) AS k),
     cand AS (
         SELECT k, power(2, k) AS thr,
                (SELECT COUNT(*) FROM orders WHERE o_totalprice > power(2, k)) AS n_above
@@ -72,14 +72,15 @@ def q165_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "-- the adaptive-threshold search every data-quality cutoff needs.  "
     "Each loop iteration is a full distributed aggregate; only the scalar "
     "threshold lives in script state.  The oracle unrolls the loop "
-    "(smallest power of two with n_above < 10; doubling from 1.0 produces "
-    "exact powers of two, so the comparison is float-exact).",
+    "(smallest power of two >= the 2^10 start with n_above < 10; doubling "
+    "produces exact powers of two, so the comparison is float-exact; the "
+    "start sits far below any order price so both spellings agree).",
 )
 def q166_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
     return spark.sql(
         """BEGIN
-             DECLARE thr DOUBLE DEFAULT 1.0;
+             DECLARE thr DOUBLE DEFAULT 1024.0;
              WHILE (SELECT COUNT(*) FROM orders_v WHERE o_totalprice > thr) >= 10 DO
                SET thr = thr * 2;
              END WHILE;
@@ -147,7 +148,7 @@ def q167_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     "domain is docs x 64, never vocabulary-sized.",
 )
 def q168_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
     sgn = F.when(
         F.pmod(md5_lower64(F.concat(F.lit("s:"), F.col("token"))), F.lit(2)) == 1, 1

@@ -55,3 +55,19 @@ def register_tables(spark: SparkSession, sf_dir: str) -> None:
     """Register every testdata table as a temp view (for spark.sql queries)."""
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition a small input across the cluster's slots.
+
+    Local-mode artifact guard (same rule as minhash_signatures): a small
+    single-file parquet reads as fewer splits than the machine has cores,
+    serializing any expensive per-row work (token explode + hashing) on a
+    handful of tasks.  Self-disables when the input already has enough
+    splits -- at 100 TB inputs arrive as thousands of splits and this
+    repartition never fires.
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
