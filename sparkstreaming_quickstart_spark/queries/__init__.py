@@ -105,6 +105,11 @@ _PRIORITY: list[str] = [
     "q165_sql_udf", "q166_sql_scripting", "q167_map_in_arrow",
     "q168_feature_hashing", "q169_neardup_triangles", "q170_union_by_name",
     "q171_parameterized_sql",
+    # Sixth wave: applyInArrow, bitmap distinct, inverse-distribution
+    # percentiles, URL functions, from_csv, idempotent foreachBatch upsert
+    "q172_apply_in_arrow", "q173_bitmap_distinct", "q174_percentile_cont_disc",
+    "q175_url_functions", "q176_from_csv", "q177_foreachbatch_upsert",
+    "q178_brp_lsh_euclidean", "q179_stream_stream_full_outer",
     # The six TPC-H shapes completed this round (all 22 covered)
     "q115_tpch_q2_min_cost", "q116_tpch_q9_profit",
     "q117_tpch_q11_important_stock", "q118_tpch_q16_supplier_cnt",
@@ -142,6 +147,7 @@ def _ensure_loaded() -> None:
     from . import corpus_quality  # noqa: F401
     from . import vectors  # noqa: F401
     from . import wave5  # noqa: F401
+    from . import wave6  # noqa: F401
 
     rank = {name: i for i, name in enumerate(_PRIORITY)}
     ordered = sorted(

@@ -576,3 +576,80 @@ def q164_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> Data
         .distinct()
         .orderBy("user_id", "event_type")
     )
+
+
+@register(
+    "q179_stream_stream_full_outer",
+    sql="""
+    WITH err AS (
+        SELECT event_id AS error_id, user_id AS e_user, ts AS e_ts
+        FROM events WHERE event_type = 'error'),
+    clk AS (
+        SELECT event_id AS click_id, user_id AS c_user, ts AS c_ts
+        FROM events WHERE event_type = 'click'),
+    wm AS (
+        SELECT date_trunc('milliseconds',
+                   least((SELECT max(e_ts) FROM err), (SELECT max(c_ts) FROM clk)))
+               - INTERVAL 2 HOUR AS w),
+    matched AS (
+        SELECT e.error_id, c.click_id
+        FROM err e JOIN clk c
+          ON e.e_user = c.c_user
+         AND c.c_ts BETWEEN e.e_ts - INTERVAL 1 HOUR AND e.e_ts),
+    un_err AS (
+        SELECT e.error_id, NULL AS click_id
+        FROM err e, wm
+        WHERE NOT EXISTS (SELECT 1 FROM matched m WHERE m.error_id = e.error_id)
+          AND e.e_ts < wm.w),
+    un_clk AS (
+        SELECT NULL AS error_id, c.click_id
+        FROM clk c, wm
+        WHERE NOT EXISTS (SELECT 1 FROM matched m WHERE m.click_id = c.click_id)
+          AND c.c_ts + INTERVAL 1 HOUR < wm.w)
+    SELECT error_id, click_id FROM matched
+    UNION ALL SELECT * FROM un_err
+    UNION ALL SELECT * FROM un_clk
+    ORDER BY error_id NULLS LAST, click_id NULLS LAST
+    """,
+    doc="Stream-stream FULL OUTER interval join -- completes the streaming "
+    "join matrix (inner q73, left-outer q146): every error pairs with its "
+    "trailing-1h clicks, and BOTH unmatched sides null-extend once the "
+    "watermark proves no match can still arrive.  The oracle replays both "
+    "emission rules exactly: an unmatched error emits iff e_ts < watermark "
+    "(its newest possible click is at e_ts), an unmatched click iff "
+    "c_ts + 1h < watermark (its newest possible error is at c_ts + 1h) -- "
+    "asymmetric bounds because the interval is one-sided.  State on both "
+    "sides is watermark-evicted, so it stays bounded at any volume.",
+)
+def q179_stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    errors = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("e_ts"),
+        )
+        .withWatermark("e_ts", "2 hours")
+    )
+    clicks = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    joined = errors.join(
+        clicks,
+        (F.col("e_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("e_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("e_ts")),
+        "full_outer",
+    ).select("error_id", "click_id")
+    table = run_to_memory(joined, output_mode="append")
+    return spark.table(table).orderBy(
+        F.col("error_id").asc_nulls_last(), F.col("click_id").asc_nulls_last()
+    )

