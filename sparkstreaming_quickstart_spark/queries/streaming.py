@@ -556,13 +556,14 @@ def q163_state_store_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="dropDuplicatesWithinWatermark (Spark 3.5+): streaming dedup whose "
     "state carries a TTL -- a key's state is dropped once the watermark "
-    "passes its first-seen event time + delay, so state size is bounded "
-    "by the watermark horizon instead of growing with lifetime key "
-    "cardinality (the difference that matters at 100 TB: q72's plain "
-    "dropDuplicates state never shrinks).  A key re-emits if it recurs "
-    "after its state expired, so the output is reduced to DISTINCT keys, "
-    "which is split-invariant (correct under any micro-batch replay, the "
-    "q74 lesson).",
+    "passes its last-seen event time + delay (each duplicate refreshes "
+    "the expiry; probed in test_dedup_within_watermark_ttl_reemits), so "
+    "state size is bounded by the watermark horizon instead of growing "
+    "with lifetime key cardinality (the difference that matters at "
+    "100 TB: q72's plain dropDuplicates state never shrinks).  A key "
+    "re-emits if it recurs after its state expired, so the output is "
+    "reduced to DISTINCT keys, which is split-invariant (correct under "
+    "any micro-batch replay, the q74 lesson).",
 )
 def q164_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = events_stream(spark, sf_dir).withWatermark("ts", "2 hours")

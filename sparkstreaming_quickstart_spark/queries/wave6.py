@@ -204,34 +204,14 @@ def q176_from_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q177_foreachbatch_upsert",
-    sql="""
-    SELECT user_id,
-           first(event_type ORDER BY ts DESC, event_id DESC) AS last_event_type,
-           COUNT(*) AS n_events
-    FROM events
-    GROUP BY user_id
-    ORDER BY user_id
-    """,
-    doc="Idempotent foreachBatch upsert -- THE production streaming-sink "
-    "pattern: each micro-batch merges per-user state (last event by "
-    "(ts, event_id), lifetime count) into a parquet table via "
-    "read-merge-atomic-swap, and a batch-id ledger skips already-applied "
-    "batches so retried batches cannot double-count (exactly-once on top "
-    "of at-least-once delivery).  The merge is a max/sum -- associative "
-    "and split-invariant, so the final table equals the batch oracle "
-    "under ANY micro-batch replay.  On a real cluster the swap is a "
-    "transactional table commit; the ledger logic is identical.",
-)
-def q177_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+def make_upsert(root: str):
+    """Build the idempotent foreachBatch merge for q177 (module-level so the
+    retry/idempotency contract is directly testable): batch-id ledger skips
+    already-applied batches, merge is max/sum (associative), table swap is
+    atomic."""
     import os
     import shutil
-    import tempfile
 
-    from ..streaming.source import events_stream
-
-    root = tempfile.mkdtemp(prefix="ssq-upsert-")
     state_dir = os.path.join(root, "state")
     ledger = os.path.join(root, "applied_batches.txt")
 
@@ -263,6 +243,39 @@ def q177_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.rename(tmp, state_dir)
         with open(ledger, "a") as fh:
             fh.write(f"{batch_id}\n")
+
+    return upsert
+
+
+@register(
+    "q177_foreachbatch_upsert",
+    sql="""
+    SELECT user_id,
+           first(event_type ORDER BY ts DESC, event_id DESC) AS last_event_type,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc="Idempotent foreachBatch upsert -- THE production streaming-sink "
+    "pattern: each micro-batch merges per-user state (last event by "
+    "(ts, event_id), lifetime count) into a parquet table via "
+    "read-merge-atomic-swap, and a batch-id ledger skips already-applied "
+    "batches so retried batches cannot double-count (exactly-once on top "
+    "of at-least-once delivery).  The merge is a max/sum -- associative "
+    "and split-invariant, so the final table equals the batch oracle "
+    "under ANY micro-batch replay.  On a real cluster the swap is a "
+    "transactional table commit; the ledger logic is identical.",
+)
+def q177_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..streaming.source import events_stream
+
+    root = tempfile.mkdtemp(prefix="ssq-upsert-")
+    state_dir = os.path.join(root, "state")
+    upsert = make_upsert(root)
 
     stream = events_stream(spark, sf_dir).select("user_id", "ts", "event_id", "event_type")
     q = (
