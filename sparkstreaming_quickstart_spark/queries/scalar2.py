@@ -301,3 +301,42 @@ def q162_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .try_cast("integer")
         .alias("parsed"),
     ).orderBy("l_orderkey", "l_linenumber")
+
+
+@register(
+    "q180_generators_xml",
+    sql="""
+    WITH base AS (SELECT * FROM lineitem WHERE l_orderkey < 100),
+    unp AS (
+        SELECT l_orderkey, l_linenumber, 'qty' AS measure,
+               CAST(l_quantity AS DOUBLE) AS val, l_returnflag FROM base
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'price',
+               CAST(l_extendedprice AS DOUBLE), l_returnflag FROM base)
+    SELECT l_orderkey, l_linenumber, measure, val,
+           l_returnflag AS flag_roundtrip
+    FROM unp
+    ORDER BY l_orderkey, l_linenumber, measure
+    """,
+    doc="Row-generator + XML codec coverage: stack() unpivots two measures "
+    "into rows (the generator spelling of q92's unpivot -- both compile to "
+    "the same Generate node), and each row's returnflag round-trips "
+    "through to_xml -> from_xml (Spark 4's struct<->XML codec pair; q134 "
+    "covers decode-only).  All codegen expressions; the oracle spells the "
+    "generator as UNION ALL and the XML roundtrip as the identity it must "
+    "be.",
+)
+def q180_generators_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    stacked = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(
+            "stack(2, 'qty', CAST(l_quantity AS DOUBLE), "
+            "'price', CAST(l_extendedprice AS DOUBLE)) AS (measure, val)"
+        ),
+        F.expr(
+            "from_xml(to_xml(struct(l_returnflag AS flag)), 'flag STRING').flag"
+        ).alias("flag_roundtrip"),
+    )
+    return stacked.orderBy("l_orderkey", "l_linenumber", "measure")
