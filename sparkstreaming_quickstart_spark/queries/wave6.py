@@ -367,3 +367,59 @@ def q178_brp_lsh_euclidean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id1", "id2", F.round("eucl_dist", 6).alias("eucl_dist"))
         .orderBy("id1", "id2")
     )
+
+
+@register(
+    "q181_mllib_summarizer",
+    sql="""
+    SELECT label, CAST(pos AS INT) AS pos,
+           ROUND(AVG(CAST(v AS DOUBLE)), 6) AS mean_val,
+           ROUND(var_samp(CAST(v AS DOUBLE)), 6) AS var_val,
+           COUNT(*) AS n
+    FROM (SELECT label, unnest(embedding) AS v,
+                 generate_subscripts(embedding, 1) AS pos
+          FROM embeddings)
+    GROUP BY label, pos
+    ORDER BY label, pos
+    """,
+    doc="MLlib Summarizer vector statistics: per-label elementwise mean and "
+    "sample variance of the embedding column in ONE streaming pass over "
+    "vectors (Summarizer.metrics('mean','variance','count') aggregates "
+    "MLlib Vector values with map-side partials -- the feature-statistics "
+    "pass every normalization/whitening step needs).  The q111 centroid "
+    "query is the expression-only spelling of the mean; this is the "
+    "vector-UDT route, exploded back to (label, dim) rows for the oracle.",
+)
+def q181_mllib_summarizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.stat import Summarizer
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "label", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    )
+    summ = e.groupBy("label").agg(
+        Summarizer.metrics("mean", "variance", "count")
+        .summary(F.col("features"))
+        .alias("s")
+    )
+    flat = summ.select(
+        "label",
+        vector_to_array(F.col("s.mean")).alias("mean_arr"),
+        vector_to_array(F.col("s.variance")).alias("var_arr"),
+        F.col("s.count").alias("n"),
+    )
+    return (
+        flat.select(
+            "label",
+            "n",
+            F.posexplode(F.arrays_zip(F.col("mean_arr"), F.col("var_arr"))).alias("p", "mv"),
+        )
+        .select(
+            "label",
+            (F.col("p") + 1).cast("int").alias("pos"),
+            F.round(F.col("mv.mean_arr"), 6).alias("mean_val"),
+            F.round(F.col("mv.var_arr"), 6).alias("var_val"),
+            "n",
+        )
+        .orderBy("label", "pos")
+    )
