@@ -136,3 +136,44 @@ def test_runtime_bloom_filter_join_injects(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_cbo_statistics_drive_broadcast_selection(spark, sf_dir):
+    """Statistics-driven planning: ANALYZE TABLE records rowCount/sizeInBytes
+    in the catalog, and the planner then picks a broadcast join for the
+    small analyzed table WITHOUT any hint -- at 100 TB, collected stats are
+    what let the optimizer make this call per-table instead of per-query
+    hand-tuning.  (File-scan relations fall back to file size; catalog
+    stats are the precise path, incl. after filters via column stats.)"""
+    from sparkstreaming_quickstart_spark.sources.catalog import load_table
+
+    saved = spark.conf.get("spark.sql.cbo.enabled", None)
+    try:
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        load_table(spark, sf_dir, "nation").write.mode("overwrite").saveAsTable(
+            "nation_stats"
+        )
+        spark.sql("ANALYZE TABLE nation_stats COMPUTE STATISTICS FOR ALL COLUMNS")
+        desc = {
+            r.col_name: r.data_type
+            for r in spark.sql("DESCRIBE TABLE EXTENDED nation_stats").collect()
+        }
+        stats = desc.get("Statistics", "")
+        assert "25 rows" in stats, f"catalog stats missing rowCount: {stats!r}"
+        li = load_table(spark, sf_dir, "lineitem")
+        sup = load_table(spark, sf_dir, "supplier")
+        n = spark.table("nation_stats")
+        j = (
+            li.join(sup, li.l_suppkey == sup.s_suppkey)
+            .join(n, sup.s_nationkey == n.n_nationkey)
+            .groupBy("n_name")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan, plan[:2000]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS nation_stats")
+        if saved is None:
+            spark.conf.unset("spark.sql.cbo.enabled")
+        else:
+            spark.conf.set("spark.sql.cbo.enabled", saved)
