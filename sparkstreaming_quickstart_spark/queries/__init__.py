@@ -111,6 +111,7 @@ _PRIORITY: list[str] = [
     "q175_url_functions", "q176_from_csv", "q177_foreachbatch_upsert",
     "q178_brp_lsh_euclidean", "q179_stream_stream_full_outer",
     "q180_generators_xml", "q181_mllib_summarizer",
+    "q182_width_bucket_histogram",
     # The six TPC-H shapes completed this round (all 22 covered)
     "q115_tpch_q2_min_cost", "q116_tpch_q9_profit",
     "q117_tpch_q11_important_stock", "q118_tpch_q16_supplier_cnt",

@@ -98,3 +98,40 @@ def q154_listagg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+@register(
+    "q182_width_bucket_histogram",
+    sql="""
+    SELECT CAST(CASE WHEN l_extendedprice < 0 THEN 0
+                     WHEN l_extendedprice >= 80000 THEN 21
+                     ELSE floor(l_extendedprice / 4000.0) + 1 END AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY 1
+    ORDER BY bucket
+    """,
+    doc="Equi-width feature binning via width_bucket (Spark 3.5+): histogram "
+    "of extendedprice into 20 [0, 80000) buckets with under/overflow bins "
+    "0 and 21 -- the deterministic discretization step for feature "
+    "engineering and drift monitoring (equi-DEPTH binning would ride "
+    "approxQuantile, whose GK-sketch merge is partition-order dependent "
+    "and therefore not oracle-able; equi-width is exact).  One hash-agg "
+    "over a 22-value key domain; the oracle spells the bucket arithmetic "
+    "explicitly (floor((x-lo)/width)+1, clamped).",
+)
+def q182_width_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            F.expr("width_bucket(l_extendedprice, 0.0, 80000.0, 20)").alias("bucket"),
+            "l_quantity",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+        )
+        .orderBy("bucket")
+    )
