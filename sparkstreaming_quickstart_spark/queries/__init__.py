@@ -112,6 +112,10 @@ _PRIORITY: list[str] = [
     "q178_brp_lsh_euclidean", "q179_stream_stream_full_outer",
     "q180_generators_xml", "q181_mllib_summarizer",
     "q182_width_bucket_histogram",
+    # Seventh wave: corpus-hygiene ops (span dedup, Gopher rules,
+    # containment near-dup, SemDeDup)
+    "q183_c4_span_dedup", "q184_gopher_quality",
+    "q185_containment_neardup", "q186_semdedup",
     # The six TPC-H shapes completed this round (all 22 covered)
     "q115_tpch_q2_min_cost", "q116_tpch_q9_profit",
     "q117_tpch_q11_important_stock", "q118_tpch_q16_supplier_cnt",
@@ -150,6 +154,7 @@ def _ensure_loaded() -> None:
     from . import vectors  # noqa: F401
     from . import wave5  # noqa: F401
     from . import wave6  # noqa: F401
+    from . import wave7  # noqa: F401
 
     rank = {name: i for i, name in enumerate(_PRIORITY)}
     ordered = sorted(

@@ -1,0 +1,347 @@
+"""Wave-7 operators (round 2): corpus-hygiene and reconciliation ops.
+
+The dedup family so far (q50-q53, q65, q85, q89) works at document
+granularity with symmetric similarity.  This wave adds the three remaining
+shapes a production training-data pipeline runs:
+
+* q183 span-level dedup (C4/RefinedWeb style): duplicated SPANS are removed
+  across the corpus while the documents survive, so boilerplate shared by
+  thousands of pages disappears without dropping the pages.
+* q184 rule-based quality filtering (Gopher style): named boolean rules with
+  an all-rules verdict, the filter stage that precedes dedup.
+* q185 containment near-dup: asymmetric overlap (|A∩B| / min(|A|,|B|))
+  catches a small doc embedded inside a big one, which Jaccard-based LSH
+  (q52) misses by design; candidates come from a lossless rarest-first
+  prefix filter (PPJoin-family), not an all-pairs join.
+* q186 SemDeDup: embedding-space near-dup pruning inside pre-assigned
+  clusters (Abbas et al. 2023) -- the semantic sibling of q65's LSH pairs.
+
+Reference parity note: the reference (`/root/reference/src/main/java/com/
+github/pilillo/Processor.java`) has no analytics surface; these are charter
+extensions (SURVEY.md section 2.B, LLM-data-pipeline rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import avg_token_len, token_count, tokens, word_shingles
+from ..operators.similarity import _pair_cosine, dot, norm
+from ..sources.catalog import load_table
+from . import register
+
+# ---------------------------------------------------------------------------
+# q183: corpus-level span dedup (C4 / RefinedWeb line-dedup analogue)
+# ---------------------------------------------------------------------------
+
+_SPAN = 8  # tokens per non-overlapping span ("line" stand-in: fixture text has no newlines)
+
+
+@register(
+    "q183_c4_span_dedup",
+    sql=f"""
+    WITH docs AS (
+        SELECT doc_id, string_split(text, ' ') AS toks
+        FROM documents WHERE length(text) > 0),
+    idx AS (
+        SELECT doc_id, toks,
+               unnest(range(0, CAST(ceil(len(toks) / {_SPAN}.0) AS BIGINT))) AS pos
+        FROM docs),
+    spans AS (
+        SELECT doc_id, CAST(pos AS INT) AS pos,
+               array_to_string(list_slice(toks, pos * {_SPAN} + 1, pos * {_SPAN} + {_SPAN}), ' ') AS span
+        FROM idx),
+    ranked AS (
+        SELECT doc_id, pos, span,
+               ROW_NUMBER() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn
+        FROM spans)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(COUNT(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+           COALESCE(string_agg(span, ' ' ORDER BY pos) FILTER (WHERE rn = 1), '') AS clean_text
+    FROM ranked
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    doc="Corpus-level duplicate-span removal (the C4/RefinedWeb 'remove "
+    "duplicated lines across the corpus' step): documents split into "
+    f"non-overlapping {_SPAN}-token spans, every span occurrence after the "
+    "first (global order: doc_id, position) is dropped, and surviving spans "
+    "reassemble in order into the cleaned document.  Scale shape: one "
+    "narrow projection builds spans (no explode-shuffle), ONE shuffle "
+    "hash-partitions by span text for the keep-first window, one shuffle "
+    "back to doc_id for reassembly -- never an all-pairs comparison, so it "
+    "is linear in corpus size at 100 TB.  Reassembly uses "
+    "sort_array(collect_list(struct(pos, span))) so span order is exact "
+    "regardless of shuffle arrival order.",
+)
+def q183_c4_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    t = tokens("text")
+    n_spans = F.ceil(F.size(t) / F.lit(float(_SPAN))).cast("int")
+    span_arr = F.transform(
+        F.sequence(F.lit(0), n_spans - 1),
+        lambda i: F.array_join(F.slice(t, i * _SPAN + 1, _SPAN), " "),
+    )
+    spans = d.select(
+        "doc_id", F.posexplode(span_arr).alias("pos", "span")
+    )
+    w = Window.partitionBy("span").orderBy("doc_id", "pos")
+    ranked = spans.withColumn("keep", F.row_number().over(w) == 1)
+    return (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("keep"), F.struct("pos", "span"))
+                        )
+                    ),
+                    lambda s: s["span"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q184: Gopher-style rule-based quality filter
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q184_gopher_quality",
+    sql="""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks,
+               CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+                   / len(string_split(text, ' ')) AS mean_len
+        FROM documents WHERE length(text) > 0),
+    m AS (
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               ROUND(mean_len, 6) AS mean_token_len,
+               CAST(len(list_filter(toks, x -> x = 'the' OR x = 'a')) AS BIGINT) AS stop_hits,
+               ROUND(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS distinct_frac
+        FROM t)
+    SELECT doc_id, n_tokens, mean_token_len, stop_hits, distinct_frac,
+           (n_tokens BETWEEN 20 AND 500) AS r_length,
+           (mean_token_len BETWEEN 2.5 AND 6.5) AS r_word_len,
+           (stop_hits >= 1) AS r_stopwords,
+           (distinct_frac >= 0.3) AS r_repetition,
+           ((n_tokens BETWEEN 20 AND 500) AND (mean_token_len BETWEEN 2.5 AND 6.5)
+            AND stop_hits >= 1 AND distinct_frac >= 0.3) AS passes
+    FROM m
+    ORDER BY doc_id
+    """,
+    doc="Gopher-style rule-based quality filter (Rae et al. 2021 heuristics "
+    "restated for the fixture vocabulary): token-count bounds, mean-word-"
+    "length bounds, minimum stop-word evidence, and a distinct-token "
+    "repetition floor, each surfaced as a named boolean rule plus the "
+    "conjunction verdict.  Entirely codegen expressions in one narrow "
+    "projection -- zero shuffles, zero Python -- so the filter stage is "
+    "scan-speed at 100 TB and composes in front of the dedup stages "
+    "(compare q86, which chains a simpler gate).",
+)
+def q184_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    toks = tokens("text")
+    m = d.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        F.round(avg_token_len("text"), 6).alias("mean_token_len"),
+        F.size(F.filter(toks, lambda x: x.isin("the", "a"))).cast("long").alias("stop_hits"),
+        F.round(
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 6
+        ).alias("distinct_frac"),
+    )
+    r_length = F.col("n_tokens").between(20, 500)
+    r_word_len = F.col("mean_token_len").between(2.5, 6.5)
+    r_stop = F.col("stop_hits") >= 1
+    r_rep = F.col("distinct_frac") >= 0.3
+    return m.select(
+        "*",
+        r_length.alias("r_length"),
+        r_word_len.alias("r_word_len"),
+        r_stop.alias("r_stopwords"),
+        r_rep.alias("r_repetition"),
+        (r_length & r_word_len & r_stop & r_rep).alias("passes"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q185: containment near-dup with a lossless prefix filter
+# ---------------------------------------------------------------------------
+
+_CONTAIN_T = 0.8
+
+
+@register(
+    "q185_containment_neardup",
+    sql=f"""
+    WITH docs AS (
+        SELECT doc_id,
+               list_distinct([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks)-1)]) AS sh
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        WHERE len(toks) >= 3),
+    tok AS (SELECT doc_id, unnest(sh) AS shingle FROM docs),
+    sizes AS (SELECT doc_id, len(sh) AS n FROM docs),
+    pairs AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS common
+        FROM tok a JOIN tok b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+    SELECT id1, id2,
+           ROUND(CAST(common AS DOUBLE) / LEAST(s1.n, s2.n), 9) AS containment
+    FROM pairs JOIN sizes s1 ON id1 = s1.doc_id JOIN sizes s2 ON id2 = s2.doc_id
+    WHERE ROUND(CAST(common AS DOUBLE) / LEAST(s1.n, s2.n), 9) >= {_CONTAIN_T}
+    ORDER BY id1, id2
+    """,
+    doc="Asymmetric containment near-dup: |A∩B| / min(|A|,|B|) >= "
+    f"{_CONTAIN_T} over 3-word shingles, catching a short document embedded "
+    "in a long one -- a pair class Jaccard LSH (q52) misses because the "
+    "union term dilutes the score.  Scale path: candidates come from a "
+    "LOSSLESS rarest-first prefix filter (PPJoin family): shingles are "
+    "ranked per-doc by ascending global document frequency and only the "
+    f"first floor((1-{_CONTAIN_T})*|d|)+1 enter the index probe; by "
+    "pigeonhole any pair with overlap >= t*|small| must collide inside the "
+    "smaller doc's prefix, so recall is exactly 1.0 while the join touches "
+    "~20% of the postings and the rarest (= smallest) buckets.  Exact "
+    "verification then counts the true intersection for candidates only.  "
+    "The oracle is the unfiltered all-pairs formulation -- identical "
+    "results prove the filter lossless.",
+)
+def q185_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sh = (
+        d.select("doc_id", word_shingles("text", 3).alias("sh"))
+        .filter(F.size(tokens("text")) >= 3)
+    )
+    tok = sh.select("doc_id", F.explode("sh").alias("shingle"))
+    sizes = sh.select("doc_id", F.size("sh").alias("n"))
+
+    # Rarest-first prefix: rank each doc's shingles by global df, keep the
+    # first floor((1-t)*n)+1.  Lossless for containment at threshold t.
+    freq = tok.groupBy("shingle").agg(F.count("*").alias("df"))
+    ranked = (
+        tok.join(freq, "shingle")
+        .withColumn(
+            "r",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("df", "shingle")
+            ),
+        )
+        .join(sizes, "doc_id")
+    )
+    prefix = ranked.filter(
+        F.col("r") <= F.floor((1.0 - _CONTAIN_T) * F.col("n")) + 1
+    ).select("doc_id", "shingle")
+
+    cand = (
+        prefix.alias("p")
+        .join(tok.alias("q"), "shingle")
+        .filter(F.col("p.doc_id") != F.col("q.doc_id"))
+        .select(
+            F.least("p.doc_id", "q.doc_id").alias("id1"),
+            F.greatest("p.doc_id", "q.doc_id").alias("id2"),
+        )
+        .distinct()
+    )
+
+    common = (
+        cand.join(tok.alias("ta"), F.col("ta.doc_id") == F.col("id1"))
+        .join(
+            tok.alias("tb"),
+            (F.col("tb.doc_id") == F.col("id2"))
+            & (F.col("tb.shingle") == F.col("ta.shingle")),
+        )
+        .groupBy("id1", "id2")
+        .agg(F.count("*").alias("common"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("id1"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("id2"), F.col("n").alias("n2"))
+    return (
+        common.join(s1, "id1")
+        .join(s2, "id2")
+        .select(
+            "id1",
+            "id2",
+            F.round(
+                F.col("common").cast("double") / F.least("n1", "n2"), 9
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= _CONTAIN_T)
+        .orderBy("id1", "id2")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q186: SemDeDup -- within-cluster embedding-cosine pruning
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_T = 0.35
+
+
+@register(
+    "q186_semdedup",
+    sql=f"""
+    WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings),
+    dropped AS (
+        SELECT DISTINCT y.vec_id
+        FROM e x JOIN e y ON x.label = y.label AND x.vec_id < y.vec_id
+        WHERE ROUND(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 9) >= {_SEMDEDUP_T})
+    SELECT e.vec_id, e.label,
+           (e.vec_id IN (SELECT vec_id FROM dropped)) AS is_dup
+    FROM e
+    ORDER BY e.vec_id
+    """,
+    doc="SemDeDup (Abbas et al. 2023): semantic dedup by pruning, inside "
+    "each pre-assigned embedding cluster, every vector whose cosine to a "
+    f"lower-id cluster-mate reaches {_SEMDEDUP_T} (greedy-by-id variant -- "
+    "deterministic and SQL-checkable).  Clusters here are the fixture's "
+    "`label` column, standing in for the upstream k-means assignment "
+    "(q124 computes exactly that); the within-cluster pair join is the "
+    "SemDeDup design itself -- quadratic only inside a cluster, so at "
+    "100 TB cluster count is sized to keep clusters ~constant (paper uses "
+    "k ~ sqrt(n)), and the join shuffles once on label with per-vector "
+    "norms precomputed, never recomputed per pair.",
+)
+def q186_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").alias("v"), norm(F.col("embedding")).alias("nrm")
+    )
+    x = e.alias("x")
+    y = e.alias("y")
+    dropped = (
+        x.join(
+            y,
+            (F.col("x.label") == F.col("y.label"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(
+            F.col("y.vec_id").alias("vec_id"),
+            _pair_cosine(
+                dot(F.col("x.v"), F.col("y.v")), F.col("x.nrm"), F.col("y.nrm"), 9
+            ).alias("cs"),
+        )
+        .filter(F.col("cs") >= _SEMDEDUP_T)
+        .select("vec_id")
+        .distinct()
+        .withColumn("is_dup", F.lit(True))
+    )
+    return (
+        e.select("vec_id", "label")
+        .join(dropped, "vec_id", "left")
+        .select(
+            "vec_id", "label", F.coalesce("is_dup", F.lit(False)).alias("is_dup")
+        )
+        .orderBy("vec_id")
+    )
