@@ -345,3 +345,223 @@ def q186_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q187: table checksum / replica reconciliation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q187_table_checksum",
+    sql="""
+    WITH h AS (
+        SELECT o_orderpriority,
+               CAST(CAST('0x' || substr(md5(concat_ws('|',
+                   o_orderkey, o_custkey, o_orderstatus,
+                   CAST(CAST(round(o_totalprice, 2) AS DECIMAL(18,2)) AS VARCHAR),
+                   strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'),
+                   o_orderpriority)), 1, 15) AS BIGINT) AS HUGEINT) AS rh
+        FROM orders)
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(rh) AS VARCHAR) AS checksum
+    FROM h GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    doc="Order-independent table checksum for replica reconciliation: each "
+    "row renders to a canonical string (explicit decimal/timestamp "
+    "formats, so the fingerprint is engine-portable), hashes to a 60-bit "
+    "integer (md5 prefix), and the per-group checksum is the SUM of row "
+    "hashes -- commutative/associative, so partial aggregation works and "
+    "two copies of a 100 TB table compare by exchanging five (group, "
+    "count, checksum) rows instead of any data.  One hash-agg, no joins; "
+    "the DuckDB oracle recomputes the identical fingerprint, which is the "
+    "reconciliation use-case itself.",
+)
+def q187_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    payload = F.concat_ws(
+        "|",
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).cast("decimal(18,2)").cast("string"),
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"),
+        "o_orderpriority",
+    )
+    row_hash = F.conv(F.substring(F.md5(payload), 1, 15), 16, 10).cast("decimal(38,0)")
+    return (
+        o.select("o_orderpriority", row_hash.alias("rh"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("rh").cast("string").alias("checksum"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q188: snapshot diff (CDC-style change detection between table versions)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q188_snapshot_diff",
+    sql="""
+    WITH a AS (SELECT o_orderkey AS k, o_orderstatus AS st, o_totalprice AS pr FROM orders),
+    b AS (
+        SELECT k, st, CASE WHEN k % 20 = 1 THEN pr + 1.0 ELSE pr END AS pr
+        FROM a WHERE k % 20 <> 0
+        UNION ALL
+        SELECT k + 100000000, st, pr FROM a WHERE k % 20 = 2),
+    j AS (
+        SELECT COALESCE(a.k, b.k) AS o_orderkey,
+               a.st AS ast, b.st AS bst, a.pr AS apr, b.pr AS bpr,
+               a.k IS NULL AS ins, b.k IS NULL AS del
+        FROM a FULL JOIN b ON a.k = b.k)
+    SELECT o_orderkey,
+           CASE WHEN ins THEN 'insert' WHEN del THEN 'delete' ELSE 'update' END AS change_type,
+           ROUND(apr, 2) AS old_price, ROUND(bpr, 2) AS new_price,
+           CASE WHEN ins OR del THEN ''
+                ELSE concat_ws(',',
+                    CASE WHEN ast IS DISTINCT FROM bst THEN 'o_orderstatus' END,
+                    CASE WHEN apr IS DISTINCT FROM bpr THEN 'o_totalprice' END)
+           END AS changed_cols
+    FROM j
+    WHERE ins OR del OR ast IS DISTINCT FROM bst OR apr IS DISTINCT FROM bpr
+    ORDER BY o_orderkey, change_type
+    """,
+    doc="CDC-style snapshot diff: two versions of a table full-outer join on "
+    "the primary key and classify every key as insert / delete / update "
+    "(with the list of changed columns), dropping unchanged rows via "
+    "null-safe comparison.  The second snapshot is synthesized "
+    "deterministically from orders (key%20 buckets: deletes, +1.00 price "
+    "updates, shifted-key inserts) so both engines derive it identically.  "
+    "Scale shape: one shuffle on the join key; AQE handles the skewless "
+    "equi-join, and unchanged rows -- the overwhelming majority in a real "
+    "diff -- are filtered before any further processing, so output is "
+    "proportional to the churn, not the table.",
+)
+def q188_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        F.col("o_totalprice").alias("pr"),
+    )
+    k = F.col("k")
+    b = o.filter(k % 20 != 0).withColumn(
+        "pr", F.when(k % 20 == 1, F.col("pr") + 1.0).otherwise(F.col("pr"))
+    ).unionByName(
+        o.filter(k % 20 == 2).select(
+            (k + 100000000).alias("k"), "st", "pr"
+        )
+    )
+    j = o.alias("a").join(b.alias("b"), F.col("a.k") == F.col("b.k"), "full")
+    ins = F.col("a.k").isNull()
+    dele = F.col("b.k").isNull()
+    st_diff = ~F.col("a.st").eqNullSafe(F.col("b.st"))
+    pr_diff = ~F.col("a.pr").eqNullSafe(F.col("b.pr"))
+    return (
+        j.select(
+            F.coalesce("a.k", "b.k").alias("o_orderkey"),
+            F.when(ins, "insert").when(dele, "delete").otherwise("update").alias("change_type"),
+            F.round("a.pr", 2).alias("old_price"),
+            F.round("b.pr", 2).alias("new_price"),
+            F.when(ins | dele, "").otherwise(
+                F.concat_ws(
+                    ",",
+                    F.when(st_diff, "o_orderstatus"),
+                    F.when(pr_diff, "o_totalprice"),
+                )
+            ).alias("changed_cols"),
+            (ins | dele | st_diff | pr_diff).alias("_changed"),
+        )
+        .filter("_changed")
+        .drop("_changed")
+        .orderBy("o_orderkey", "change_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q189: deterministic mode / count_if aggregates
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q189_mode_countif",
+    sql="""
+    WITH c AS (
+        SELECT o_orderstatus AS s, o_orderpriority AS p, COUNT(*) AS n
+        FROM orders GROUP BY 1, 2),
+    m AS (
+        SELECT s, (list(p ORDER BY n DESC, p ASC))[1] AS mode_priority
+        FROM c GROUP BY s),
+    b AS (
+        SELECT o_orderstatus AS s,
+               CAST(count_if(o_totalprice > 100000) AS BIGINT) AS n_big,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM orders GROUP BY 1)
+    SELECT b.s AS o_orderstatus, m.mode_priority, b.n_big, b.n_rows
+    FROM b JOIN m ON b.s = m.s
+    ORDER BY o_orderstatus
+    """,
+    doc="Deterministic mode() (Spark 4 deterministic=true: smallest value "
+    "among frequency ties, spelled out as an ordered-list pick in the "
+    "oracle) plus count_if -- the last uncovered members of the aggregate "
+    "function library (SURVEY section 2.B agg row).  Single hash-agg on a "
+    "low-cardinality key; mode's internal state is a per-group value->count "
+    "map, bounded here by the priority domain (5), which is the condition "
+    "that makes mode() safe at 100 TB.",
+)
+def q189_mode_countif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.mode("o_orderpriority", True).alias("mode_priority"),
+            F.count_if(F.col("o_totalprice") > 100000).alias("n_big"),
+            F.count("*").alias("n_rows"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q190: exact median over a sliding window frame
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q190_window_median",
+    sql="""
+    SELECT user_id, event_id, ROUND(value, 6) AS value,
+           ROUND(median(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS med
+    FROM events
+    ORDER BY user_id, event_id
+    """,
+    doc="Exact running median over a 5-row sliding frame per user (the "
+    "robust-statistics sibling of q136's rolling z-score).  Spark has no "
+    "inverse-distribution aggregate over window frames (median/percentile_"
+    "cont reject ORDER BY frames), so the engine spelling is collect_list "
+    "over the bounded frame -> array_sort -> midpoint average, which is "
+    "exactly percentile_cont(0.5) for the frame.  State per row is the "
+    "5-element frame -- O(frame), not O(history) -- so the window shuffle "
+    "on user_id is the only cost at 100 TB; the total order (ts, event_id) "
+    "makes the result deterministic.  Oracle uses DuckDB's native frame "
+    "median.",
+)
+def q190_window_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-4, 0)
+    lst = F.array_sort(F.collect_list("value").over(w))
+    n = F.size(lst)
+    lo = F.element_at(lst, F.floor((n + 1) / 2).cast("int"))
+    hi = F.element_at(lst, (F.floor(n / 2) + 1).cast("int"))
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round("value", 6).alias("value"),
+        F.round((lo + hi) / 2.0, 6).alias("med"),
+    ).orderBy("user_id", "event_id")
