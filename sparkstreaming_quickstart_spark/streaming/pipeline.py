@@ -56,6 +56,30 @@ def run_foreach_batch(
     return writer.start()
 
 
+def run_foreach_rows(
+    stream: DataFrame,
+    writer,
+    checkpoint: str | None = None,
+) -> StreamingQuery:
+    """Row-at-a-time programmable sink (`writeStream.foreach`).
+
+    The closest Structured Streaming analogue of the reference's per-record
+    foreach println (`Processor.java:142-146`): `writer.process(row)` runs on
+    executors once per row, with an open(partition_id, epoch_id)/close(err)
+    lifecycle per partition per epoch -- which is also where the reference's
+    "output lands in executor stdout" gotcha lives on a real cluster.
+    Row-at-a-time Python is the slow path by design; `run_foreach_batch` is
+    the scale sink.  This exists for protocol parity and side-effecting
+    integrations that genuinely need per-row delivery semantics.
+    """
+    return (
+        stream.writeStream.foreach(writer)
+        .option("checkpointLocation", checkpoint or _checkpoint())
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_to_memory(stream: DataFrame, name: str | None = None, output_mode: str = "append") -> str:
     """Drain a stream into an in-memory table with availableNow; returns the
     table name.  This is the test/driver harness for streaming queries.

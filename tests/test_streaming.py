@@ -207,3 +207,84 @@ def test_watermark_finalizes_windows_and_drops_post_eviction_late_data(spark, tm
     hour10 = [r["count"] for r in spark.table(name).collect() if r["w"].start.hour == 10]
     # exactly one finalized emission, without the post-eviction straggler
     assert hour10 == [2], spark.table(name).collect()
+
+
+def test_foreach_row_sink_delivers_every_row(spark, sf_dir, tmp_path):
+    """Row-level foreach sink (reference parity A3: per-record delivery,
+    Processor.java:142-146): every event row reaches writer.process exactly
+    once, under the open/process/close partition-epoch lifecycle."""
+    from sparkstreaming_quickstart_spark.streaming.pipeline import run_foreach_rows
+
+    out = tmp_path / "rows"
+    out.mkdir()
+
+    class RowWriter:
+        def open(self, partition_id, epoch_id):
+            self._fh = open(out / f"p{partition_id}_e{epoch_id}", "a")
+            return True
+
+        def process(self, row):
+            self._fh.write(f"{row.event_id}\n")
+
+        def close(self, error):
+            self._fh.close()
+            if error:
+                raise error
+
+    q = run_foreach_rows(events_stream(spark, sf_dir), RowWriter())
+    q.awaitTermination()
+    seen = sorted(
+        int(line)
+        for f in out.iterdir()
+        for line in f.read_text().splitlines()
+    )
+    expected = sorted(
+        r.event_id for r in load_table(spark, sf_dir, "events").select("event_id").collect()
+    )
+    assert seen == expected
+
+
+def test_streaming_query_listener_observes_progress(spark, sf_dir):
+    """StreamingQueryListener (the monitoring surface a production pipeline
+    hangs metrics on): started/progress/terminated all fire, and the progress
+    events account for every input row."""
+    import time
+
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    events = {"started": 0, "progress": [], "terminated": 0}
+
+    class Listener(StreamingQueryListener):
+        def onQueryStarted(self, e):
+            events["started"] += 1
+
+        def onQueryProgress(self, e):
+            events["progress"].append(e.progress.numInputRows)
+
+        def onQueryIdle(self, e):
+            pass
+
+        def onQueryTerminated(self, e):
+            events["terminated"] += 1
+
+    listener = Listener()
+    spark.streams.addListener(listener)
+    try:
+        from sparkstreaming_quickstart_spark.streaming.pipeline import run_to_memory
+
+        run_to_memory(events_stream(spark, sf_dir))
+        n_expected = load_table(spark, sf_dir, "events").count()
+        # Listener events are delivered asynchronously on the listener-bus
+        # thread; poll briefly instead of assuming synchronous delivery.
+        deadline = time.time() + 30
+        while time.time() < deadline and (
+            events["started"] == 0
+            or events["terminated"] == 0
+            or sum(events["progress"]) < n_expected
+        ):
+            time.sleep(0.25)
+        assert events["started"] >= 1
+        assert events["terminated"] >= 1
+        assert sum(events["progress"]) == n_expected, events["progress"]
+    finally:
+        spark.streams.removeListener(listener)
