@@ -244,3 +244,70 @@ def test_triangle_joins_broadcast_the_edge_set(spark, sf_dir):
 
     df = q169_neardup_triangles(spark, sf_dir)
     assert broadcast_join_count(df) >= 2, explain_str(df, "simple")
+
+
+def test_span_dedup_shuffles_are_bounded(spark, sf_dir):
+    # q183: spans build in a narrow projection; the whole pipeline is the
+    # span-key window shuffle + the doc_id reassembly agg (plus AQE reads).
+    # A span explode that shuffled per token, or a self-join, would blow this
+    # bound.
+    from sparkstreaming_quickstart_spark.queries.wave7 import q183_c4_span_dedup
+
+    df = q183_c4_span_dedup(spark, sf_dir)
+    assert shuffle_count(df) <= 3, explain_str(df, "simple")
+    assert "Join" not in explain_str(df, "simple")
+
+
+def test_gopher_quality_is_shuffle_free_scan(spark, sf_dir):
+    # q184 is a pure per-row filter stage: zero exchanges before the output
+    # sort, no Python, whole-stage codegen active.
+    from sparkstreaming_quickstart_spark.queries.wave7 import q184_gopher_quality
+
+    df = q184_gopher_quality(spark, sf_dir)
+    simple = explain_str(df, "simple")
+    # the only exchange allowed is the rangepartitioning for the final orderBy
+    assert simple.count("Exchange") <= 1, simple
+    assert "BatchEvalPython" not in simple and "ArrowEvalPython" not in simple
+    assert "WholeStageCodegen" in explain_str(df, "codegen")
+
+
+def test_containment_prefix_filter_shrinks_probe_side(spark, sf_dir):
+    # q185's candidate join must probe from the rarest-first PREFIX (about
+    # (1-t)|d|+1 shingles per doc), not the full posting list: measured on
+    # the fixture the prefix is a small fraction of the index, which is the
+    # whole point of the PPJoin-style filter.  Recall stays exact (the
+    # registered oracle proves it); this pins the cost side.
+    from pyspark.sql import Window
+    from sparkstreaming_quickstart_spark.functions.text import tokens, word_shingles
+    from sparkstreaming_quickstart_spark.sources.catalog import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select("doc_id", word_shingles("text", 3).alias("sh")).filter(
+        F.size(tokens("text")) >= 3
+    )
+    tok = sh.select("doc_id", F.explode("sh").alias("shingle"))
+    freq = tok.groupBy("shingle").agg(F.count("*").alias("df"))
+    ranked = (
+        tok.join(freq, "shingle")
+        .withColumn(
+            "r",
+            F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "shingle")),
+        )
+        .join(sh.select("doc_id", F.size("sh").alias("n")), "doc_id")
+    )
+    n_full = tok.count()
+    n_prefix = ranked.filter(F.col("r") <= F.floor(0.2 * F.col("n")) + 1).count()
+    assert n_prefix < 0.35 * n_full, (n_prefix, n_full)
+
+
+def test_semdedup_precomputes_norms_before_pair_join(spark, sf_dir):
+    # q186: the norm fold must be evaluated per vector (before the join),
+    # never per pair -- the plan may contain at most the two per-side
+    # aggregate folds plus the one cross dot, not re-folded norms per pair.
+    from sparkstreaming_quickstart_spark.queries.wave7 import q186_semdedup
+
+    df = q186_semdedup(spark, sf_dir)
+    formatted = explain_str(df, "formatted")
+    # norm = sqrt(aggregate(zip_with(v,v,...))): count the sqrt(aggregate
+    # occurrences -- one per join side.  A per-pair norm would inline four.
+    assert formatted.count("SQRT(aggregate") <= 2, formatted
