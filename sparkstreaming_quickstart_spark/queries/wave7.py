@@ -565,3 +565,254 @@ def q190_window_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 6).alias("value"),
         F.round((lo + hi) / 2.0, 6).alias("med"),
     ).orderBy("user_id", "event_id")
+
+
+# ---------------------------------------------------------------------------
+# q191: BM25 lexical retrieval
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("spark", "query", "fast")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@register(
+    "q191_bm25_search",
+    sql=f"""
+    WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        WHERE length(text) > 0),
+    stats AS (
+        SELECT COUNT(*) AS n_docs, AVG(len(toks)) AS avgdl FROM d),
+    tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest(toks) AS token FROM d)
+        WHERE token IN ('spark', 'query', 'fast')
+        GROUP BY 1, 2),
+    df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+    dl AS (SELECT doc_id, len(toks) AS dl FROM d),
+    scored AS (
+        SELECT tf.doc_id,
+               SUM(ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                   * tf.tf * ({_BM25_K1} + 1.0)
+                   / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl.dl / stats.avgdl))
+               ) AS score
+        FROM tf JOIN df USING (token) JOIN dl USING (doc_id), stats
+        GROUP BY tf.doc_id)
+    SELECT doc_id, ROUND(score, 6) AS score, rank FROM (
+        SELECT doc_id, score,
+               CAST(ROW_NUMBER() OVER (ORDER BY ROUND(score, 6) DESC, doc_id ASC) AS INT) AS rank
+        FROM scored)
+    WHERE rank <= 20
+    ORDER BY rank
+    """,
+    doc="BM25 lexical retrieval (Okapi, Lucene-style +1 idf floor; k1="
+    f"{_BM25_K1}, b={_BM25_B}): top-20 documents for a fixed term set -- "
+    "the sparse-retrieval twin of the dense ANN path (q54/q55), covering "
+    "the other half of a hybrid-search training-data pipeline.  Scale "
+    "shape: the token explode is filtered to query terms BEFORE any "
+    "shuffle (predicate on the generator output), so the per-(doc,term) "
+    "tf agg touches only matching postings; corpus stats (N, avgdl) and "
+    "per-term df are tiny aggregates that broadcast into the scoring "
+    "join; the only O(corpus) shuffle is the tf hash-agg.",
+)
+def q191_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length("text") > 0)
+        .select("doc_id", tokens("text").alias("toks"))
+    )
+    stats = d.agg(
+        F.count("*").alias("n_docs"), F.avg(F.size("toks")).alias("avgdl")
+    )
+    tf = (
+        d.select("doc_id", F.explode("toks").alias("token"))
+        .filter(F.col("token").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_t = tf.groupBy("token").agg(F.count("*").alias("df"))
+    dl = d.select("doc_id", F.size("toks").alias("dl"))
+    term_score = (
+        F.log(
+            (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+        )
+        * F.col("tf")
+        * (_BM25_K1 + 1.0)
+        / (
+            F.col("tf")
+            + _BM25_K1
+            * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(df_t), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(term_score).alias("score"))
+        .select("doc_id", F.round("score", 6).alias("score"))
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 20)
+        .orderBy("rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q192: positional inverted index
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q192_inverted_index",
+    sql="""
+    WITH pos AS (
+        SELECT doc_id, unnest(toks) AS token,
+               CAST(generate_subscripts(toks, 1) - 1 AS INT) AS pos
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+              WHERE length(text) > 0))
+    SELECT token,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+           CAST(COUNT(*) AS BIGINT) AS cf,
+           string_agg(doc_id || ':' || pos, ',' ORDER BY doc_id, pos) AS postings
+    FROM pos
+    GROUP BY token
+    ORDER BY token
+    """,
+    doc="Positional inverted index (the search-engine build step): token -> "
+    "document frequency, collection frequency, and the ordered "
+    "'doc:position' posting list.  posexplode keeps token order as 0-based "
+    "positions; one shuffle groups by token, and postings reassemble "
+    "deterministically via sort_array(collect_list(struct)) exactly like "
+    "q183's span reassembly.  At 100 TB posting lists for stop-words are "
+    "the skew risk -- the same hot-key territory as q147's salted join; "
+    "production would shard postings by (token, doc_id range), noted here "
+    "because the fixture vocabulary (~30 terms) keeps lists small.",
+)
+def q192_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length("text") > 0)
+        .select("doc_id", F.posexplode(tokens("text")).alias("pos", "token"))
+    )
+    return (
+        d.groupBy("token")
+        .agg(
+            F.countDistinct("doc_id").alias("df"),
+            F.count("*").alias("cf"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "pos"))),
+                    lambda s: F.concat_ws(":", s["doc_id"], s["pos"]),
+                ),
+                ",",
+            ).alias("postings"),
+        )
+        .orderBy("token")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q193: contiguous global id assignment without a single-partition window
+# ---------------------------------------------------------------------------
+
+_ID_BUCKETS = 16
+
+
+@register(
+    "q193_contiguous_ids",
+    sql="""
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS gid
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="Contiguous global id assignment (0..n-1 by key order) WITHOUT the "
+    "naive row_number()-over-everything, whose single-partition window is "
+    "the classic 100 TB bottleneck.  Deterministic two-phase plan: rows "
+    "bucket by a width_bucket range split on the key (no sampling, unlike "
+    "repartitionByRange, so the two passes cannot disagree), per-bucket "
+    "counts roll into exclusive prefix offsets (a 16-row window -- "
+    "driver-scale metadata, same pattern as q141's shard offsets), and "
+    "gid = bucket_offset + intra-bucket rank, where the rank window "
+    "parallelizes across buckets.  The oracle is the naive spelling -- "
+    "identical output, scalable plan.",
+)
+def q193_contiguous_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    rng = d.agg(
+        F.min("doc_id").alias("lo"), (F.max("doc_id") + 1).alias("hi")
+    )
+    bucketed = d.crossJoin(F.broadcast(rng)).select(
+        "doc_id",
+        F.width_bucket("doc_id", "lo", "hi", F.lit(_ID_BUCKETS)).alias("b"),
+    )
+    counts = bucketed.groupBy("b").agg(F.count("*").alias("n"))
+    offsets = counts.select(
+        "b",
+        (
+            F.sum("n").over(
+                Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+            )
+        ).alias("off"),
+    ).fillna(0, ["off"])
+    ranked = bucketed.withColumn(
+        "r", F.row_number().over(Window.partitionBy("b").orderBy("doc_id"))
+    )
+    return (
+        ranked.join(F.broadcast(offsets), "b")
+        .select("doc_id", (F.col("off") + F.col("r") - 1).cast("bigint").alias("gid"))
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q194: equal-frequency (quantile) binning via ntile
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q194_ntile_binning",
+    sql="""
+    WITH b AS (
+        SELECT o_orderpriority,
+               CAST(ntile(4) OVER (PARTITION BY o_orderpriority
+                                   ORDER BY o_totalprice, o_orderkey) AS INT) AS bin,
+               o_totalprice
+        FROM orders)
+    SELECT o_orderpriority, bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MIN(o_totalprice), 2) AS min_price,
+           ROUND(MAX(o_totalprice), 2) AS max_price
+    FROM b
+    GROUP BY o_orderpriority, bin
+    ORDER BY o_orderpriority, bin
+    """,
+    doc="Equal-frequency (quantile) feature binning via ntile(4) per group "
+    "-- the complement of q182's equi-width width_bucket: bin edges adapt "
+    "to the distribution so each bin holds n/4 rows.  Total order "
+    "(o_totalprice, o_orderkey) makes tile assignment deterministic.  One "
+    "window shuffle on the group key, then a hash-agg on (group, bin); at "
+    "100 TB per-group ntile needs the whole group in one partition, so "
+    "grouped binning stays safe while GLOBAL ntile would not -- the "
+    "global variant should derive cutpoints from approx_percentile "
+    "(q69) and assign via width_bucket instead.",
+)
+def q194_ntile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    b = o.select(
+        "o_orderpriority", F.ntile(4).over(w).cast("int").alias("bin"), "o_totalprice"
+    )
+    return (
+        b.groupBy("o_orderpriority", "bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+        .orderBy("o_orderpriority", "bin")
+    )
