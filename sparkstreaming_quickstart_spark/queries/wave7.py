@@ -816,3 +816,208 @@ def q194_ntile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority", "bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# q195: map higher-order functions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q195_map_hof",
+    sql="""
+    WITH e AS (
+        SELECT event_id, user_id, value FROM events),
+    entries AS (
+        SELECT event_id, 'v2x' AS key, ROUND(value * 2, 6) AS val FROM e
+        UNION ALL
+        SELECT event_id, 'vlog', ROUND(ln(abs(value) + 1.0), 6) FROM e
+        UNION ALL
+        SELECT event_id, 'uid', CAST(user_id AS DOUBLE) FROM e)
+    SELECT event_id, key, val
+    FROM entries
+    WHERE val > 1.0
+    ORDER BY event_id, key
+    """,
+    doc="Map higher-order functions (the last uncovered scalar group: "
+    "transform_values, map_filter, map_entries): each event builds a "
+    "string->double map, transform_values derives per-key features, "
+    "map_filter prunes entries <= 1.0, and map_entries -> explode yields "
+    "the surviving (key, value) rows.  The oracle reconstructs the same "
+    "rows from first principles (static keys -> UNION ALL + WHERE), so "
+    "the map algebra itself is what's under test.  All codegen, one "
+    "narrow projection + generator -- no shuffle until the output sort.",
+)
+def q195_map_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("v2x"), F.round(F.col("value") * 2, 6),
+        F.lit("vlog"), F.round(F.log(F.abs(F.col("value")) + 1.0), 6),
+        F.lit("uid"), F.col("user_id").cast("double"),
+    )
+    filtered = F.map_filter(m, lambda k, v: v > 1.0)
+    return (
+        e.select("event_id", F.explode(F.map_entries(filtered)).alias("ent"))
+        .select(
+            "event_id",
+            F.col("ent.key").alias("key"),
+            F.col("ent.value").alias("val"),
+        )
+        .orderBy("event_id", "key")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q196: deterministic AES column protection roundtrip
+# ---------------------------------------------------------------------------
+
+_AES_KEY = "0123456789abcdef"
+
+
+@register(
+    "q196_aes_roundtrip",
+    sql="""
+    SELECT doc_id,
+           sha256(text) AS text_digest,
+           TRUE AS roundtrip_ok
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="Column-level encryption roundtrip (aes_encrypt/aes_decrypt, ECB "
+    "for determinism -- GCM's random IV would break both reprodicibility "
+    "and the equality check): PII columns encrypt at rest, decrypt "
+    "in-flight, and the query proves decrypt(encrypt(x)) == x per row "
+    "while publishing only the sha2 digest (the PII-safe join key, "
+    "complementing q110's masking).  The oracle checks the digest and "
+    "the roundtrip flag from first principles; the crypto runs entirely "
+    "in codegen (JVM), no Python.",
+)
+def q196_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    dec = F.expr(
+        f"cast(aes_decrypt(aes_encrypt(text, '{_AES_KEY}', 'ECB'), '{_AES_KEY}', 'ECB') as string)"
+    )
+    return d.select(
+        "doc_id",
+        F.sha2("text", 256).alias("text_digest"),
+        (dec == F.col("text")).alias("roundtrip_ok"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q197: Z-order (Morton) interleave for multi-dimensional data layout
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 16
+
+
+@register(
+    "q197_zorder_layout",
+    sql=f"""
+    WITH rng AS (
+        SELECT min(o_custkey) AS klo, max(o_custkey) AS khi,
+               min(o_totalprice) AS plo, max(o_totalprice) AS phi
+        FROM orders),
+    nrm AS (
+        SELECT o_orderkey,
+               CAST(floor((o_custkey - klo) * ({(1 << _Z_BITS) - 1}.0) / NULLIF(khi - klo, 0)) AS BIGINT) AS xk,
+               CAST(floor((o_totalprice - plo) * ({(1 << _Z_BITS) - 1}.0) / NULLIF(phi - plo, 0)) AS BIGINT) AS xp
+        FROM orders, rng),
+    z AS (
+        SELECT o_orderkey,
+               list_sum(list_transform(range(0, {_Z_BITS}),
+                   i -> (((xk >> i) & 1) << (2 * i + 1)) + (((xp >> i) & 1) << (2 * i)))) AS z_value
+        FROM nrm)
+    SELECT CAST(z_value // 1073741824 AS INT) AS z_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(z_value) AS BIGINT) AS z_min,
+           CAST(MAX(z_value) AS BIGINT) AS z_max
+    FROM z
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="Z-order (Morton) layout key: bit-interleave two normalized 16-bit "
+    "dimensions (o_custkey, o_totalprice) so range-partitioning on z_value "
+    "clusters rows that are close in BOTH dimensions -- the data-layout "
+    "technique behind multi-dimensional min/max file skipping (Delta "
+    "OPTIMIZE ZORDER): after `repartitionByRange(z).sortWithinPartitions(z)`"
+    " + parquet write, a predicate on either dimension prunes most files "
+    "by footer stats.  The interleave is a pure codegen fold "
+    "(aggregate over bit positions, no UDF); output summarizes occupancy "
+    "per coarse z-bucket, and the oracle replays the identical bit "
+    "arithmetic.",
+)
+def q197_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    rng = o.agg(
+        F.min("o_custkey").alias("klo"),
+        F.max("o_custkey").alias("khi"),
+        F.min("o_totalprice").alias("plo"),
+        F.max("o_totalprice").alias("phi"),
+    )
+    top = float((1 << _Z_BITS) - 1)
+    nrm = o.crossJoin(F.broadcast(rng)).select(
+        "o_orderkey",
+        F.floor(
+            (F.col("o_custkey") - F.col("klo")) * top
+            / F.nullif(F.col("khi") - F.col("klo"), F.lit(0))
+        ).alias("xk"),
+        F.floor(
+            (F.col("o_totalprice") - F.col("plo")) * top
+            / F.nullif(F.col("phi") - F.col("plo"), F.lit(0.0))
+        ).alias("xp"),
+    )
+    # Unrolled interleave: 2*_Z_BITS shift/mask terms, all codegen (shiftleft
+    # needs a literal bit count, so the fold unrolls in Python at plan time).
+    z_val = F.lit(0).cast("bigint")
+    for i in range(_Z_BITS):
+        z_val = (
+            z_val
+            + F.shiftleft(F.shiftright(F.col("xk"), i).bitwiseAND(1), 2 * i + 1)
+            + F.shiftleft(F.shiftright(F.col("xp"), i).bitwiseAND(1), 2 * i)
+        )
+    z = nrm.select("o_orderkey", z_val.alias("z_value"))
+    return (
+        z.groupBy(
+            F.floor(F.col("z_value") / F.lit(1073741824)).cast("int").alias("z_bucket")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.min("z_value").alias("z_min"),
+            F.max("z_value").alias("z_max"),
+        )
+        .orderBy("z_bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q198: distinct count over a sliding window frame
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q198_window_count_distinct",
+    sql="""
+    SELECT user_id, event_id,
+           CAST(count(DISTINCT event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS INT) AS n_types
+    FROM events
+    ORDER BY user_id, event_id
+    """,
+    doc="Distinct count over a sliding frame (Spark rejects DISTINCT "
+    "aggregates in windows, so the engine spelling is collect_list over "
+    "the bounded frame -> array_distinct -> size -- exact, O(frame) "
+    "state like q190's median).  DuckDB supports the native DISTINCT "
+    "window, which is the oracle.  Used in feature pipelines as 'variety "
+    "in the last N actions' per user; one window shuffle on user_id.",
+)
+def q198_window_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-9, 0)
+    return e.select(
+        "user_id",
+        "event_id",
+        F.size(F.array_distinct(F.collect_list("event_type").over(w)))
+        .cast("int")
+        .alias("n_types"),
+    ).orderBy("user_id", "event_id")
