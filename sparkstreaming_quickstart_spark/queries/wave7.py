@@ -911,6 +911,22 @@ def q196_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Z_BITS = 16
 
 
+def z_interleave(xk, xp):
+    """Morton/Z-value: bit-interleave two _Z_BITS-wide non-negative ints.
+
+    Unrolled shift/mask terms, all codegen (shiftleft needs a literal bit
+    count, so the fold unrolls in Python at plan time).
+    """
+    z_val = F.lit(0).cast("bigint")
+    for i in range(_Z_BITS):
+        z_val = (
+            z_val
+            + F.shiftleft(F.shiftright(xk, i).bitwiseAND(1), 2 * i + 1)
+            + F.shiftleft(F.shiftright(xp, i).bitwiseAND(1), 2 * i)
+        )
+    return z_val
+
+
 @register(
     "q197_zorder_layout",
     sql=f"""
@@ -966,15 +982,7 @@ def q197_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.nullif(F.col("phi") - F.col("plo"), F.lit(0.0))
         ).alias("xp"),
     )
-    # Unrolled interleave: 2*_Z_BITS shift/mask terms, all codegen (shiftleft
-    # needs a literal bit count, so the fold unrolls in Python at plan time).
-    z_val = F.lit(0).cast("bigint")
-    for i in range(_Z_BITS):
-        z_val = (
-            z_val
-            + F.shiftleft(F.shiftright(F.col("xk"), i).bitwiseAND(1), 2 * i + 1)
-            + F.shiftleft(F.shiftright(F.col("xp"), i).bitwiseAND(1), 2 * i)
-        )
+    z_val = z_interleave(F.col("xk"), F.col("xp"))
     z = nrm.select("o_orderkey", z_val.alias("z_value"))
     return (
         z.groupBy(

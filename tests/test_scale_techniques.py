@@ -177,3 +177,62 @@ def test_cbo_statistics_drive_broadcast_selection(spark, sf_dir):
             spark.conf.unset("spark.sql.cbo.enabled")
         else:
             spark.conf.set("spark.sql.cbo.enabled", saved)
+
+
+def test_zorder_layout_improves_rowgroup_skipping(spark, tmp_path):
+    """Z-order layout (q197's z_interleave) must deliver real min/max file
+    skipping on BOTH dimensions: after repartitionByRange(z) + sort, a
+    narrow predicate on either column should intersect the footer stats of
+    far fewer files than a round-robin layout, which is the mechanism
+    parquet row-group pruning runs on at 100 TB.  Uniform synthetic dims
+    (xxhash64-derived) make the expected grid math exact: 64 z-ranges ~ an
+    8x8 grid, so a 10% slice on one dim should hit ~1/8 of the files."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from sparkstreaming_quickstart_spark.queries.wave7 import z_interleave
+
+    n_files = 64
+    df = spark.range(0, 50000).select(
+        "id",
+        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(1 << 16)).alias("xk"),
+        F.pmod(F.xxhash64("id", F.lit(2)), F.lit(1 << 16)).alias("xp"),
+    )
+    base = str(tmp_path / "base")
+    zpath = str(tmp_path / "zorder")
+    df.repartition(n_files).write.mode("overwrite").parquet(base)
+    (
+        df.withColumn("z", z_interleave(F.col("xk"), F.col("xp")))
+        .repartitionByRange(n_files, "z")
+        .sortWithinPartitions("z")
+        .drop("z")
+        .write.mode("overwrite")
+        .parquet(zpath)
+    )
+
+    def files_hit(path, column, lo, hi):
+        hit = total = 0
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}[column]
+            fmin = fmax = None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                fmin = st.min if fmin is None else min(fmin, st.min)
+                fmax = st.max if fmax is None else max(fmax, st.max)
+            total += 1
+            if fmin is not None and not (fmax < lo or fmin > hi):
+                hit += 1
+        return hit, total
+
+    lo, hi = int(0.45 * (1 << 16)), int(0.55 * (1 << 16))
+    for column in ("xk", "xp"):
+        base_hit, base_total = files_hit(base, column, lo, hi)
+        z_hit, z_total = files_hit(zpath, column, lo, hi)
+        assert base_total == z_total == n_files
+        # Round-robin leaves every file covering the full range; the z
+        # layout must prune at least 2/3 of the files on each dimension
+        # (ideal grid math says ~7/8).
+        assert base_hit >= n_files - 2, (column, base_hit)
+        assert z_hit <= n_files // 3, (column, z_hit)
