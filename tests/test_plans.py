@@ -311,3 +311,34 @@ def test_semdedup_precomputes_norms_before_pair_join(spark, sf_dir):
     # norm = sqrt(aggregate(zip_with(v,v,...))): count the sqrt(aggregate
     # occurrences -- one per join side.  A per-pair norm would inline four.
     assert formatted.count("SQRT(aggregate") <= 2, formatted
+
+
+def test_bm25_broadcasts_stats_and_filters_before_shuffle(spark, sf_dir):
+    # q191: corpus stats and per-term df must broadcast (no shuffle join for
+    # tiny sides), and the query-term filter must land on the generator
+    # output BEFORE the tf aggregation shuffle.
+    from sparkstreaming_quickstart_spark.queries.wave7 import q191_bm25_search
+
+    df = q191_bm25_search(spark, sf_dir)
+    simple = explain_str(df, "simple")
+    assert simple.count("BroadcastExchange") >= 2, simple
+    # the single-partition window for global top-20 ranks only the scored
+    # docs (already reduced); no SortMergeJoin should appear anywhere.
+    assert "SortMergeJoin" not in simple, simple
+
+
+def test_contiguous_ids_has_no_global_single_partition_window_over_data(spark, sf_dir):
+    # q193's whole point: the per-row rank window partitions by bucket; the
+    # only SinglePartition exchange feeds the 16-row offsets frame, never
+    # the data path.  Count windows with an empty partition spec over the
+    # full data: the naive row_number() spelling would show one.
+    from sparkstreaming_quickstart_spark.queries.wave7 import q193_contiguous_ids
+
+    df = q193_contiguous_ids(spark, sf_dir)
+    # offsets aggregate over at most _ID_BUCKETS rows: its window is allowed;
+    # assert the expensive side (row_number over doc_id) is bucket-partitioned
+    simple = explain_str(df, "simple")
+    import re
+
+    rn_specs = re.findall(r"row_number\(\) windowspecdefinition\(([^,]+),", simple)
+    assert rn_specs and all("b#" in s for s in rn_specs), simple
