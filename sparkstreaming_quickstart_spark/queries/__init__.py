@@ -120,7 +120,8 @@ _PRIORITY: list[str] = [
     "q190_window_median", "q191_bm25_search", "q192_inverted_index",
     "q193_contiguous_ids", "q194_ntile_binning", "q195_map_hof",
     "q196_aes_roundtrip", "q197_zorder_layout",
-    "q198_window_count_distinct",
+    "q198_window_count_distinct", "q199_corr_matrix",
+    "q200_corpus_pipeline_v2",
     # The six TPC-H shapes completed this round (all 22 covered)
     "q115_tpch_q2_min_cost", "q116_tpch_q9_profit",
     "q117_tpch_q11_important_stock", "q118_tpch_q16_supplier_cnt",

@@ -218,6 +218,13 @@ _CONTAIN_T = 0.8
 )
 def q185_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
+    return containment_pairs(d, _CONTAIN_T).orderBy("id1", "id2")
+
+
+def containment_pairs(d: DataFrame, threshold: float) -> DataFrame:
+    """(id1, id2, containment) pairs at |A∩B|/min(|A|,|B|) >= threshold over
+    3-word shingles, via the lossless rarest-first prefix filter described
+    in q185's docstring.  `d` needs (doc_id, text)."""
     sh = (
         d.select("doc_id", word_shingles("text", 3).alias("sh"))
         .filter(F.size(tokens("text")) >= 3)
@@ -239,7 +246,7 @@ def q185_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sizes, "doc_id")
     )
     prefix = ranked.filter(
-        F.col("r") <= F.floor((1.0 - _CONTAIN_T) * F.col("n")) + 1
+        F.col("r") <= F.floor((1.0 - threshold) * F.col("n")) + 1
     ).select("doc_id", "shingle")
 
     cand = (
@@ -275,8 +282,7 @@ def q185_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("common").cast("double") / F.least("n1", "n2"), 9
             ).alias("containment"),
         )
-        .filter(F.col("containment") >= _CONTAIN_T)
-        .orderBy("id1", "id2")
+        .filter(F.col("containment") >= threshold)
     )
 
 
@@ -1029,3 +1035,149 @@ def q198_window_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("n_types"),
     ).orderBy("user_id", "event_id")
+
+
+# ---------------------------------------------------------------------------
+# q199: Pearson correlation matrix (MLlib Correlation)
+# ---------------------------------------------------------------------------
+
+_CORR_DIMS = 4
+
+_CORR_ORACLE = (
+    "WITH v AS (SELECT "
+    + ", ".join(
+        f"CAST(embedding[{i+1}] AS DOUBLE) AS d{i}" for i in range(_CORR_DIMS)
+    )
+    + " FROM embeddings) "
+    + " UNION ALL ".join(
+        f"SELECT {i} AS i, {j} AS j, ROUND(corr(d{i}, d{j}), 6) AS corr FROM v"
+        for i in range(_CORR_DIMS)
+        for j in range(_CORR_DIMS)
+    )
+    + " ORDER BY i, j"
+)
+
+
+@register(
+    "q199_corr_matrix",
+    sql=_CORR_ORACLE,
+    doc="Pearson correlation matrix over the first 4 embedding dimensions "
+    "via MLlib's Correlation.corr on an array_to_vector column -- the "
+    "matrix sibling of q153's per-pair regression aggregates.  The "
+    "distributed part is one pass computing the Gramian (same shape as "
+    "q148); only the 4x4 result matrix lands on the driver (bounded "
+    "model-state collect, like q124's centroids), then re-emits as "
+    "(i, j, corr) rows.  Oracle: 16 DuckDB corr() aggregates.",
+)
+def q199_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.ml.stat import Correlation
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        array_to_vector(
+            F.slice(F.col("embedding").cast("array<double>"), 1, _CORR_DIMS)
+        ).alias("features")
+    )
+    mat = Correlation.corr(e, "features").head()[0].toArray()
+    rows = [
+        (i, j, round(float(mat[i][j]), 6))
+        for i in range(_CORR_DIMS)
+        for j in range(_CORR_DIMS)
+    ]
+    return spark.createDataFrame(rows, "i int, j int, corr double").orderBy("i", "j")
+
+
+# ---------------------------------------------------------------------------
+# q200: corpus-preparation pipeline v2 (capstone composition)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q200_corpus_pipeline_v2",
+    sql=f"""
+    WITH t AS (
+        SELECT doc_id, text, lang, string_split(text, ' ') AS toks,
+               CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+                   / len(string_split(text, ' ')) AS mean_len
+        FROM documents WHERE length(text) > 0),
+    gate AS (
+        SELECT doc_id, text, lang, len(toks) AS n_tokens FROM t
+        WHERE len(toks) BETWEEN 20 AND 500
+          AND ROUND(mean_len, 6) BETWEEN 2.5 AND 6.5
+          AND len(list_filter(toks, x -> x = 'the' OR x = 'a')) >= 1
+          AND ROUND(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) >= 0.3),
+    exact AS (
+        SELECT doc_id, text, lang, n_tokens,
+               ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM gate),
+    uniq AS (SELECT doc_id, text, lang, n_tokens FROM exact WHERE rn = 1),
+    docs AS (
+        SELECT doc_id,
+               list_distinct([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks)-1)]) AS sh
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM uniq)
+        WHERE len(toks) >= 3),
+    tok AS (SELECT doc_id, unnest(sh) AS shingle FROM docs),
+    sizes AS (SELECT doc_id, len(sh) AS n FROM docs),
+    pairs AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS common
+        FROM tok a JOIN tok b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+    contained AS (
+        SELECT DISTINCT id2 AS doc_id
+        FROM pairs JOIN sizes s1 ON id1 = s1.doc_id JOIN sizes s2 ON id2 = s2.doc_id
+        WHERE ROUND(CAST(common AS DOUBLE) / LEAST(s1.n, s2.n), 9) >= {_CONTAIN_T}),
+    final AS (
+        SELECT u.* FROM uniq u LEFT JOIN contained c ON u.doc_id = c.doc_id
+        WHERE c.doc_id IS NULL)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+    FROM final GROUP BY lang ORDER BY lang
+    """,
+    doc="Corpus-preparation pipeline v2 (capstone composing the wave-7 "
+    "stages in production order): Gopher rule gate (q184) -> exact dedup "
+    "keep-first (q50) -> containment near-dup prune dropping the "
+    "higher-id member of every doc-in-doc pair (q185's prefix-filtered "
+    "candidates) -> per-language corpus stats.  One oracle over the whole "
+    "chain proves the stage composition, not just the stages.  Scale: "
+    "every stage is the bucketed/prefix-filtered form; the filter gate "
+    "runs FIRST so each later stage touches only surviving docs -- stage "
+    "order is itself the 100 TB optimization (compare q86, the v1 chain "
+    "with the simpler quality gate and Jaccard-LSH dedup).",
+)
+def q200_corpus_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    toks = tokens("text")
+    gate = d.select(
+        "doc_id", "text", "lang", token_count("text").alias("n_tokens")
+    ).filter(
+        token_count("text").between(20, 500)
+        & F.round(avg_token_len("text"), 6).between(2.5, 6.5)
+        & (F.size(F.filter(toks, lambda x: x.isin("the", "a"))) >= 1)
+        & (
+            F.round(
+                F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 6
+            )
+            >= 0.3
+        )
+    )
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    uniq = (
+        gate.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    contained = (
+        containment_pairs(uniq.select("doc_id", "text"), _CONTAIN_T)
+        .select(F.col("id2").alias("doc_id"))
+        .distinct()
+    )
+    final = uniq.join(contained, "doc_id", "left_anti")
+    return (
+        final.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+        .orderBy("lang")
+    )
