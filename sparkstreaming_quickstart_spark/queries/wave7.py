@@ -1181,3 +1181,100 @@ def q200_corpus_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# q201: calendar scalar extras
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q201_calendar_extras",
+    sql="""
+    WITH d AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d FROM orders
+               WHERE o_orderkey % 7 = 0)
+    SELECT o_orderkey, strftime(d, '%Y-%m-%d') AS d,
+           strftime(last_day(d), '%Y-%m-%d') AS month_end,
+           strftime(d + to_days(CAST(((7 - isodow(d)) % 7) + 1 AS INT)), '%Y-%m-%d') AS next_monday,
+           strftime(d + INTERVAL 2 MONTH, '%Y-%m-%d') AS plus_2m,
+           CAST(quarter(d) AS INT) AS qtr,
+           CAST(weekofyear(d) AS INT) AS iso_week,
+           CAST(dayofweek(d) + 1 AS INT) AS dow,
+           strftime(date_trunc('week', d), '%Y-%m-%d') AS week_start
+    FROM d
+    ORDER BY o_orderkey
+    """,
+    doc="Calendar scalar extras completing the date/time group (SURVEY "
+    "2.B): last_day, next_day, add_months (end-of-month clamping), "
+    "quarter, ISO weekofyear, dayofweek, and week truncation.  Engine "
+    "semantics divergences are reconciled IN THE ORACLE, not fudged: "
+    "DuckDB dayofweek is 0=Sunday vs Spark's 1=Sunday (+1), and "
+    "next_day('MON') spells out as isodow arithmetic.  Pure codegen "
+    "projection; the only exchange is the output sort.",
+)
+def q201_calendar_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0)
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        d.cast("string").alias("d"),
+        F.last_day(d).cast("string").alias("month_end"),
+        F.next_day(d, "Mon").cast("string").alias("next_monday"),
+        F.add_months(d, 2).cast("string").alias("plus_2m"),
+        F.quarter(d).cast("int").alias("qtr"),
+        F.weekofyear(d).cast("int").alias("iso_week"),
+        F.dayofweek(d).cast("int").alias("dow"),
+        F.date_trunc("week", d).cast("date").cast("string").alias("week_start"),
+    ).orderBy("o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# q202: Python UDTF with a TABLE argument (partitioned, terminate())
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q202_udtf_table_arg",
+    sql="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+    FROM documents WHERE length(text) > 0
+    GROUP BY lang ORDER BY lang
+    """,
+    doc="Python UDTF with a TABLE argument (Spark 4: `f(TABLE(v) PARTITION "
+    "BY lang)`): the engine routes each partition's rows through eval() "
+    "and the per-partition summary emits from terminate() -- the "
+    "user-defined aggregation protocol that complements q63's lateral "
+    "row-expansion UDTF.  PARTITION BY is a real shuffle on lang, so the "
+    "UDTF parallelizes per group like applyInPandas (q49) but with "
+    "streaming row delivery instead of a materialized pandas frame.  "
+    "Oracle is the plain GROUP BY the protocol must reproduce.",
+)
+def q202_udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="lang string, n_docs long, n_tokens long")
+    class PerLangStats:
+        def __init__(self):
+            self._lang = None
+            self._docs = 0
+            self._tokens = 0
+
+        def eval(self, row):
+            self._lang = row["lang"]
+            self._docs += 1
+            self._tokens += len(row["text"].split(" "))
+
+        def terminate(self):
+            if self._lang is not None:
+                yield self._lang, self._docs, self._tokens
+
+    spark.udtf.register("per_lang_stats", PerLangStats)
+    load_table(spark, sf_dir, "documents").filter(
+        F.length("text") > 0
+    ).createOrReplaceTempView("docs_for_udtf")
+    return spark.sql(
+        "SELECT * FROM per_lang_stats(TABLE(docs_for_udtf) PARTITION BY lang) "
+        "ORDER BY lang"
+    )
