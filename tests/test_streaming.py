@@ -288,3 +288,107 @@ def test_streaming_query_listener_observes_progress(spark, sf_dir):
         assert sum(events["progress"]) == n_expected, events["progress"]
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_union_of_streams_aggregates_like_batch(spark, sf_dir, tmp_path):
+    """Two file-source streams unioned into one windowed aggregation: the
+    combined result must equal the batch aggregation over all rows (the
+    engine takes the MIN of the per-input watermarks, so neither side's
+    progress can drop the other's data in an availableNow drain)."""
+    import uuid as _uuid
+
+    from sparkstreaming_quickstart_spark.functions.money import dec  # noqa: F401
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    a_dir, b_dir = str(tmp_path / "a"), str(tmp_path / "b")
+    e.filter(F.col("event_id") % 2 == 0).write.parquet(a_dir)
+    e.filter(F.col("event_id") % 2 == 1).write.parquet(b_dir)
+    schema = spark.read.parquet(a_dir).schema
+
+    def stream(path):
+        return (
+            spark.readStream.schema(schema)
+            .parquet(path)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", "1 hour")
+        )
+
+    unioned = stream(a_dir).unionByName(stream(b_dir))
+    agg = unioned.groupBy(F.window("ts", "1 day").alias("w")).count()
+    name = f"u_{_uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["w"].start.isoformat(), r["count"]) for r in spark.table(name).collect()
+    }
+    want = {
+        (r["w"].start.isoformat(), r["count"])
+        for r in (
+            e.withColumn("ts", F.col("ts").cast("timestamp"))
+            .groupBy(F.window("ts", "1 day").alias("w"))
+            .count()
+            .collect()
+        )
+    }
+    assert got == want
+
+
+def test_rate_micro_batch_source_is_deterministic(spark, tmp_path):
+    """rate-micro-batch: exactly rowsPerBatch rows per batch with
+    deterministic values -- the load-generator source for throughput tests
+    (unlike `rate`, batch contents don't depend on wall-clock timing)."""
+    stream = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", 10)
+        .option("numPartitions", 2)
+        .load()
+    )
+    import uuid as _uuid
+
+    name = f"rmb_{_uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    vals = sorted(r["value"] for r in spark.table(name).collect())
+    assert len(vals) % 10 == 0 and len(vals) > 0
+    assert vals == list(range(len(vals)))
+
+
+def test_foreach_batch_fanout_writes_two_sinks_consistently(spark, sf_dir, tmp_path):
+    """Multi-sink fanout inside one foreachBatch: persist() the batch, write
+    it to two sinks, unpersist.  Both sinks must hold the identical full
+    row set -- the pattern that avoids recomputing the upstream (and, on a
+    real source, re-reading the micro-batch) once per sink."""
+    from sparkstreaming_quickstart_spark.streaming.pipeline import run_foreach_batch
+
+    s1, s2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+
+    def fanout(df, epoch_id):
+        df.persist()
+        try:
+            df.write.mode("append").parquet(s1)
+            df.select("event_id", "user_id").write.mode("append").parquet(s2)
+        finally:
+            df.unpersist()
+
+    q = run_foreach_batch(events_stream(spark, sf_dir), fanout)
+    q.awaitTermination()
+    n = load_table(spark, sf_dir, "events").count()
+    ids1 = sorted(r.event_id for r in spark.read.parquet(s1).select("event_id").collect())
+    ids2 = sorted(r.event_id for r in spark.read.parquet(s2).select("event_id").collect())
+    expected = sorted(
+        r.event_id for r in load_table(spark, sf_dir, "events").select("event_id").collect()
+    )
+    assert ids1 == expected and ids2 == expected and len(ids1) == n
