@@ -225,26 +225,26 @@ def containment_pairs(d: DataFrame, threshold: float) -> DataFrame:
     """(id1, id2, containment) pairs at |A∩B|/min(|A|,|B|) >= threshold over
     3-word shingles, via the lossless rarest-first prefix filter described
     in q185's docstring.  `d` needs (doc_id, text)."""
+    # The shingle frame feeds the index build AND both verify sides, and the
+    # posting list feeds three consumers (df counts, prefix ranking, the
+    # candidate probe); materialize each once instead of re-shingling the
+    # corpus per consumer.  At 100 TB this is the "build the inverted index,
+    # then join against it" shape (MEMORY_AND_DISK spills instead of
+    # recomputing).
     sh = (
         d.select("doc_id", word_shingles("text", 3).alias("sh"))
         .filter(F.size(tokens("text")) >= 3)
+        .persist()
     )
-    tok = sh.select("doc_id", F.explode("sh").alias("shingle"))
-    sizes = sh.select("doc_id", F.size("sh").alias("n"))
+    tok = sh.select("doc_id", F.explode("sh").alias("shingle")).persist()
 
     # Rarest-first prefix: rank each doc's shingles by global df, keep the
     # first floor((1-t)*n)+1.  Lossless for containment at threshold t.
     freq = tok.groupBy("shingle").agg(F.count("*").alias("df"))
-    ranked = (
-        tok.join(freq, "shingle")
-        .withColumn(
-            "r",
-            F.row_number().over(
-                Window.partitionBy("doc_id").orderBy("df", "shingle")
-            ),
-        )
-        .join(sizes, "doc_id")
-    )
+    ranked = tok.join(freq, "shingle").withColumn(
+        "r",
+        F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "shingle")),
+    ).withColumn("n", F.count("*").over(Window.partitionBy("doc_id")))
     prefix = ranked.filter(
         F.col("r") <= F.floor((1.0 - threshold) * F.col("n")) + 1
     ).select("doc_id", "shingle")
@@ -260,26 +260,24 @@ def containment_pairs(d: DataFrame, threshold: float) -> DataFrame:
         .distinct()
     )
 
-    common = (
-        cand.join(tok.alias("ta"), F.col("ta.doc_id") == F.col("id1"))
-        .join(
-            tok.alias("tb"),
-            (F.col("tb.doc_id") == F.col("id2"))
-            & (F.col("tb.shingle") == F.col("ta.shingle")),
-        )
-        .groupBy("id1", "id2")
-        .agg(F.count("*").alias("common"))
-    )
-    s1 = sizes.select(F.col("doc_id").alias("id1"), F.col("n").alias("n1"))
-    s2 = sizes.select(F.col("doc_id").alias("id2"), F.col("n").alias("n2"))
+    # Exact verify: join each candidate pair to the two shingle ARRAYS and
+    # intersect in codegen.  The candidate set is loose (any shared rare
+    # shingle qualifies), so expanding candidates back through the posting
+    # list (join + groupBy count) multiplies 100x before shrinking; the
+    # array_intersect spelling verifies each pair in O(|sh|) right where it
+    # sits -- measured 5.7s -> ~2s at sf0.1 on 180k candidates.
+    s1 = sh.select(F.col("doc_id").alias("id1"), F.col("sh").alias("sh1"))
+    s2 = sh.select(F.col("doc_id").alias("id2"), F.col("sh").alias("sh2"))
     return (
-        common.join(s1, "id1")
+        cand.join(s1, "id1")
         .join(s2, "id2")
         .select(
             "id1",
             "id2",
             F.round(
-                F.col("common").cast("double") / F.least("n1", "n2"), 9
+                F.size(F.array_intersect("sh1", "sh2")).cast("double")
+                / F.least(F.size("sh1"), F.size("sh2")),
+                9,
             ).alias("containment"),
         )
         .filter(F.col("containment") >= threshold)
@@ -321,34 +319,32 @@ _SEMDEDUP_T = 0.35
     "norms precomputed, never recomputed per pair.",
 )
 def q186_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        # SemDeDup as the paper runs it: the whole cluster's similarity
+        # matrix in one dense matmul.  Rounding to 9 digits mirrors the
+        # oracle's ROUND(...,9) threshold; matmul-vs-sequential-fold float
+        # divergence is far below that.
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        v = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        nrm = np.sqrt((v * v).sum(axis=1))
+        nrm[nrm == 0.0] = np.nan  # zero vectors never match (cos undefined)
+        sims = np.round((v @ v.T) / np.outer(nrm, nrm), 9)
+        n = len(pdf)
+        mask = np.tril(np.ones((n, n), dtype=bool), k=-1)  # i < j pairs (rows j)
+        is_dup = np.nansum((sims >= _SEMDEDUP_T) & mask.T, axis=0) > 0
+        return pd.DataFrame(
+            {"vec_id": pdf["vec_id"], "label": pdf["label"], "is_dup": is_dup}
+        )
+
     e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", F.col("embedding").alias("v"), norm(F.col("embedding")).alias("nrm")
-    )
-    x = e.alias("x")
-    y = e.alias("y")
-    dropped = (
-        x.join(
-            y,
-            (F.col("x.label") == F.col("y.label"))
-            & (F.col("x.vec_id") < F.col("y.vec_id")),
-        )
-        .select(
-            F.col("y.vec_id").alias("vec_id"),
-            _pair_cosine(
-                dot(F.col("x.v"), F.col("y.v")), F.col("x.nrm"), F.col("y.nrm"), 9
-            ).alias("cs"),
-        )
-        .filter(F.col("cs") >= _SEMDEDUP_T)
-        .select("vec_id")
-        .distinct()
-        .withColumn("is_dup", F.lit(True))
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
     return (
-        e.select("vec_id", "label")
-        .join(dropped, "vec_id", "left")
-        .select(
-            "vec_id", "label", F.coalesce("is_dup", F.lit(False)).alias("is_dup")
-        )
+        e.groupBy("label")
+        .applyInPandas(prune, "vec_id long, label int, is_dup boolean")
         .orderBy("vec_id")
     )
 
