@@ -300,17 +300,18 @@ def test_containment_prefix_filter_shrinks_probe_side(spark, sf_dir):
     assert n_prefix < 0.35 * n_full, (n_prefix, n_full)
 
 
-def test_semdedup_precomputes_norms_before_pair_join(spark, sf_dir):
-    # q186: the norm fold must be evaluated per vector (before the join),
-    # never per pair -- the plan may contain at most the two per-side
-    # aggregate folds plus the one cross dot, not re-folded norms per pair.
+def test_semdedup_is_single_shuffle_grouped_kernel(spark, sf_dir):
+    # q186: the SemDeDup engine path is ONE shuffle on label feeding the
+    # per-cluster Arrow matmul kernel -- no pair join (a join would square
+    # the shuffled volume) and exactly one grouped-Python operator.
     from sparkstreaming_quickstart_spark.queries.wave7 import q186_semdedup
 
     df = q186_semdedup(spark, sf_dir)
-    formatted = explain_str(df, "formatted")
-    # norm = sqrt(aggregate(zip_with(v,v,...))): count the sqrt(aggregate
-    # occurrences -- one per join side.  A per-pair norm would inline four.
-    assert formatted.count("SQRT(aggregate") <= 2, formatted
+    simple = explain_str(df, "simple")
+    assert "Join" not in simple, simple
+    assert simple.count("FlatMapGroupsInPandas") == 1, simple
+    # label hash exchange + output sort range exchange (plus AQE reads)
+    assert shuffle_count(df) <= 2, simple
 
 
 def test_bm25_broadcasts_stats_and_filters_before_shuffle(spark, sf_dir):
