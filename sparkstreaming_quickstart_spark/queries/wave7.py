@@ -27,7 +27,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import avg_token_len, token_count, tokens, word_shingles
-from ..operators.similarity import _pair_cosine, dot, norm
 from ..sources.catalog import load_table
 from . import register
 
