@@ -1,0 +1,99 @@
+"""Semantic pins for the wave-7 corpus-hygiene operators: planted cases the
+fixture oracle can't distinguish, exercised on synthetic inline frames.
+
+- Containment (q185) catches a short doc embedded in a long one -- the pair
+  class Jaccard misses by construction -- and its prefix filter loses
+  nothing on the planted pair.
+- SemDeDup (q186's kernel semantics) flags near-identical vectors only
+  INSIDE a cluster; identical vectors in different clusters survive (the
+  cluster-scoping that bounds its cost is also its semantic contract).
+- C4 span dedup (q183) keeps exactly the first occurrence (doc_id, pos) of
+  a boilerplate span shared by many docs and reassembles the survivors in
+  order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _containment_and_jaccard(spark, rows):
+    from sparkstreaming_quickstart_spark.queries.wave7 import containment_pairs
+
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = containment_pairs(d, 0.8).collect()
+    return pairs
+
+
+def test_containment_catches_doc_in_doc_that_jaccard_misses(spark):
+    base = " ".join(f"w{i}" for i in range(10))          # the short doc
+    long = base + " " + " ".join(f"x{i}" for i in range(90))  # 10x longer
+    rows = [(1, base), (2, long), (3, " ".join(f"z{i}" for i in range(20)))]
+    pairs = _containment_and_jaccard(spark, rows)
+    assert [(p.id1, p.id2) for p in pairs] == [(1, 2)]
+    assert pairs[0].containment == 1.0
+    # the same pair's Jaccard is far below any near-dup threshold
+    sh_small, sh_big = 10 - 2, 100 - 2
+    jaccard = sh_small / (sh_small + sh_big - sh_small)
+    assert jaccard < 0.1
+
+
+def test_semdedup_scopes_pruning_to_the_cluster(spark):
+    from sparkstreaming_quickstart_spark.queries import all_queries  # noqa: F401
+    import numpy as np
+
+    v = [float(x) for x in np.arange(8)]
+    rows = [
+        (1, 0, v),          # kept: lowest id in cluster 0
+        (2, 0, v),          # dropped: identical to 1, same cluster
+        (3, 1, v),          # kept: identical vector but DIFFERENT cluster
+        (4, 1, [1.0, -1.0, 1.0, -1.0, 1.0, -1.0, 1.0, -1.0]),  # kept: orthogonal-ish
+    ]
+    d = spark.createDataFrame(rows, "vec_id long, label int, v array<double>")
+
+    # run the same grouped kernel q186 registers, on the inline frame
+    from sparkstreaming_quickstart_spark.queries.wave7 import _SEMDEDUP_T
+    import pandas as pd
+
+    def prune(pdf):
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        m = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        nrm = np.sqrt((m * m).sum(axis=1))
+        nrm[nrm == 0.0] = np.nan
+        sims = np.round((m @ m.T) / np.outer(nrm, nrm), 9)
+        n = len(pdf)
+        mask = np.tril(np.ones((n, n), dtype=bool), k=-1)
+        is_dup = np.nansum((sims >= _SEMDEDUP_T) & mask.T, axis=0) > 0
+        return pd.DataFrame(
+            {"vec_id": pdf["vec_id"], "label": pdf["label"], "is_dup": is_dup}
+        )
+
+    out = {
+        r.vec_id: r.is_dup
+        for r in d.groupBy("label")
+        .applyInPandas(prune, "vec_id long, label int, is_dup boolean")
+        .collect()
+    }
+    assert out == {1: False, 2: True, 3: False, 4: False}
+
+
+def test_span_dedup_keeps_first_occurrence_and_reassembles_in_order(spark, sf_dir, monkeypatch, tmp_path):
+    from sparkstreaming_quickstart_spark.queries.wave7 import q183_c4_span_dedup, _SPAN
+
+    boiler = " ".join(["b"] * _SPAN)            # one exact span of boilerplate
+    uniq = lambda tag: " ".join(f"{tag}{i}" for i in range(_SPAN))
+    rows = [
+        (1, uniq("a") + " " + boiler),          # boiler at pos 1 of doc 1
+        (2, boiler + " " + uniq("c")),          # boiler at pos 0 of doc 2
+        (3, boiler),                            # doc 3 is ONLY the boiler
+    ]
+    import pandas as pd
+
+    pd.DataFrame(rows, columns=["doc_id", "text"]).assign(
+        lang="en", source="t", n_chars=0
+    ).to_parquet(tmp_path / "documents.parquet")
+    out = {r.doc_id: r for r in q183_c4_span_dedup(spark, str(tmp_path)).collect()}
+    # doc 1 (lowest doc_id) keeps its copy; docs 2 and 3 lose theirs
+    assert out[1].n_kept == 2 and out[1].clean_text == rows[0][1]
+    assert out[2].n_kept == 1 and out[2].clean_text == uniq("c")
+    assert out[3].n_kept == 0 and out[3].clean_text == ""
