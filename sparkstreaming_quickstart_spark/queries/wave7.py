@@ -1273,3 +1273,126 @@ def q202_udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT * FROM per_lang_stats(TABLE(docs_for_udtf) PARTITION BY lang) "
         "ORDER BY lang"
     )
+
+
+# ---------------------------------------------------------------------------
+# q203: incremental dedup of an ingest batch against the historical corpus
+# ---------------------------------------------------------------------------
+
+_INCR_JACCARD_T = 0.5
+
+
+@register(
+    "q203_incremental_dedup",
+    sql=f"""
+    WITH hist AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+    batch AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+    exact AS (
+        SELECT b.doc_id, MIN(h.doc_id) AS matched_id
+        FROM batch b JOIN hist h ON md5(b.text) = md5(h.text)
+        GROUP BY b.doc_id),
+    bsh AS (
+        SELECT doc_id,
+               list_distinct([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks)-1)]) AS sh
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM batch)
+        WHERE len(toks) >= 3),
+    hsh AS (
+        SELECT doc_id,
+               list_distinct([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks)-1)]) AS sh
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM hist)
+        WHERE len(toks) >= 3),
+    btok AS (SELECT doc_id, unnest(sh) AS shingle FROM bsh),
+    htok AS (SELECT doc_id, unnest(sh) AS shingle FROM hsh),
+    common AS (
+        SELECT b.doc_id AS bid, h.doc_id AS hid, COUNT(*) AS common
+        FROM btok b JOIN htok h ON b.shingle = h.shingle
+        GROUP BY 1, 2),
+    near AS (
+        SELECT bid AS doc_id, MIN(hid) AS matched_id
+        FROM common
+        JOIN (SELECT doc_id, len(sh) AS n FROM bsh) sb ON bid = sb.doc_id
+        JOIN (SELECT doc_id, len(sh) AS n FROM hsh) sh2 ON hid = sh2.doc_id
+        WHERE CAST(common AS DOUBLE) / (sb.n + sh2.n - common) >= {_INCR_JACCARD_T}
+        GROUP BY bid)
+    SELECT b.doc_id,
+           CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+                WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+                ELSE 'novel' END AS status,
+           CASE WHEN e.doc_id IS NOT NULL THEN e.matched_id
+                WHEN n.doc_id IS NOT NULL THEN n.matched_id END AS matched_id
+    FROM batch b
+    LEFT JOIN exact e ON b.doc_id = e.doc_id
+    LEFT JOIN near n ON b.doc_id = n.doc_id
+    ORDER BY b.doc_id
+    """,
+    doc="Incremental ingest dedup: classify each document of a NEW batch "
+    "(doc_id%5=0 stands in for today's crawl) against the historical "
+    "corpus as exact_dup (hash match), near_dup (3-shingle Jaccard >= "
+    f"{_INCR_JACCARD_T} to any historical doc), or novel, with the lowest "
+    "matching historical id for provenance.  This is the shape production "
+    "pipelines actually run daily -- NEVER re-deduping the 100 TB corpus: "
+    "cost is O(batch) probes against the persistent hash/shingle indexes "
+    "(the md5 join and the posting join both key on batch-side values, so "
+    "with a small batch both build sides broadcast; a bloom filter over "
+    "historical hashes is the further cheap pre-filter).  Precedence "
+    "exact > near resolves the overlap deterministically.",
+)
+def q203_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    hist = d.filter(F.col("doc_id") % 5 != 0)
+    batch = d.filter(F.col("doc_id") % 5 == 0)
+
+    exact = (
+        batch.select("doc_id", F.md5("text").alias("h"))
+        .join(
+            hist.select(F.md5("text").alias("h"), F.col("doc_id").alias("hid")), "h"
+        )
+        .groupBy("doc_id")
+        .agg(F.min("hid").alias("exact_match"))
+    )
+
+    def shingled(df):
+        return (
+            df.select("doc_id", word_shingles("text", 3).alias("sh"))
+            .filter(F.size(tokens("text")) >= 3)
+        )
+
+    bsh, hsh = shingled(batch), shingled(hist)
+    btok = bsh.select("doc_id", F.explode("sh").alias("shingle"))
+    htok = hsh.select("doc_id", F.explode("sh").alias("shingle"))
+    common = (
+        btok.alias("b")
+        .join(htok.alias("h"), "shingle")
+        .groupBy(
+            F.col("b.doc_id").alias("bid"), F.col("h.doc_id").alias("hid")
+        )
+        .agg(F.count("*").alias("common"))
+    )
+    near = (
+        common.join(bsh.select(F.col("doc_id").alias("bid"), F.size("sh").alias("bn")), "bid")
+        .join(hsh.select(F.col("doc_id").alias("hid"), F.size("sh").alias("hn")), "hid")
+        .filter(
+            F.col("common").cast("double")
+            / (F.col("bn") + F.col("hn") - F.col("common"))
+            >= _INCR_JACCARD_T
+        )
+        .groupBy("bid")
+        .agg(F.min("hid").alias("near_match"))
+        .withColumnRenamed("bid", "doc_id")
+    )
+    return (
+        batch.select("doc_id")
+        .join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("exact_match").isNotNull(), "exact_dup")
+            .when(F.col("near_match").isNotNull(), "near_dup")
+            .otherwise("novel")
+            .alias("status"),
+            F.when(F.col("exact_match").isNotNull(), F.col("exact_match"))
+            .otherwise(F.col("near_match"))
+            .alias("matched_id"),
+        )
+        .orderBy("doc_id")
+    )
