@@ -1396,3 +1396,86 @@ def q203_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q204: string scalar extras (second batch)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q204_string_extras",
+    sql="""
+    SELECT n_nationkey,
+           array_to_string(list_transform(string_split(lower(n_name), ' '),
+               w -> upper(w[1]) || w[2:]), ' ') AS title_name,
+           reverse(n_name) AS rev,
+           repeat(substring(n_name, 1, 2), 3) AS rep2,
+           printf('%s#%02d', substring(n_name, 1, 3), n_nationkey) AS tag,
+           CAST(ascii(n_name) AS INT) AS first_code,
+           chr(CAST(65 + n_nationkey % 26 AS INT)) AS letter,
+           array_to_string(string_split(n_name, 'A')[1:2], 'A') AS before_2nd_a
+    FROM nation
+    ORDER BY n_nationkey
+    """,
+    doc="String scalar extras completing the string group: initcap "
+    "(title-case, emulated word-by-word in the oracle -- DuckDB lacks it), "
+    "reverse, repeat, format_string/printf, ascii, chr, and "
+    "substring_index (emulated as split+rejoin).  Engine divergences live "
+    "in the ORACLE emulation, the Spark side is all built-ins in one "
+    "codegen projection.",
+)
+def q204_string_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    return n.select(
+        "n_nationkey",
+        F.initcap(F.lower("n_name")).alias("title_name"),
+        F.reverse("n_name").alias("rev"),
+        F.repeat(F.substring("n_name", 1, 2), 3).alias("rep2"),
+        F.format_string("%s#%02d", F.substring("n_name", 1, 3), "n_nationkey").alias("tag"),
+        F.ascii("n_name").cast("int").alias("first_code"),
+        F.chr(F.lit(65) + F.col("n_nationkey") % 26).alias("letter"),
+        F.substring_index("n_name", "A", 2).alias("before_2nd_a"),
+    ).orderBy("n_nationkey")
+
+
+# ---------------------------------------------------------------------------
+# q205: DataFrame.transpose (Spark 4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q205_transpose",
+    sql="""
+    WITH c AS (
+        SELECT o_orderstatus AS s, o_orderpriority AS p, COUNT(*) AS n
+        FROM orders GROUP BY 1, 2)
+    SELECT s AS key,
+           MAX(CASE WHEN p = '1-URGENT' THEN n END) AS "1-URGENT",
+           MAX(CASE WHEN p = '2-HIGH' THEN n END) AS "2-HIGH",
+           MAX(CASE WHEN p = '3-MEDIUM' THEN n END) AS "3-MEDIUM",
+           MAX(CASE WHEN p = '4-NOT SPECIFIED' THEN n END) AS "4-NOT SPECIFIED",
+           MAX(CASE WHEN p = '5-LOW' THEN n END) AS "5-LOW"
+    FROM c GROUP BY s ORDER BY key
+    """,
+    doc="DataFrame.transpose (Spark 4): the priority x status count table "
+    "pivots priorities to columns, then transposes so former columns "
+    "become rows keyed by `key` -- the API for flipping a SMALL summary "
+    "frame (transpose materializes the header column on the driver, so "
+    "it is a driver-scale operation by contract, like q199's matrix).  "
+    "Oracle spells the same double pivot as conditional aggregation.",
+)
+def q205_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    wide = (
+        o.groupBy("o_orderstatus")
+        .pivot(
+            "o_orderpriority",
+            ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+        )
+        .count()
+    )
+    # transpose: first column becomes the header row; flip twice to get
+    # (status rows x priority columns) keyed the way the oracle spells it.
+    t = wide.transpose().transpose()
+    return t.withColumnRenamed("key", "key").orderBy("key")
