@@ -34,9 +34,16 @@ def asof_join(
     right_time: str,
     value_cols: list[str],
     tiebreak: str,
+    tolerance: str | None = None,
 ) -> DataFrame:
     """For each left row, attach `value_cols` of the latest right row with
     right_time <= left_time for the same `on` key (None if no such row).
+
+    `tolerance` (an INTERVAL literal like "2 hours") bounds the match age:
+    a carried quote older than left_time - tolerance resolves to None, the
+    pandas merge_asof(tolerance=...) semantics.  Implemented by carrying
+    the matched quote's OWN time alongside its values and nulling stale
+    matches -- still one shuffle, no join blowup.
 
     Requirements: `value_cols` must be disjoint from `left`'s columns (rename
     on the right side first), and `tiebreak` must be one of `value_cols`.
@@ -70,10 +77,24 @@ def asof_join(
     )
     carried = unioned.select(
         *lcols,
+        "__t",
         "__is_left",
         *[
             F.last(F.when(F.col("__is_left") == 0, F.col(v)), ignorenulls=True).over(w).alias(f"asof_{v}")
             for v in value_cols
         ],
+        F.last(F.when(F.col("__is_left") == 0, F.col("__t")), ignorenulls=True)
+        .over(w)
+        .alias("__matched_t"),
     )
-    return carried.filter(F.col("__is_left") == 1).drop("__is_left")
+    out = carried.filter(F.col("__is_left") == 1)
+    if tolerance is not None:
+        fresh = F.col("__matched_t") >= F.col("__t") - F.expr(f"INTERVAL {tolerance}")
+        out = out.select(
+            *lcols,
+            *[
+                F.when(fresh, F.col(f"asof_{v}")).alias(f"asof_{v}")
+                for v in value_cols
+            ],
+        )
+    return out.drop("__t", "__is_left", "__matched_t")

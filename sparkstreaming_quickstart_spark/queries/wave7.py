@@ -1479,3 +1479,59 @@ def q205_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (status rows x priority columns) keyed the way the oracle spells it.
     t = wide.transpose().transpose()
     return t.withColumnRenamed("key", "key").orderBy("key")
+
+
+# ---------------------------------------------------------------------------
+# q206: as-of join with a staleness tolerance
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q206_asof_tolerance",
+    sql="""
+    SELECT e.event_id, e.user_id, e.ts,
+           (SELECT max_by(c.event_id, c.ts)
+              FROM events c
+             WHERE c.user_id = e.user_id AND c.event_type = 'click'
+               AND c.ts <= e.ts AND c.ts >= e.ts - INTERVAL 2 HOUR
+           ) AS asof_click_event_id
+    FROM events e
+    WHERE e.event_type = 'error'
+    ORDER BY e.event_id
+    """,
+    doc="As-of join with a 2-hour tolerance (pandas merge_asof(tolerance=) "
+    "semantics): the latest prior click still counts only while fresh; a "
+    "stale match resolves to NULL instead of silently attaching hours-old "
+    "state.  Same single-shuffle union-and-carry-forward plan as q18 -- "
+    "the matched quote's own timestamp rides along and a codegen filter "
+    "nulls expired matches, so tolerance costs zero extra shuffles "
+    "(operators/asof.py).",
+)
+def q206_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("asof_click_event_id"),
+    )
+    joined = asof_join(
+        errors,
+        clicks,
+        on="user_id",
+        left_time="ts",
+        right_time="click_ts",
+        value_cols=["asof_click_event_id"],
+        tiebreak="asof_click_event_id",
+        tolerance="2 hours",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("asof_asof_click_event_id").alias("asof_click_event_id"),
+    ).orderBy("event_id")
