@@ -173,3 +173,70 @@ def test_python_datasource_streaming_reader(spark, tmp_path):
     q.stop()
     got = sorted((r.seq, r.val) for r in spark.table(table).collect())
     assert got[:LIMIT] == [(i, i / 4.0) for i in range(LIMIT)]
+
+
+def test_python_datasource_custom_writer_two_phase_commit(spark, sf_dir, tmp_path):
+    """Python DataSource WRITE path (Spark 4): a custom sink with the
+    two-phase commit protocol -- tasks write to staging and return commit
+    messages, commit() atomically publishes, abort() would discard.  The
+    other half of the extension point next to the custom readers above."""
+    import json
+    import os
+    import uuid as _uuid
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceWriter,
+        WriterCommitMessage,
+    )
+
+    out_dir = str(tmp_path / "out")
+    os.makedirs(out_dir)
+
+    class _Msg(WriterCommitMessage):
+        def __init__(self, staged):
+            self.staged = staged
+
+    class _Writer(DataSourceWriter):
+        def __init__(self, options):
+            self.path = options["path"]
+
+        def write(self, iterator):
+            staged = os.path.join(self.path, f".staged-{_uuid.uuid4().hex}")
+            with open(staged, "w") as fh:
+                for row in iterator:
+                    fh.write(json.dumps(row.asDict(), default=str) + "\n")
+            return _Msg(staged)
+
+        def commit(self, messages):
+            for i, m in enumerate(messages):
+                os.rename(m.staged, os.path.join(self.path, f"part-{i:05d}.jsonl"))
+
+        def abort(self, messages):
+            for m in messages:
+                if os.path.exists(m.staged):
+                    os.remove(m.staged)
+
+    class JsonlSink(DataSource):
+        @classmethod
+        def name(cls):
+            return "jsonlsink"
+
+        def writer(self, schema, overwrite):
+            return _Writer(self.options)
+
+    spark.dataSource.register(JsonlSink)
+    from sparkstreaming_quickstart_spark.sources.catalog import load_table
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id").limit(200)
+    e.write.format("jsonlsink").option("path", out_dir).mode("append").save()
+
+    published = [f for f in os.listdir(out_dir) if f.startswith("part-")]
+    staged_left = [f for f in os.listdir(out_dir) if f.startswith(".staged-")]
+    assert published and not staged_left
+    got = sorted(
+        json.loads(line)["event_id"]
+        for f in published
+        for line in open(os.path.join(out_dir, f))
+    )
+    assert got == sorted(r.event_id for r in e.collect())
