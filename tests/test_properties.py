@@ -152,3 +152,36 @@ def test_avro_wire_header_roundtrip_property(sid):
     schema = {"type": "record", "name": "m", "fields": [{"name": "x", "type": "long"}]}
     got_sid, rec = wire_decode(wire_encode(sid, {"x": 7}, schema), {sid: schema})
     assert got_sid == sid and rec == {"x": 7}
+
+
+# Word-salad docs over a tiny vocabulary force heavy shingle collisions --
+# the adversarial case for the prefix filter's losslessness claim.
+_doc_words = st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=3, max_size=12)
+
+
+@given(docs=st.lists(_doc_words, min_size=2, max_size=8))
+@_SETTINGS
+def test_containment_prefix_filter_is_lossless(spark, docs):
+    """containment_pairs (prefix-filtered candidates) must equal the brute
+    force over every pair -- the PPJoin pigeonhole argument, checked on
+    random corpora instead of trusting the fixture."""
+    from sparkstreaming_quickstart_spark.queries.wave7 import containment_pairs
+
+    texts = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    d = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        (r.id1, r.id2): r.containment
+        for r in containment_pairs(d, 0.8).collect()
+    }
+
+    def shingles(ws):
+        return {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+
+    want = {}
+    for i, wi in enumerate(docs):
+        for j in range(i + 1, len(docs)):
+            si, sj = shingles(wi), shingles(docs[j])
+            c = round(len(si & sj) / min(len(si), len(sj)), 9)
+            if c >= 0.8:
+                want[(i, j)] = c
+    assert got == want
