@@ -1535,3 +1535,121 @@ def q206_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.col("asof_asof_click_event_id").alias("asof_click_event_id"),
     ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# q207: session windows with a DYNAMIC per-event gap
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q207_dynamic_session_gap",
+    sql="""
+    WITH e AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN event_type = 'purchase' THEN 7200::BIGINT ELSE 1800::BIGINT END AS gap_s
+        FROM events),
+    flagged AS (
+        SELECT user_id, ts, event_id, gap_s,
+               CASE WHEN MAX(epoch_us(ts) + gap_s * 1000000)
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                         > epoch_us(ts)
+                    THEN 0 ELSE 1 END AS new_session
+        FROM e),
+    sessions AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM flagged)
+    SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end
+    FROM sessions
+    GROUP BY user_id, sid
+    ORDER BY user_id, session_id
+    """,
+    doc="Session windows with a DYNAMIC per-event gap (session_window(ts, "
+    "expr), Spark >=3.2): purchases hold a session open for 2h, other "
+    "events for 30min -- the per-event-type inactivity policy static gaps "
+    "(q34) can't express.  Engine path uses the built-in session_window "
+    "with a CASE gap; sessions merge while event intervals [ts, ts+gap) "
+    "overlap, which the oracle replays as gaps-and-islands over a running "
+    "max of interval ends.  Same single user_id shuffle as q34.",
+)
+def q207_dynamic_session_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    # session_window's dynamic gap needs CalendarIntervalType string
+    # literals, not the ANSI day-time interval INTERVAL syntax produces.
+    gap = F.when(F.col("event_type") == "purchase", F.lit("2 hours")).otherwise(
+        F.lit("30 minutes")
+    )
+    grouped = (
+        e.groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("sw.start"))
+    return (
+        grouped.withColumn("session_id", F.row_number().over(w).cast("bigint"))
+        .select("user_id", "session_id", "n_events", "session_start", "session_end")
+        .orderBy("user_id", "session_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q208: deterministic train/val/test split
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q208_train_val_test_split",
+    sql="""
+    WITH s AS (
+        SELECT doc_id, lang,
+               CAST(CAST('0x' || substr(md5('split42|' || doc_id), 1, 8) AS BIGINT) % 100 AS INT) AS bucket
+        FROM documents)
+    SELECT lang,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+    FROM s
+    GROUP BY 1, 2
+    ORDER BY lang, split
+    """,
+    doc="Deterministic train/val/test split (80/10/10): the split is a pure "
+    "function of a salted key hash (md5 -> bucket 0..99), so it is stable "
+    "under reruns, re-partitioning, AND corpus growth -- a new document "
+    "never moves an old one between splits, which a row_number()-based "
+    "split cannot guarantee.  This is the canonical leakage-safe split "
+    "for training corpora (the salt versions the split).  Zero shuffles "
+    "until the reporting agg; the per-row bucket is codegen.  Oracle "
+    "replays the identical hash arithmetic.",
+)
+def q208_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("split42|"), F.col("doc_id"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    ).cast("int")
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        d.select("lang", split.alias("split"), "doc_id")
+        .groupBy("lang", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        .orderBy("lang", "split")
+    )
