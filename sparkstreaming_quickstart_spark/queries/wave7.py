@@ -1653,3 +1653,57 @@ def q208_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "split")
     )
+
+
+# ---------------------------------------------------------------------------
+# q209: weighted sampling without replacement (Efraimidis-Spirakis)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q209_weighted_sample",
+    sql="""
+    WITH s AS (
+        SELECT doc_id, n_chars,
+               (CAST(CAST('0x' || substr(md5('wsamp|' || doc_id), 1, 8) AS BIGINT) AS DOUBLE) + 0.5)
+                   / 4294967296.0 AS u
+        FROM documents WHERE n_chars > 0),
+    keyed AS (
+        SELECT doc_id, n_chars,
+               ROUND(pow(u, 1.0 / n_chars), 9) AS k
+        FROM s)
+    SELECT doc_id, n_chars, k,
+           CAST(ROW_NUMBER() OVER (ORDER BY k DESC, doc_id ASC) AS INT) AS rank
+    FROM keyed
+    ORDER BY rank
+    LIMIT 20
+    """,
+    doc="Weighted sampling WITHOUT replacement (Efraimidis-Spirakis A-ES): "
+    "each row draws key u^(1/w) from a deterministic per-row uniform "
+    "(salted md5 -> (bucket+0.5)/2^32) with weight = n_chars, and the "
+    "global top-k by key IS a w-proportional sample without replacement.  "
+    "The one-pass reservoir shape: keys compute in codegen with no "
+    "shuffle, and top-20-of-n needs only a per-partition partial top-k "
+    "before the single-partition final ranking (Spark's sort-limit "
+    "already plans exactly that: TakeOrderedAndProject).  The "
+    "deterministic uniform makes the sample reproducible AND "
+    "oracle-checkable; swap the salt to redraw.",
+)
+def q209_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("wsamp|"), F.col("doc_id"))), 1, 8),
+            16,
+            10,
+        ).cast("double")
+        + 0.5
+    ) / F.lit(4294967296.0)
+    k = F.round(F.pow(u, 1.0 / F.col("n_chars")), 9)
+    w = Window.orderBy(F.col("k").desc(), F.col("doc_id").asc())
+    return (
+        d.select("doc_id", "n_chars", k.alias("k"))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 20)
+        .orderBy("rank")
+    )
