@@ -1707,3 +1707,45 @@ def q209_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 20)
         .orderBy("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# q210: DataFrame.groupingSets API (Spark 4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q210_grouping_sets_api",
+    sql="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+    doc="DataFrame.groupingSets (Spark 4 API): per-status totals, "
+    "per-priority totals, and the grand total in ONE pass -- the "
+    "DataFrame-native spelling of q29's SQL GROUPING SETS (one shuffle, "
+    "rows expanded per set by the Expand operator, partial aggregation "
+    "intact).  DECIMAL accumulate, double publish, as everywhere.",
+)
+def q210_grouping_sets_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
