@@ -97,3 +97,74 @@ def test_span_dedup_keeps_first_occurrence_and_reassembles_in_order(spark, sf_di
     assert out[1].n_kept == 2 and out[1].clean_text == rows[0][1]
     assert out[2].n_kept == 1 and out[2].clean_text == uniq("c")
     assert out[3].n_kept == 0 and out[3].clean_text == ""
+
+
+def test_streaming_asof_enrichment_carries_dimension_state_across_batches(spark, tmp_path):
+    """Streaming as-of enrichment via applyInPandasWithState: dimension
+    updates ('dim' rows) persist in per-key state; event rows enrich with
+    the latest dimension value seen so far -- ACROSS micro-batches, which
+    is exactly what per-batch joins cannot do.  Planted three batches:
+    the same user's plan flips free -> pro between batches, and a user
+    with no dimension row ever enriches to None."""
+    import os
+    import time
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    batches = [
+        [(0, 1, "dim", "free"), (1, 1, "event", None)],
+        [(2, 1, "event", None), (3, 1, "dim", "pro")],
+        [(4, 1, "event", None), (5, 2, "event", None)],
+    ]
+    for i, rows in enumerate(batches):
+        (
+            spark.createDataFrame(
+                rows, "seq long, user_id long, kind string, plan string"
+            )
+            .coalesce(1)
+            .write.parquet(os.path.join(src, f"b{i}"))
+        )
+        time.sleep(1.1)  # distinct mtimes -> deterministic batch order
+
+    def enrich(key, pdfs, state):
+        import pandas as pd
+
+        (current,) = state.get if state.exists else (None,)
+        out = []
+        for pdf in pdfs:
+            for row in pdf.sort_values("seq").itertuples():
+                if row.kind == "dim":
+                    current = row.plan
+                else:
+                    out.append((row.seq, key[0], current))
+        state.update((current,))
+        return iter(
+            [pd.DataFrame(out, columns=["seq", "user_id", "plan_at_event"])]
+        )
+
+    stream = (
+        spark.readStream.schema("seq long, user_id long, kind string, plan string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "*"))
+    )
+    enriched = stream.groupBy("user_id").applyInPandasWithState(
+        enrich,
+        "seq long, user_id long, plan_at_event string",
+        "plan string",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+    table = f"asof_enrich_{os.getpid()}"
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName(table)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r.seq: r.plan_at_event for r in spark.table(table).collect()}
+    assert got == {1: "free", 2: "free", 4: "pro", 5: None}, got
