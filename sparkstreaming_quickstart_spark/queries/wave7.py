@@ -1829,3 +1829,174 @@ def q212_sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> ORDER BY l_returnflag, l_linestatus
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# q213: declarative data-quality gate (Deequ/dbt-test analog)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q213_dq_checks",
+    sql="""
+    WITH o AS (SELECT * FROM orders),
+    li AS (SELECT * FROM lineitem)
+    SELECT 'orders.pk_unique' AS rule,
+           CAST((SELECT COUNT(*) FROM (SELECT o_orderkey FROM o GROUP BY o_orderkey HAVING COUNT(*) > 1)) AS BIGINT) AS violations
+    UNION ALL
+    SELECT 'orders.key_not_null',
+           CAST((SELECT count_if(o_orderkey IS NULL) FROM o) AS BIGINT)
+    UNION ALL
+    SELECT 'orders.price_positive',
+           CAST((SELECT count_if(o_totalprice <= 0) FROM o) AS BIGINT)
+    UNION ALL
+    SELECT 'orders.status_in_domain',
+           CAST((SELECT count_if(o_orderstatus NOT IN ('F','O','P')) FROM o) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem.fk_has_order',
+           CAST((SELECT COUNT(*) FROM li WHERE NOT EXISTS
+                 (SELECT 1 FROM o WHERE o.o_orderkey = li.l_orderkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem.discount_in_range',
+           CAST((SELECT count_if(l_discount < 0 OR l_discount > 1) FROM li) AS BIGINT)
+    ORDER BY rule
+    """,
+    doc="Declarative data-quality gate (the Deequ / dbt-test shape): named "
+    "rules -- primary-key uniqueness, not-null, value domain, range, and "
+    "referential integrity -- each reporting its violation count in one "
+    "result frame, the artifact a pipeline gates a publish on.  Engine "
+    "shapes per rule class: uniqueness is one hash-agg (count>1 groups), "
+    "scalar rules fold into a SINGLE shared scan via conditional "
+    "aggregation, and the FK rule is a left-anti join (broadcastable "
+    "when the parent fits, shuffle otherwise).  All rules over one table "
+    "share one pass -- adding a scalar rule costs zero extra scans.",
+)
+def q213_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    # scalar rules over orders: one shared scan
+    o_scalars = o.agg(
+        F.count_if(F.col("o_orderkey").isNull()).alias("orders.key_not_null"),
+        F.count_if(F.col("o_totalprice") <= 0).alias("orders.price_positive"),
+        F.count_if(~F.col("o_orderstatus").isin("F", "O", "P")).alias(
+            "orders.status_in_domain"
+        ),
+    )
+    li_scalars = li.agg(
+        F.count_if(
+            (F.col("l_discount") < 0) | (F.col("l_discount") > 1)
+        ).alias("lineitem.discount_in_range")
+    )
+    pk_dups = (
+        o.groupBy("o_orderkey")
+        .count()
+        .filter(F.col("count") > 1)
+        .agg(F.count("*").alias("violations"))
+        .select(F.lit("orders.pk_unique").alias("rule"), "violations")
+    )
+    orphans = (
+        li.join(o, li.l_orderkey == o.o_orderkey, "left_anti")
+        .agg(F.count("*").alias("violations"))
+        .select(F.lit("lineitem.fk_has_order").alias("rule"), "violations")
+    )
+
+    def melt(agg_df):
+        cols = agg_df.columns
+        return agg_df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("rule"), F.col(f"`{c}`").alias("violations")
+                        )
+                        for c in cols
+                    ]
+                )
+            ).alias("e")
+        ).select("e.rule", "e.violations")
+
+    return (
+        melt(o_scalars)
+        .unionByName(melt(li_scalars))
+        .unionByName(pk_dups)
+        .unionByName(orphans)
+        .orderBy("rule")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q214: per-column profiling (Deequ analyzers analog)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q214_column_profile",
+    sql="""
+    WITH o AS (SELECT * FROM orders)
+    SELECT 'o_custkey' AS column_name,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(count_if(o_custkey IS NULL) AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+           ROUND(MIN(o_custkey), 2) AS min_val,
+           ROUND(MAX(o_custkey), 2) AS max_val,
+           ROUND(AVG(o_custkey), 2) AS mean_val
+    FROM o
+    UNION ALL
+    SELECT 'o_totalprice',
+           CAST(COUNT(*) AS BIGINT), CAST(count_if(o_totalprice IS NULL) AS BIGINT),
+           CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+           ROUND(MIN(o_totalprice), 2), ROUND(MAX(o_totalprice), 2),
+           ROUND(AVG(o_totalprice), 2)
+    FROM o
+    UNION ALL
+    SELECT 'o_orderkey',
+           CAST(COUNT(*) AS BIGINT), CAST(count_if(o_orderkey IS NULL) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT),
+           ROUND(MIN(o_orderkey), 2), ROUND(MAX(o_orderkey), 2),
+           ROUND(AVG(o_orderkey), 2)
+    FROM o
+    ORDER BY column_name
+    """,
+    doc="Per-column statistical profile (the Deequ analyzer / pandas-"
+    "profiling table): count, null count, exact distinct, min/max/mean "
+    "per numeric column in long format.  All columns profile in ONE scan "
+    "-- the per-column aggregates compute side by side in a single "
+    "hash-agg (no shuffle per column), then melt to rows; exact distinct "
+    "is the only per-column shuffle and would swap to approx_count_"
+    "distinct or the q173 bitmap spelling at 100 TB (noted, not fudged: "
+    "this entry keeps the exact form the oracle can prove).",
+)
+def q214_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cols = ["o_custkey", "o_totalprice", "o_orderkey"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count("*").alias(f"{c}|n"),
+            F.count_if(F.col(c).isNull()).alias(f"{c}|n_null"),
+            F.countDistinct(c).alias(f"{c}|n_distinct"),
+            F.round(F.min(c), 2).cast("double").alias(f"{c}|min_val"),
+            F.round(F.max(c), 2).cast("double").alias(f"{c}|max_val"),
+            F.round(F.avg(c), 2).alias(f"{c}|mean_val"),
+        ]
+    wide = o.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col(f"`{c}|n`").alias("n"),
+                F.col(f"`{c}|n_null`").alias("n_null"),
+                F.col(f"`{c}|n_distinct`").alias("n_distinct"),
+                F.col(f"`{c}|min_val`").alias("min_val"),
+                F.col(f"`{c}|max_val`").alias("max_val"),
+                F.col(f"`{c}|mean_val`").alias("mean_val"),
+            )
+            for c in cols
+        ]
+    )
+    return (
+        wide.select(F.explode(rows).alias("e"))
+        .select("e.*")
+        .orderBy("column_name")
+    )
