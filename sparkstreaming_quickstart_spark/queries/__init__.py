@@ -127,7 +127,7 @@ _PRIORITY: list[str] = [
     "q207_dynamic_session_gap", "q208_train_val_test_split",
     "q209_weighted_sample", "q210_grouping_sets_api",
     "q211_stream_window_distinct", "q212_sql_pipe_syntax",
-    "q213_dq_checks", "q214_column_profile",
+    "q213_dq_checks", "q214_column_profile", "q215_binned_interval_join",
     # The six TPC-H shapes completed this round (all 22 covered)
     "q115_tpch_q2_min_cost", "q116_tpch_q9_profit",
     "q117_tpch_q11_important_stock", "q118_tpch_q16_supplier_cnt",
@@ -167,6 +167,7 @@ def _ensure_loaded() -> None:
     from . import wave5  # noqa: F401
     from . import wave6  # noqa: F401
     from . import wave7  # noqa: F401
+    from . import wave8  # noqa: F401
 
     rank = {name: i for i, name in enumerate(_PRIORITY)}
     ordered = sorted(

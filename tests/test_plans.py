@@ -343,3 +343,17 @@ def test_contiguous_ids_has_no_global_single_partition_window_over_data(spark, s
 
     rn_specs = re.findall(r"row_number\(\) windowspecdefinition\(([^,]+),", simple)
     assert rn_specs and all("b#" in s for s in rn_specs), simple
+
+
+def test_binned_interval_join_avoids_nested_loop(spark, sf_dir):
+    # q215: the binned fact-fact interval join must plan as a hashable
+    # equi-join on (user, bin) -- any BroadcastNestedLoopJoin means the
+    # non-equi condition leaked back into the join strategy.
+    from sparkstreaming_quickstart_spark.queries.wave8 import (
+        q215_binned_interval_join,
+    )
+
+    df = q215_binned_interval_join(spark, sf_dir)
+    simple = explain_str(df, "simple")
+    assert "BroadcastNestedLoopJoin" not in simple, simple
+    assert "CartesianProduct" not in simple, simple
