@@ -392,3 +392,61 @@ def test_foreach_batch_fanout_writes_two_sinks_consistently(spark, sf_dir, tmp_p
         r.event_id for r in load_table(spark, sf_dir, "events").select("event_id").collect()
     )
     assert ids1 == expected and ids2 == expected and len(ids1) == n
+
+
+def test_streaming_observe_metrics_surface_in_progress(spark, sf_dir):
+    """df.observe on a STREAMING query: per-batch custom metrics (row count,
+    null count, value sum) surface in StreamingQueryProgress.observedMetrics
+    -- the in-band data-quality monitoring pattern (q213's rules, attached
+    to a live stream instead of a batch gate)."""
+    import time
+    import uuid as _uuid
+
+    observed = []
+
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    class Listener(StreamingQueryListener):
+        def onQueryStarted(self, e):
+            pass
+
+        def onQueryProgress(self, e):
+            m = e.progress.observedMetrics.get("dq")
+            if m is not None:
+                observed.append((m["n_rows"], m["n_null_user"], round(m["sum_value"], 6)))
+
+        def onQueryIdle(self, e):
+            pass
+
+        def onQueryTerminated(self, e):
+            pass
+
+    listener = Listener()
+    spark.streams.addListener(listener)
+    try:
+        stream = events_stream(spark, sf_dir).observe(
+            "dq",
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_if(F.col("user_id").isNull()).alias("n_null_user"),
+            F.sum("value").alias("sum_value"),
+        )
+        name = f"obs_{_uuid.uuid4().hex[:8]}"
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ssq-obs-"))
+            .start()
+        )
+        q.awaitTermination()
+        batch = load_table(spark, sf_dir, "events")
+        want_rows = batch.count()
+        want_sum = round(batch.agg(F.sum("value")).collect()[0][0], 6)
+        deadline = time.time() + 30
+        while time.time() < deadline and sum(m[0] for m in observed) < want_rows:
+            time.sleep(0.25)
+        assert sum(m[0] for m in observed) == want_rows, observed
+        assert sum(m[1] for m in observed) == 0
+        assert round(sum(m[2] for m in observed), 5) == round(want_sum, 5)
+    finally:
+        spark.streams.removeListener(listener)
