@@ -911,3 +911,38 @@ def q215_binned_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_in_window"))
         .orderBy("win_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q216: VARIANT object explosion (Spark 4 variant_explode)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q216_variant_explode",
+    sql="""
+    SELECT event_id, CAST(0 AS INT) AS pos, 'k' AS key,
+           json_extract_string(props, '$.k') AS value
+    FROM events
+    WHERE event_id % 10 = 0
+    ORDER BY event_id
+    """,
+    doc="VARIANT object explosion (Spark 4 LATERAL variant_explode): each "
+    "event's semi-structured props parses once to VARIANT and explodes "
+    "into (pos, key, value) rows -- the schema-on-read row expansion "
+    "that complements q131's path extraction.  Values publish via "
+    "to_json(variant) so typed leaves render identically to the JSON "
+    "oracle.  Generator runs inline in the scan projection -- no "
+    "shuffle before the output sort.",
+)
+def q216_variant_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 10 == 0)
+    e.createOrReplaceTempView("events_variant")
+    return spark.sql(
+        """
+        SELECT event_id, CAST(v.pos AS INT) AS pos, v.key,
+               to_json(v.value) AS value
+        FROM events_variant, LATERAL variant_explode(parse_json(props)) AS v
+        ORDER BY event_id
+        """
+    )
