@@ -946,3 +946,184 @@ def q216_variant_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY event_id
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# q217: market-basket co-occurrence (association rules)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q217_market_basket",
+    sql="""
+    WITH baskets AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n_orders AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM baskets),
+    item_supp AS (
+        SELECT l_partkey, COUNT(*) AS supp FROM baskets GROUP BY 1),
+    pairs AS (
+        SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS together
+        FROM baskets a JOIN baskets b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2)
+    SELECT p1, p2, CAST(together AS BIGINT) AS together,
+           ROUND(CAST(together AS DOUBLE) / s1.supp, 6) AS confidence,
+           ROUND(CAST(together AS DOUBLE) * n_orders.n / (s1.supp * s2.supp), 6) AS lift
+    FROM pairs
+    JOIN item_supp s1 ON p1 = s1.l_partkey
+    JOIN item_supp s2 ON p2 = s2.l_partkey
+    CROSS JOIN n_orders
+    WHERE together >= 2
+    ORDER BY together DESC, p1, p2
+    """,
+    doc="Market-basket co-occurrence (association rules): parts bought "
+    "together in the same order, with support, confidence(p1->p2), and "
+    "lift.  The pair expansion is a SELF-JOIN ON THE BASKET KEY -- "
+    "quadratic only in basket size (TPC-H baskets are <=7 items; retail "
+    "baskets are O(10-100)), never in catalog or order count, which is "
+    "why this shape scales where an item-item cross join cannot.  "
+    "Per-item supports and the order count are small aggregates that "
+    "broadcast into the scoring join; min-support (together >= 2) prunes "
+    "the long tail before scoring, the a-priori trick.",
+)
+def q217_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = baskets.select(F.countDistinct("l_orderkey").alias("n"))
+    item_supp = baskets.groupBy("l_partkey").agg(F.count("*").alias("supp"))
+    a = baskets.alias("a")
+    b = baskets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+        )
+        .agg(F.count("*").alias("together"))
+        .filter(F.col("together") >= 2)
+    )
+    s1 = item_supp.select(F.col("l_partkey").alias("p1"), F.col("supp").alias("supp1"))
+    s2 = item_supp.select(F.col("l_partkey").alias("p2"), F.col("supp").alias("supp2"))
+    return (
+        pairs.join(F.broadcast(s1), "p1")
+        .join(F.broadcast(s2), "p2")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "p1",
+            "p2",
+            "together",
+            F.round(F.col("together").cast("double") / F.col("supp1"), 6).alias("confidence"),
+            F.round(
+                F.col("together").cast("double") * F.col("n") / (F.col("supp1") * F.col("supp2")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("together").desc(), "p1", "p2")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q218: event-type transition matrix (session path analysis)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q218_transition_matrix",
+    sql="""
+    WITH seq AS (
+        SELECT user_id, event_type AS src,
+               LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+        FROM events),
+    cnt AS (
+        SELECT src, dst, COUNT(*) AS n FROM seq WHERE dst IS NOT NULL GROUP BY 1, 2)
+    SELECT src, dst, CAST(n AS BIGINT) AS n,
+           ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY src), 6) AS p
+    FROM cnt
+    ORDER BY src, dst
+    """,
+    doc="Event-type transition matrix (session path analysis): per-user "
+    "event sequences (total order ts, event_id) yield (src -> dst) "
+    "bigrams via LEAD, then counts normalize to per-source transition "
+    "probabilities -- the Markov-chain view of user behavior that feeds "
+    "funnel design (q149) and anomaly detection.  One window shuffle on "
+    "user_id, one hash-agg on the (src, dst) domain (|event_types|^2 "
+    "cells -- tiny), and the normalizing window runs over that tiny "
+    "aggregate, not the events.",
+)
+def q218_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    cnt = seq.groupBy("src", "dst").agg(F.count("*").alias("n"))
+    wsrc = Window.partitionBy("src")
+    return cnt.select(
+        "src",
+        "dst",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(wsrc), 6).alias("p"),
+    ).orderBy("src", "dst")
+
+
+# ---------------------------------------------------------------------------
+# q219: pagination -- OFFSET vs keyset, proven equivalent
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q219_keyset_pagination",
+    sql="""
+    WITH page3_offset AS (
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_orderkey LIMIT 50 OFFSET 100),
+    last_of_page2 AS (
+        SELECT MAX(o_orderkey) AS k FROM (
+            SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 100)),
+    page3_keyset AS (
+        SELECT o_orderkey, o_totalprice FROM orders, last_of_page2
+        WHERE o_orderkey > last_of_page2.k
+        ORDER BY o_orderkey LIMIT 50)
+    SELECT a.o_orderkey, ROUND(a.o_totalprice, 2) AS price,
+           (b.o_orderkey IS NOT NULL) AS keyset_agrees
+    FROM page3_offset a LEFT JOIN page3_keyset b ON a.o_orderkey = b.o_orderkey
+    ORDER BY a.o_orderkey
+    """,
+    doc="Pagination two ways, proven equivalent: page 3 (rows 101-150 by "
+    "key) via ORDER BY ... LIMIT/OFFSET and via KEYSET predicate "
+    "(o_orderkey > last-key-of-page-2), joined to show they return the "
+    "identical page.  The point is the scale asymmetry the query "
+    "encodes: OFFSET must sort-and-skip all preceding rows every page "
+    "(O(page_number) per request), while the keyset predicate pushes "
+    "down to the scan and reads only the page -- the deep-pagination "
+    "pattern for 100 TB result sets.  Spark 3.4+ df.offset() covers the "
+    "API surface.",
+)
+def q219_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    page3_offset = o.orderBy("o_orderkey").offset(100).limit(50)
+    last_key = (
+        o.orderBy("o_orderkey").limit(100).agg(F.max("o_orderkey").alias("k"))
+    )
+    page3_keyset = (
+        o.crossJoin(F.broadcast(last_key))
+        .filter(F.col("o_orderkey") > F.col("k"))
+        .orderBy("o_orderkey")
+        .limit(50)
+        .select(F.col("o_orderkey").alias("bk"))
+    )
+    return (
+        page3_offset.join(
+            page3_keyset, page3_offset.o_orderkey == page3_keyset.bk, "left"
+        )
+        .select(
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("price"),
+            F.col("bk").isNotNull().alias("keyset_agrees"),
+        )
+        .orderBy("o_orderkey")
+    )
