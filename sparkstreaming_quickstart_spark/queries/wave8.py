@@ -1127,3 +1127,197 @@ def q219_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# q220: binary classifier evaluation metrics
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q220_classifier_eval",
+    sql="""
+    WITH scored AS (
+        SELECT (event_type = 'purchase') AS actual, (value >= 100.0) AS predicted
+        FROM events),
+    c AS (
+        SELECT CAST(count_if(actual AND predicted) AS BIGINT) AS tp,
+               CAST(count_if(NOT actual AND predicted) AS BIGINT) AS fp,
+               CAST(count_if(actual AND NOT predicted) AS BIGINT) AS fn,
+               CAST(count_if(NOT actual AND NOT predicted) AS BIGINT) AS tn
+        FROM scored)
+    SELECT tp, fp, fn, tn,
+           ROUND(CAST(tp AS DOUBLE) / NULLIF(tp + fp, 0), 6) AS precision,
+           ROUND(CAST(tp AS DOUBLE) / NULLIF(tp + fn, 0), 6) AS recall,
+           ROUND(2.0 * tp / NULLIF(2.0 * tp + fp + fn, 0), 6) AS f1,
+           ROUND(CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn), 6) AS accuracy
+    FROM c
+    """,
+    doc="Binary classifier evaluation (confusion counts + precision/recall/"
+    "F1/accuracy) in ONE conditional-aggregation pass -- the evaluation "
+    "stage every quality-filter model (q184's rules, a fastText-style "
+    "scorer over q168's hashed features) needs before deployment.  The "
+    "predictor here is a deterministic threshold stand-in (value >= 100 "
+    "predicting 'purchase'); the operator under test is the metric "
+    "machinery: a single scan, no shuffle (one-row global agg), "
+    "NULLIF-guarded against empty classes.",
+)
+def q220_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    actual = F.col("event_type") == "purchase"
+    predicted = F.col("value") >= 100.0
+    c = e.agg(
+        F.count_if(actual & predicted).alias("tp"),
+        F.count_if(~actual & predicted).alias("fp"),
+        F.count_if(actual & ~predicted).alias("fn"),
+        F.count_if(~actual & ~predicted).alias("tn"),
+    )
+    tp, fp, fn, tn = (F.col(x) for x in ("tp", "fp", "fn", "tn"))
+    return c.select(
+        "tp", "fp", "fn", "tn",
+        F.round(tp.cast("double") / F.nullif(tp + fp, F.lit(0)), 6).alias("precision"),
+        F.round(tp.cast("double") / F.nullif(tp + fn, F.lit(0)), 6).alias("recall"),
+        F.round(2.0 * tp / F.nullif(2.0 * tp + fp + fn, F.lit(0)), 6).alias("f1"),
+        F.round((tp + tn).cast("double") / (tp + fp + fn + tn), 6).alias("accuracy"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q221: Benford first-digit analysis (forensic data quality)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q221_benford_digits",
+    sql="""
+    WITH d AS (
+        SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+        FROM orders WHERE o_totalprice > 0),
+    c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
+    t AS (SELECT SUM(n) AS total FROM c)
+    SELECT digit, CAST(n AS BIGINT) AS n,
+           ROUND(CAST(n AS DOUBLE) / t.total, 6) AS observed,
+           ROUND(log10(1.0 + 1.0 / digit), 6) AS benford_expected,
+           ROUND(ABS(CAST(n AS DOUBLE) / t.total - log10(1.0 + 1.0 / digit)), 6) AS abs_dev
+    FROM c, t
+    ORDER BY digit
+    """,
+    doc="Benford first-significant-digit analysis (forensic DQ: fabricated "
+    "or constrained numeric columns deviate from log10(1+1/d)).  Digit "
+    "extraction goes through CENTS-INTEGER STRING (round(x*100) -> "
+    "bigint -> first char), not floor(log10) float arithmetic, so both "
+    "engines extract identical digits with no ulp edge at powers of 10.  "
+    "One scan + a 9-row aggregate; the total re-broadcasts onto the "
+    "digit rows.  (TPC-H prices are range-constrained, so the deviation "
+    "column is the interesting output -- the op reports, not asserts.)",
+)
+def q221_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    digit = F.substring(
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    c = o.select(digit.alias("digit")).groupBy("digit").agg(F.count("*").alias("n"))
+    t = c.agg(F.sum("n").alias("total"))
+    expected = F.round(F.log10(1.0 + 1.0 / F.col("digit")), 6)
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "digit",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("total"), 6).alias("observed"),
+            expected.alias("benford_expected"),
+            F.round(
+                F.abs(F.col("n").cast("double") / F.col("total") - F.log10(1.0 + 1.0 / F.col("digit"))),
+                6,
+            ).alias("abs_dev"),
+        )
+        .orderBy("digit")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q222: TF-IDF cosine near-dup pairs (sparse-vector similarity)
+# ---------------------------------------------------------------------------
+
+_TFIDF_COS_T = 0.9
+
+
+@register(
+    "q222_tfidf_cosine_pairs",
+    sql=f"""
+    WITH tok AS (
+        SELECT doc_id, token, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+              FROM documents WHERE length(text) > 0)
+        GROUP BY 1, 2),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tok),
+    df AS (SELECT token, COUNT(*) AS df FROM tok GROUP BY 1),
+    w AS (SELECT doc_id, token, tf * ln(CAST(n.n AS DOUBLE) / df.df) AS w
+          FROM tok JOIN df USING (token), n),
+    nrm AS (SELECT doc_id, sqrt(SUM(w * w)) AS nrm FROM w GROUP BY 1),
+    dots AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, SUM(a.w * b.w) AS dot
+        FROM w a JOIN w b ON a.token = b.token AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+    SELECT d1, d2, ROUND(dot / (x.nrm * y.nrm), 6) AS cos_sim
+    FROM dots JOIN nrm x ON d1 = x.doc_id JOIN nrm y ON d2 = y.doc_id
+    WHERE ROUND(dot / (x.nrm * y.nrm), 6) >= {_TFIDF_COS_T}
+    ORDER BY d1, d2
+    """,
+    doc="TF-IDF-weighted cosine near-dup pairs: sparse lexical similarity "
+    "through the INVERTED INDEX -- the dot product sums only over shared "
+    "tokens (one equi-join on token + hash-agg), never materializing "
+    "vectors, which is how sparse similarity joins scale where dense "
+    "all-pairs (q114) cannot.  idf weighting means rare-token overlap "
+    "drives the score, separating true near-dups from docs that merely "
+    f"share stop-words (measured at sf0.01: threshold {_TFIDF_COS_T} "
+    "keeps the 22 planted pairs, 99th percentile of background pairs is "
+    "0.833).  Completes the lexical-similarity family: Jaccard (q51), "
+    "MinHash (q52), SimHash (q53), containment (q185), BM25 (q191).  "
+    "At 100 TB the stop-word postings are the skew risk: the idf weight "
+    "makes their contribution negligible, so production would prune "
+    "df > 50% tokens from the index outright (the standard trick).",
+)
+def q222_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    tok = (
+        d.select("doc_id", F.explode(tokens("text")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    n = tok.select(F.countDistinct("doc_id").alias("n"))
+    df_t = tok.groupBy("token").agg(F.count("*").alias("df"))
+    w = (
+        tok.join(df_t, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            (F.col("tf") * F.log(F.col("n").cast("double") / F.col("df"))).alias("w"),
+        )
+        .persist()
+    )
+    nrm = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    dots = (
+        w.alias("a")
+        .join(
+            w.alias("b"),
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.sum(F.col("a.w") * F.col("b.w")).alias("dot"))
+    )
+    n1 = nrm.select(F.col("doc_id").alias("d1"), F.col("nrm").alias("nrm1"))
+    n2 = nrm.select(F.col("doc_id").alias("d2"), F.col("nrm").alias("nrm2"))
+    return (
+        dots.join(n1, "d1")
+        .join(n2, "d2")
+        .select(
+            "d1",
+            "d2",
+            F.round(F.col("dot") / (F.col("nrm1") * F.col("nrm2")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= _TFIDF_COS_T)
+        .orderBy("d1", "d2")
+    )
