@@ -1321,3 +1321,188 @@ def q222_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos_sim") >= _TFIDF_COS_T)
         .orderBy("d1", "d2")
     )
+
+
+# ---------------------------------------------------------------------------
+# q223: session entry/exit pages + bounce rate
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q223_session_entry_exit",
+    sql="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                    OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+    sessions AS (
+        SELECT user_id, event_type, ts, event_id,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM flagged),
+    per_session AS (
+        SELECT user_id, sid,
+               (list(event_type ORDER BY ts, event_id))[1] AS entry_type,
+               (list(event_type ORDER BY ts, event_id))[-1] AS exit_type,
+               COUNT(*) AS n_events
+        FROM sessions GROUP BY user_id, sid)
+    SELECT entry_type, exit_type,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(count_if(n_events = 1) AS BIGINT) AS n_bounces,
+           ROUND(CAST(count_if(n_events = 1) AS DOUBLE) / COUNT(*), 6) AS bounce_rate
+    FROM per_session
+    GROUP BY entry_type, exit_type
+    ORDER BY entry_type, exit_type
+    """,
+    doc="Session entry/exit analysis + bounce rate: q34's gaps-and-islands "
+    "sessionization, then first/last event type per session via "
+    "min_by/max_by over the (ts, event_id) total order -- AGGREGATION, "
+    "not a second window pass -- and single-event sessions count as "
+    "bounces.  The (entry, exit) matrix is the landing/exit-page report; "
+    "one window shuffle on user_id, one hash-agg per session, one over "
+    "the tiny type-pair domain.",
+)
+def q223_session_entry_exit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    flagged = e.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.col("ts") - F.lag("ts").over(w) > F.expr("INTERVAL 30 MINUTE")),
+            1,
+        ).otherwise(0).alias("new_session"),
+    )
+    w2 = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sessions = flagged.select(
+        "user_id", "event_type", "ts", "event_id",
+        F.sum("new_session").over(w2).alias("sid"),
+    )
+    per_session = sessions.groupBy("user_id", "sid").agg(
+        F.min_by("event_type", F.struct("ts", "event_id")).alias("entry_type"),
+        F.max_by("event_type", F.struct("ts", "event_id")).alias("exit_type"),
+        F.count("*").alias("n_events"),
+    )
+    return (
+        per_session.groupBy("entry_type", "exit_type")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.count_if(F.col("n_events") == 1).alias("n_bounces"),
+            F.round(
+                F.count_if(F.col("n_events") == 1).cast("double") / F.count("*"), 6
+            ).alias("bounce_rate"),
+        )
+        .orderBy("entry_type", "exit_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q224: record-linkage scoring (Fellegi-Sunter-style field weights)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q224_record_linkage",
+    sql="""
+    WITH c AS (
+        SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+               substr(c_name, 1, length(c_name) - 2) AS block
+        FROM customer),
+    pairs AS (
+        SELECT a.c_custkey AS id1, b.c_custkey AS id2,
+               CASE WHEN levenshtein(a.c_name, b.c_name) <= 2 THEN 2.0 ELSE -1.0 END
+             + CASE WHEN a.c_nationkey = b.c_nationkey THEN 1.0 ELSE -0.5 END
+             + CASE WHEN a.c_mktsegment = b.c_mktsegment THEN 0.5 ELSE -0.25 END AS score
+        FROM c a JOIN c b ON a.block = b.block AND a.c_custkey < b.c_custkey)
+    SELECT id1, id2, ROUND(score, 2) AS score
+    FROM pairs
+    WHERE score >= 3.0
+    ORDER BY id1, id2
+    """,
+    doc="Record-linkage scoring (Fellegi-Sunter shape): candidate pairs "
+    "from a BLOCKING key (name minus its last two characters -> blocks "
+    "of <= 100 candidates; a degenerate whole-column block would go "
+    "quadratic), then a weighted agreement score "
+    "over fields -- fuzzy name (levenshtein <= 2), exact nation, exact "
+    "segment -- each contributing a log-odds-style weight, with a "
+    "decision threshold.  Complements q151 (which finds matches) by "
+    "producing the calibrated SCORE the clerical-review workflow sorts "
+    "by.  Blocking bounds the pair space to within-block (never "
+    "all-pairs); the scoring is pure codegen on the joined row.",
+)
+def q224_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment",
+        F.expr("substring(c_name, 1, length(c_name) - 2)").alias("block"),
+    )
+    a, b = c.alias("a"), c.alias("b")
+    score = (
+        F.when(F.levenshtein(F.col("a.c_name"), F.col("b.c_name")) <= 2, 2.0).otherwise(-1.0)
+        + F.when(F.col("a.c_nationkey") == F.col("b.c_nationkey"), 1.0).otherwise(-0.5)
+        + F.when(F.col("a.c_mktsegment") == F.col("b.c_mktsegment"), 0.5).otherwise(-0.25)
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .select(
+            F.col("a.c_custkey").alias("id1"),
+            F.col("b.c_custkey").alias("id2"),
+            F.round(score, 2).alias("score"),
+        )
+        .filter(F.col("score") >= 3.0)
+        .orderBy("id1", "id2")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q225: golden-record survivorship (master-data merge)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q225_golden_record",
+    sql="""
+    WITH clustered AS (SELECT md5(text) AS cluster_id, * FROM documents),
+    langs AS (
+        SELECT cluster_id, lang, COUNT(*) AS n FROM clustered GROUP BY 1, 2)
+    SELECT c.cluster_id,
+           CAST(MIN(c.doc_id) AS BIGINT) AS survivor_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           (SELECT (list(l.lang ORDER BY l.n DESC, l.lang ASC))[1]
+              FROM langs l WHERE l.cluster_id = c.cluster_id) AS lang_majority,
+           CAST(MAX(c.n_chars) AS BIGINT) AS n_chars_best,
+           array_to_string(list_sort(list_distinct(list(c.source))), ',') AS sources
+    FROM clustered c
+    GROUP BY c.cluster_id
+    ORDER BY c.cluster_id
+    """,
+    doc="Golden-record survivorship (master-data merge): duplicate "
+    "clusters (exact-hash here; q89's connected components in the fuzzy "
+    "case) collapse to one record per cluster with per-field precedence "
+    "rules -- lowest id survives, majority vote for lang (deterministic "
+    "tie-break), best-value for n_chars, provenance union for source.  "
+    "All rules are ASSOCIATIVE aggregates (min, count, mode-via-"
+    "deterministic-pick, max, collect_set), so the merge is one "
+    "hash-agg on cluster_id with partial aggregation -- no per-cluster "
+    "iteration at 100 TB.",
+)
+def q225_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "cluster_id", F.md5("text")
+    )
+    return (
+        d.groupBy("cluster_id")
+        .agg(
+            F.min("doc_id").alias("survivor_id"),
+            F.count("*").alias("n_members"),
+            F.mode("lang", True).alias("lang_majority"),
+            F.max("n_chars").alias("n_chars_best"),
+            F.array_join(F.sort_array(F.collect_set("source")), ",").alias("sources"),
+        )
+        .orderBy("cluster_id")
+    )
