@@ -450,3 +450,44 @@ def test_streaming_observe_metrics_surface_in_progress(spark, sf_dir):
         assert round(sum(m[2] for m in observed), 5) == round(want_sum, 5)
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_foreach_batch_dead_letter_queue_quarantines_bad_rows(spark, tmp_path):
+    """Dead-letter-queue pattern in foreachBatch: each micro-batch splits
+    into valid rows (typed parse succeeded) and quarantined rows (parse
+    failed, kept raw with an error tag) -- no row is dropped, the sink
+    stays typed, and the DLQ is replayable.  try_cast does the
+    classification, so a poison message can never kill the query."""
+    src = str(tmp_path / "src")
+    rows = [(1, "10.5"), (2, "not-a-number"), (3, "7"), (4, ""), (5, "3.25")]
+    spark.createDataFrame(rows, "id long, payload string").coalesce(1).write.parquet(src)
+
+    good_dir, dlq_dir = str(tmp_path / "good"), str(tmp_path / "dlq")
+
+    def route(df, epoch_id):
+        df = df.withColumn("parsed", F.expr("try_cast(payload AS DOUBLE)")).persist()
+        try:
+            df.filter("parsed IS NOT NULL").select("id", "parsed").write.mode(
+                "append"
+            ).parquet(good_dir)
+            (
+                df.filter("parsed IS NULL")
+                .select("id", "payload", F.lit("NOT_A_DOUBLE").alias("error"))
+                .write.mode("append")
+                .parquet(dlq_dir)
+            )
+        finally:
+            df.unpersist()
+
+    stream = spark.readStream.schema("id long, payload string").parquet(src)
+    q = (
+        stream.writeStream.foreachBatch(route)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    good = {r.id: r.parsed for r in spark.read.parquet(good_dir).collect()}
+    dlq = {r.id: r.error for r in spark.read.parquet(dlq_dir).collect()}
+    assert good == {1: 10.5, 3: 7.0, 5: 3.25}
+    assert dlq == {2: "NOT_A_DOUBLE", 4: "NOT_A_DOUBLE"}
