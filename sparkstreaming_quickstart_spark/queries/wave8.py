@@ -1506,3 +1506,106 @@ def q225_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q226: RAG retrieval-index build capstone (chunk -> embed -> ANN bucket)
+# ---------------------------------------------------------------------------
+
+_RAG_DIMS = 8
+_RAG_ORACLE = """
+    WITH docs AS (
+        SELECT doc_id, string_split(text, ' ') AS toks
+        FROM documents WHERE length(text) > 0),
+    idx AS (
+        SELECT doc_id, toks,
+               unnest(range(0, CAST(ceil(len(toks) / 32.0) AS BIGINT))) AS pos
+        FROM docs),
+    ct AS (
+        SELECT doc_id, CAST(pos AS INT) AS pos,
+               unnest(list_slice(toks, pos * 32 + 1, pos * 32 + 32)) AS token
+        FROM idx),
+    f AS (
+        SELECT doc_id, pos,
+               CAST(md5_number_lower(token) % 8 AS BIGINT) AS fidx,
+               CASE WHEN md5_number_lower('s:' || token) % 2 = 1 THEN 1 ELSE -1 END AS sgn
+        FROM ct),
+    v AS (
+        SELECT doc_id, pos,
+               CAST(SUM(CASE WHEN fidx = 0 THEN sgn ELSE 0 END) AS BIGINT) AS v0,
+               CAST(SUM(CASE WHEN fidx = 1 THEN sgn ELSE 0 END) AS BIGINT) AS v1,
+               CAST(SUM(CASE WHEN fidx = 2 THEN sgn ELSE 0 END) AS BIGINT) AS v2,
+               CAST(SUM(CASE WHEN fidx = 3 THEN sgn ELSE 0 END) AS BIGINT) AS v3,
+               CAST(SUM(CASE WHEN fidx = 4 THEN sgn ELSE 0 END) AS BIGINT) AS v4,
+               CAST(SUM(CASE WHEN fidx = 5 THEN sgn ELSE 0 END) AS BIGINT) AS v5,
+               CAST(SUM(CASE WHEN fidx = 6 THEN sgn ELSE 0 END) AS BIGINT) AS v6,
+               CAST(SUM(CASE WHEN fidx = 7 THEN sgn ELSE 0 END) AS BIGINT) AS v7
+        FROM f GROUP BY doc_id, pos),
+    b AS (
+        SELECT doc_id, pos,
+               CAST((CASE WHEN v0 > 0 THEN 1 ELSE 0 END) + (CASE WHEN v1 > 0 THEN 2 ELSE 0 END) + (CASE WHEN v2 > 0 THEN 4 ELSE 0 END) + (CASE WHEN v3 > 0 THEN 8 ELSE 0 END) + (CASE WHEN v4 > 0 THEN 16 ELSE 0 END) + (CASE WHEN v5 > 0 THEN 32 ELSE 0 END) + (CASE WHEN v6 > 0 THEN 64 ELSE 0 END) + (CASE WHEN v7 > 0 THEN 128 ELSE 0 END) AS INT) AS bucket,
+               sqrt(v0 * v0 + v1 * v1 + v2 * v2 + v3 * v3 + v4 * v4 + v5 * v5 + v6 * v6 + v7 * v7) AS nrm
+        FROM v)
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           ROUND(AVG(nrm), 6) AS avg_norm
+    FROM b GROUP BY bucket ORDER BY bucket
+"""
+
+
+@register(
+    "q226_rag_index_build",
+    sql=_RAG_ORACLE,
+    doc="Retrieval-index build capstone (the RAG ingestion pipeline): "
+    "documents chunk into 32-token windows (q109/q183 machinery), each "
+    "chunk embeds via the vocabulary-free signed-hashing featurizer "
+    "(q168, 8-dim -- the deterministic stand-in for a neural encoder, "
+    "same honest-stub policy as the multimodal codecs), sign bits of the "
+    "embedding assign the ANN bucket (q55's hyperplane-LSH shape on "
+    "hashed features), and the output is the bucket occupancy table "
+    "(chunks, distinct docs, mean vector norm) an ANN serving layer "
+    "loads.  One oracle proves the composed chain.  Plan: chunking and "
+    "hashing are one narrow explode chain; the ONLY shuffles are the "
+    "per-chunk feature agg and the bucket rollup -- no joins anywhere.",
+)
+def q226_rag_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import md5_lower64
+
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    t = tokens("text")
+    n_chunks = F.ceil(F.size(t) / F.lit(32.0)).cast("int")
+    chunk_arr = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.slice(t, i * 32 + 1, 32),
+    )
+    ct = d.select(
+        "doc_id", F.posexplode(chunk_arr).alias("pos", "ctoks")
+    ).select("doc_id", "pos", F.explode("ctoks").alias("token"))
+    fidx = F.pmod(md5_lower64(F.col("token")), F.lit(_RAG_DIMS))
+    sgn = F.when(
+        F.pmod(md5_lower64(F.concat(F.lit("s:"), F.col("token"))), F.lit(2)) == 1, 1
+    ).otherwise(-1)
+    v = ct.select("doc_id", "pos", fidx.alias("fidx"), sgn.alias("sgn")).groupBy(
+        "doc_id", "pos"
+    ).agg(
+        *[
+            F.sum(F.when(F.col("fidx") == i, F.col("sgn")).otherwise(0)).alias(f"v{i}")
+            for i in range(_RAG_DIMS)
+        ]
+    )
+    bucket = sum(
+        (F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(0) for i in range(_RAG_DIMS)),
+        F.lit(0),
+    ).cast("int")
+    nrm = F.sqrt(sum((F.col(f"v{i}") * F.col(f"v{i}") for i in range(_RAG_DIMS)), F.lit(0)))
+    b = v.select("doc_id", "pos", bucket.alias("bucket"), nrm.alias("nrm"))
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.round(F.avg("nrm"), 6).alias("avg_norm"),
+        )
+        .orderBy("bucket")
+    )
