@@ -1609,3 +1609,105 @@ def q226_rag_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# q227: exponential time-decayed engagement score
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q227_decayed_engagement",
+    sql="""
+    WITH scored AS (
+        SELECT user_id,
+               value * exp(-(ln(2) / 7.0) *
+                   ((epoch_us(TIMESTAMP '2024-02-01 00:00:00') - epoch_us(ts)) / 86400000000.0)) AS w
+        FROM events)
+    SELECT user_id,
+           ROUND(SUM(w), 6) AS engagement,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM scored
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc="Exponential time-decayed engagement score (half-life 7 days, "
+    "anchored at a FIXED literal 'now' so the result is reproducible and "
+    "oracle-checkable): recent activity dominates, old activity fades -- "
+    "the standard recsys/ranking freshness feature.  Decay is a pure "
+    "codegen expression folded into one hash-agg; the incremental "
+    "maintenance trick (score_new = score_old * decay^dt + increment, "
+    "which q177's upsert sink would apply per batch) works because "
+    "exponential decay is the unique memoryless weighting.",
+)
+def q227_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    anchor = F.to_timestamp(F.lit("2024-02-01 00:00:00"))
+    age_days = (
+        F.unix_micros(anchor) - F.unix_micros(F.col("ts").cast("timestamp"))
+    ) / 86400000000.0
+    import math
+
+    w = F.col("value") * F.exp(-(math.log(2) / 7.0) * age_days)
+    return (
+        e.select("user_id", w.alias("w"))
+        .groupBy("user_id")
+        .agg(
+            F.round(F.sum("w"), 6).alias("engagement"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q228: cumulative user-growth curve
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q228_growth_curve",
+    sql="""
+    WITH first_seen AS (
+        SELECT user_id, MIN(date_trunc('day', ts)) AS d0 FROM events GROUP BY 1),
+    new_by_day AS (
+        SELECT d0 AS day, COUNT(*) AS new_users FROM first_seen GROUP BY 1),
+    active_by_day AS (
+        SELECT date_trunc('day', ts) AS day, COUNT(DISTINCT user_id) AS dau
+        FROM events GROUP BY 1)
+    SELECT a.day,
+           CAST(a.dau AS BIGINT) AS dau,
+           CAST(COALESCE(n.new_users, 0) AS BIGINT) AS new_users,
+           CAST(SUM(COALESCE(n.new_users, 0)) OVER (ORDER BY a.day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumulative_users
+    FROM active_by_day a LEFT JOIN new_by_day n ON a.day = n.day
+    ORDER BY a.day
+    """,
+    doc="User-growth curve: daily active users, newly-acquired users "
+    "(first-seen day), and the cumulative registered-user count -- the "
+    "running DISTINCT problem solved the scalable way: first-seen day "
+    "per user (one hash-agg) converts 'distinct users up to day d' into "
+    "a plain cumulative SUM over the tiny per-day frame, instead of a "
+    "re-scan-per-day or an O(days x users) window.  The final window "
+    "runs over ~30 rows; all heavy lifting is two hash-aggs.",
+)
+def q228_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("day", F.col("ts").cast("timestamp")).alias("day")
+    )
+    first_seen = e.groupBy("user_id").agg(F.min("day").alias("d0"))
+    new_by_day = first_seen.groupBy(F.col("d0").alias("day")).agg(
+        F.count("*").alias("new_users")
+    )
+    active = e.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        active.join(new_by_day, "day", "left")
+        .select(
+            "day",
+            "dau",
+            F.coalesce("new_users", F.lit(0)).alias("new_users"),
+        )
+        .withColumn("cumulative_users", F.sum("new_users").over(w))
+        .orderBy("day")
+    )
