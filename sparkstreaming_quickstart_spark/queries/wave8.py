@@ -1711,3 +1711,179 @@ def q228_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cumulative_users", F.sum("new_users").over(w))
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# q229: A/B experiment analysis (two-proportion z-test)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q229_ab_test_ztest",
+    sql="""
+    WITH assigned AS (
+        SELECT user_id,
+               CASE WHEN CAST('0x' || substr(md5('exp1|' || user_id), 1, 8) AS BIGINT) % 2 = 0
+                    THEN 'control' ELSE 'treatment' END AS variant,
+               max(CASE WHEN event_type = 'purchase' AND value >= 150.0 THEN 1 ELSE 0 END) AS converted
+        FROM events GROUP BY user_id),
+    arms AS (
+        SELECT variant, COUNT(*) AS n, SUM(converted) AS conv
+        FROM assigned GROUP BY variant),
+    wide AS (
+        SELECT MAX(CASE WHEN variant = 'control' THEN n END) AS n_c,
+               MAX(CASE WHEN variant = 'control' THEN conv END) AS x_c,
+               MAX(CASE WHEN variant = 'treatment' THEN n END) AS n_t,
+               MAX(CASE WHEN variant = 'treatment' THEN conv END) AS x_t
+        FROM arms)
+    SELECT CAST(n_c AS BIGINT) AS n_control, CAST(x_c AS BIGINT) AS conv_control,
+           CAST(n_t AS BIGINT) AS n_treatment, CAST(x_t AS BIGINT) AS conv_treatment,
+           ROUND(CAST(x_c AS DOUBLE) / n_c, 6) AS rate_control,
+           ROUND(CAST(x_t AS DOUBLE) / n_t, 6) AS rate_treatment,
+           ROUND((CAST(x_t AS DOUBLE) / n_t - CAST(x_c AS DOUBLE) / n_c)
+                 / sqrt((CAST(x_c + x_t AS DOUBLE) / (n_c + n_t))
+                        * (1.0 - CAST(x_c + x_t AS DOUBLE) / (n_c + n_t))
+                        * (1.0 / n_c + 1.0 / n_t)), 6) AS z_stat,
+           ABS((CAST(x_t AS DOUBLE) / n_t - CAST(x_c AS DOUBLE) / n_c)
+               / sqrt((CAST(x_c + x_t AS DOUBLE) / (n_c + n_t))
+                      * (1.0 - CAST(x_c + x_t AS DOUBLE) / (n_c + n_t))
+                      * (1.0 / n_c + 1.0 / n_t))) >= 1.96 AS significant_95
+    FROM wide
+    """,
+    doc="A/B experiment analysis: deterministic hash assignment (salted "
+    "md5 of user_id -- the same stable-bucketing contract as q208's "
+    "split, so a user never changes arms), per-user conversion "
+    "(made a high-value purchase -- a non-saturating event), and the pooled two-proportion z-test "
+    "with a 95% significance verdict.  Two hash-aggs (user collapse, "
+    "arm rollup) and a one-row final computation -- experiment analysis "
+    "at 100 TB is exactly this shape because the statistics are "
+    "sufficient-statistic aggregates.",
+)
+def q229_ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    variant = F.when(
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("exp1|"), F.col("user_id"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+        == 0,
+        "control",
+    ).otherwise("treatment")
+    assigned = (
+        e.select("user_id", variant.alias("variant"), ((F.col("event_type") == "purchase") & (F.col("value") >= 150.0)).cast("int").alias("p"))
+        .groupBy("user_id", "variant")
+        .agg(F.max("p").alias("converted"))
+    )
+    arms = assigned.groupBy("variant").agg(
+        F.count("*").alias("n"), F.sum("converted").alias("conv")
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("variant") == "control", F.col("n"))).alias("n_c"),
+        F.max(F.when(F.col("variant") == "control", F.col("conv"))).alias("x_c"),
+        F.max(F.when(F.col("variant") == "treatment", F.col("n"))).alias("n_t"),
+        F.max(F.when(F.col("variant") == "treatment", F.col("conv"))).alias("x_t"),
+    )
+    n_c, x_c, n_t, x_t = (F.col(x).cast("double") for x in ("n_c", "x_c", "n_t", "x_t"))
+    pooled = (x_c + x_t) / (n_c + n_t)
+    z = (x_t / n_t - x_c / n_c) / F.sqrt(
+        pooled * (1.0 - pooled) * (1.0 / n_c + 1.0 / n_t)
+    )
+    return wide.select(
+        F.col("n_c").alias("n_control"),
+        F.col("x_c").alias("conv_control"),
+        F.col("n_t").alias("n_treatment"),
+        F.col("x_t").alias("conv_treatment"),
+        F.round(x_c / n_c, 6).alias("rate_control"),
+        F.round(x_t / n_t, 6).alias("rate_treatment"),
+        F.round(z, 6).alias("z_stat"),
+        (F.abs(z) >= 1.96).alias("significant_95"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q230: revenue concentration (Gini coefficient + Lorenz curve)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q230_gini_concentration",
+    sql="""
+    WITH per_cust AS (
+        SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM orders GROUP BY 1),
+    ranked AS (
+        SELECT rev,
+               ROW_NUMBER() OVER (ORDER BY rev, o_custkey) AS i,
+               COUNT(*) OVER () AS n,
+               SUM(rev) OVER () AS total
+        FROM per_cust),
+    gini AS (
+        SELECT ROUND((2.0 * SUM(CAST(i AS DOUBLE) * CAST(rev AS DOUBLE))
+                      / (n * CAST(total AS DOUBLE))) - (n + 1.0) / n, 6) AS g
+        FROM ranked GROUP BY n, total),
+    lorenz AS (
+        SELECT CAST(ceil(i * 10.0 / n) AS INT) AS decile,
+               SUM(rev) AS decile_rev
+        FROM ranked GROUP BY 1)
+    SELECT l.decile,
+           ROUND(CAST(l.decile_rev AS DOUBLE)
+                 / CAST((SELECT SUM(decile_rev) FROM lorenz) AS DOUBLE), 6) AS rev_share,
+           g.g AS gini
+    FROM lorenz l, gini g
+    ORDER BY l.decile
+    """,
+    doc="Revenue concentration: Gini coefficient (rank formula "
+    "G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n over revenue-sorted "
+    "customers) plus the Lorenz decile shares -- the "
+    "whale-concentration report behind 'top 10% of customers drive X% "
+    "of revenue'.  Per-customer revenue aggregates in DECIMAL (exact), "
+    "the global rank is ONE total-order window over the already-"
+    "collapsed per-customer frame (n_customers rows, not n_orders), and "
+    "deciles are a constant-domain rollup.  At 100 TB the rank window "
+    "would move to the q193 two-phase bucket ranking; noted, same "
+    "result.",
+)
+def q230_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    )
+    w = Window.orderBy("rev", "o_custkey")
+    ranked = per_cust.select(
+        "rev",
+        F.row_number().over(w).alias("i"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+        F.sum("rev").over(Window.partitionBy()).alias("total"),
+    )
+    gini = ranked.groupBy("n", "total").agg(
+        F.round(
+            (
+                2.0
+                * F.sum(F.col("i").cast("double") * F.col("rev").cast("double"))
+                / (F.col("n") * F.col("total").cast("double"))
+            )
+            - (F.col("n") + 1.0) / F.col("n"),
+            6,
+        ).alias("gini")
+    ).select("gini")
+    lorenz = (
+        ranked.groupBy(
+            F.ceil(F.col("i") * 10.0 / F.col("n")).cast("int").alias("decile")
+        )
+        .agg(F.sum("rev").alias("decile_rev"))
+    )
+    total_rev = lorenz.agg(F.sum("decile_rev").alias("tr"))
+    return (
+        lorenz.crossJoin(F.broadcast(total_rev))
+        .crossJoin(F.broadcast(gini))
+        .select(
+            "decile",
+            F.round(
+                F.col("decile_rev").cast("double") / F.col("tr").cast("double"), 6
+            ).alias("rev_share"),
+            "gini",
+        )
+        .orderBy("decile")
+    )
