@@ -1887,3 +1887,136 @@ def q230_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# ---------------------------------------------------------------------------
+# q231: chi-square test of independence (lang x source)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q231_chi_square_independence",
+    sql="""
+    WITH obs AS (
+        SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY 1, 2),
+    margins AS (
+        SELECT o.lang, o.source, o.o,
+               SUM(o.o) OVER (PARTITION BY o.lang) AS row_total,
+               SUM(o.o) OVER (PARTITION BY o.source) AS col_total,
+               SUM(o.o) OVER () AS grand
+        FROM obs o),
+    cells AS (
+        SELECT lang, source, o,
+               CAST(row_total AS DOUBLE) * col_total / grand AS e
+        FROM margins)
+    SELECT ROUND(SUM((o - e) * (o - e) / e), 6) AS chi2,
+           CAST((COUNT(DISTINCT lang) - 1) * (COUNT(DISTINCT source) - 1) AS BIGINT) AS dof,
+           CAST(COUNT(*) AS BIGINT) AS n_cells
+    FROM cells
+    """,
+    doc="Chi-square test of independence over the (lang, source) "
+    "contingency table: observed vs expected-under-independence cell "
+    "counts fold into the chi2 statistic with its degrees of freedom -- "
+    "the categorical-drift / stratification-bias check a corpus data "
+    "card (q144) cites.  One hash-agg builds the contingency table "
+    "(|langs| x |sources| cells); margins and the statistic compute on "
+    "that TINY frame, so the window functions never touch row-scale "
+    "data.  Verdict thresholding (p-value) needs the chi2 CDF -- "
+    "reported as the statistic + dof, the sufficient pair.",
+)
+def q231_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    obs = d.groupBy("lang", "source").agg(F.count("*").alias("o"))
+    margins = obs.select(
+        "lang",
+        "source",
+        "o",
+        F.sum("o").over(Window.partitionBy("lang")).alias("row_total"),
+        F.sum("o").over(Window.partitionBy("source")).alias("col_total"),
+        F.sum("o").over(Window.partitionBy()).alias("grand"),
+    )
+    cells = margins.withColumn(
+        "e", F.col("row_total").cast("double") * F.col("col_total") / F.col("grand")
+    )
+    return cells.agg(
+        F.round(
+            F.sum((F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")),
+            6,
+        ).alias("chi2"),
+        ((F.countDistinct("lang") - 1) * (F.countDistinct("source") - 1)).alias("dof"),
+        F.count("*").alias("n_cells"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q232: population stability index (distribution drift per source)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q232_psi_drift",
+    sql="""
+    WITH base AS (
+        SELECT lang, CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM documents) AS p
+        FROM documents GROUP BY lang),
+    per_source AS (
+        SELECT source, lang, COUNT(*) AS n FROM documents GROUP BY 1, 2),
+    totals AS (SELECT source, SUM(n) AS tot FROM per_source GROUP BY source),
+    q AS (
+        SELECT ps.source, ps.lang, CAST(ps.n AS DOUBLE) / t.tot AS q
+        FROM per_source ps JOIN totals t ON ps.source = t.source),
+    joined AS (
+        SELECT b.lang, q.source,
+               COALESCE(q.q, 0.0001) AS q, b.p
+        FROM base b LEFT JOIN q ON b.lang = q.lang)
+    SELECT source,
+           ROUND(SUM((q - p) * ln(q / p)), 6) AS psi,
+           CAST(COUNT(*) AS BIGINT) AS n_bins
+    FROM joined
+    WHERE source IS NOT NULL
+    GROUP BY source
+    ORDER BY source
+    """,
+    doc="Population Stability Index per source: each source's language "
+    "distribution q compared against the corpus-wide baseline p via "
+    "PSI = sum((q-p) * ln(q/p)) -- the standard ML-ops drift metric "
+    "(PSI > 0.25 flags a shifted slice); here it scores ingestion "
+    "sources for distribution skew before they enter the mix (q143).  "
+    "Missing bins floor at 1e-4, the conventional smoothing.  Two "
+    "hash-aggs over the (source, lang) domain, baseline broadcast onto "
+    "the per-source rows -- all tiny frames after the first agg.",
+)
+def q232_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    # baseline share via a window over the tiny per-lang agg -- no separate
+    # count() job, single pass over the table
+    base = (
+        d.groupBy("lang")
+        .agg(F.count("*").alias("nl"))
+        .select(
+            "lang",
+            (
+                F.col("nl").cast("double")
+                / F.sum("nl").over(Window.partitionBy())
+            ).alias("p"),
+        )
+    )
+    per_source = d.groupBy("source", "lang").agg(F.count("*").alias("n"))
+    totals = per_source.groupBy("source").agg(F.sum("n").alias("tot"))
+    q = per_source.join(totals, "source").select(
+        "source", "lang", (F.col("n").cast("double") / F.col("tot")).alias("q")
+    )
+    joined = F.broadcast(base).join(q, "lang", "left").select(
+        "source", "p", F.coalesce("q", F.lit(0.0001)).alias("q")
+    )
+    return (
+        joined.filter(F.col("source").isNotNull())
+        .groupBy("source")
+        .agg(
+            F.round(
+                F.sum((F.col("q") - F.col("p")) * F.log(F.col("q") / F.col("p"))), 6
+            ).alias("psi"),
+            F.count("*").alias("n_bins"),
+        )
+        .orderBy("source")
+    )
