@@ -240,3 +240,50 @@ def test_zorder_layout_improves_rowgroup_skipping(spark, tmp_path):
         # multi-dimensional skipping.
         assert base_hit >= n_files - 2, (column, base_hit)
         assert z_hit <= n_files // 2, (column, z_hit)
+
+
+def test_compaction_planner_bins_small_files_to_target(spark, sf_dir, tmp_path):
+    """Lakehouse small-files compaction planning from the _metadata hidden
+    columns: per-file row/byte stats come from the scan itself (no
+    filesystem listing job), files bin greedily by cumulative size toward a
+    target, and each planned group stays under target + one file.  This is
+    the OPTIMIZE/compact maintenance op every 100 TB table needs once
+    streaming sinks (q177) have fragmented it."""
+    from pyspark.sql import Window
+
+    frag = str(tmp_path / "fragmented")
+    load_table(spark, sf_dir, "orders").repartition(16).write.parquet(frag)
+
+    per_file = (
+        spark.read.parquet(frag)
+        .select(
+            F.col("_metadata.file_path").alias("path"),
+            F.col("_metadata.file_size").alias("bytes"),
+        )
+        .groupBy("path", "bytes")
+        .agg(F.count("*").alias("rows"))
+    )
+    files = per_file.collect()  # bounded: one row per FILE, not per data row
+    assert len(files) == 16 and all(f.rows > 0 for f in files)
+
+    target = int(sum(f.bytes for f in files) / 4)  # aim for ~4 output files
+    w = Window.orderBy("path").rowsBetween(Window.unboundedPreceding, 0)
+    planned = (
+        per_file.withColumn("cum", F.sum("bytes").over(w))
+        .withColumn("grp", F.floor((F.col("cum") - 1) / target).cast("int"))
+    )
+    groups = planned.groupBy("grp").agg(
+        F.sum("bytes").alias("gbytes"), F.count("*").alias("nfiles")
+    ).collect()
+    assert 3 <= len(groups) <= 6
+    max_file = max(f.bytes for f in files)
+    assert all(g.gbytes <= target + max_file for g in groups)
+    # executing the plan: each group coalesces into one output file
+    out = str(tmp_path / "compacted")
+    paths_g0 = [f.path for f in planned.filter("grp = 0").select("path").collect()]
+    spark.read.parquet(*[p.replace("file:", "") for p in paths_g0]).coalesce(1).write.parquet(out)
+    import glob
+
+    assert len(glob.glob(f"{out}/*.parquet")) == 1
+    n_expected = sum(f.rows for f in files if f.path in set(paths_g0))
+    assert spark.read.parquet(out).count() == n_expected
