@@ -2020,3 +2020,106 @@ def q232_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q233: dedup provenance report (why was this document dropped?)
+# ---------------------------------------------------------------------------
+
+
+def _q233_oracle() -> str:
+    from .llm import _jaccard_oracle
+
+    jaccard = _jaccard_oracle(0.7).strip()
+    return f"""
+    WITH e AS (
+        SELECT doc_id, keeper FROM (
+            SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+            FROM documents)
+        WHERE doc_id <> keeper),
+    jp AS ({jaccard}),
+    nd AS (SELECT d2 AS doc_id, MIN(d1) AS keeper FROM jp GROUP BY d2),
+    cp AS (
+        WITH docs AS (
+            SELECT doc_id,
+                   list_distinct([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks)-1)]) AS sh
+            FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+            WHERE len(toks) >= 3),
+        tok AS (SELECT doc_id, unnest(sh) AS shingle FROM docs),
+        sizes AS (SELECT doc_id, len(sh) AS n FROM docs),
+        pairs AS (
+            SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS common
+            FROM tok a JOIN tok b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+        SELECT id1, id2
+        FROM pairs JOIN sizes s1 ON id1 = s1.doc_id JOIN sizes s2 ON id2 = s2.doc_id
+        WHERE ROUND(CAST(common AS DOUBLE) / LEAST(s1.n, s2.n), 9) >= 0.8),
+    ct AS (SELECT id2 AS doc_id, MIN(id1) AS keeper FROM cp GROUP BY id2)
+    SELECT d.doc_id,
+           CASE WHEN e.doc_id IS NOT NULL THEN 'exact'
+                WHEN nd.doc_id IS NOT NULL THEN 'near_dup'
+                WHEN ct.doc_id IS NOT NULL THEN 'containment'
+                ELSE 'kept' END AS status,
+           CASE WHEN e.doc_id IS NOT NULL THEN e.keeper
+                WHEN nd.doc_id IS NOT NULL THEN nd.keeper
+                ELSE ct.keeper END AS matched_id
+    FROM documents d
+    LEFT JOIN e ON d.doc_id = e.doc_id
+    LEFT JOIN nd ON d.doc_id = nd.doc_id
+    LEFT JOIN ct ON d.doc_id = ct.doc_id
+    ORDER BY d.doc_id
+    """
+
+
+@register(
+    "q233_dedup_provenance",
+    sql=_q233_oracle(),
+    doc="Dedup provenance report -- the 'why was my document dropped?' "
+    "explainability table a corpus pipeline owes its users: every doc "
+    "classified as exact (hash match, keeper = cluster min), near_dup "
+    "(MinHash-LSH at 0.7, q52's scale path), containment (doc-in-doc at "
+    "0.8, q185's prefix filter), or kept, with the lowest matching "
+    "keeper id for appeal/audit.  Precedence exact > near_dup > "
+    "containment mirrors pipeline stage order (cheapest evidence "
+    "first).  Each stage runs its own scale-safe form; the report join "
+    "is three LEFT JOINs on doc_id.  One oracle replays all three "
+    "stages exactly (the LSH threshold sits above the banding knee, so "
+    "the exact-Jaccard formulation is deterministic-equal).",
+)
+def q233_dedup_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import minhash_lsh_pairs
+    from .wave7 import containment_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5("text"))
+    e_dropped = (
+        d.select("doc_id", F.min("doc_id").over(w).alias("keeper"))
+        .filter(F.col("doc_id") != F.col("keeper"))
+        .withColumnRenamed("keeper", "e_keeper")
+    )
+    nd = (
+        minhash_lsh_pairs(d, "text", "doc_id", n=3, threshold=0.7)
+        .groupBy(F.col("d2").alias("doc_id"))
+        .agg(F.min("d1").alias("nd_keeper"))
+    )
+    ct = (
+        containment_pairs(d.select("doc_id", "text"), 0.8)
+        .groupBy(F.col("id2").alias("doc_id"))
+        .agg(F.min("id1").alias("ct_keeper"))
+    )
+    return (
+        d.select("doc_id")
+        .join(e_dropped, "doc_id", "left")
+        .join(nd, "doc_id", "left")
+        .join(ct, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("e_keeper").isNotNull(), "exact")
+            .when(F.col("nd_keeper").isNotNull(), "near_dup")
+            .when(F.col("ct_keeper").isNotNull(), "containment")
+            .otherwise("kept")
+            .alias("status"),
+            F.coalesce("e_keeper", "nd_keeper", "ct_keeper").alias("matched_id"),
+        )
+        .orderBy("doc_id")
+    )
