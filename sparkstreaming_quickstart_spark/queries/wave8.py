@@ -2123,3 +2123,119 @@ def q233_dedup_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q234: share-of-parent contribution analysis over ROLLUP
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q234_share_of_parent",
+    sql="""
+    WITH rev AS (
+        SELECT r.r_name AS region, n.n_name AS nation,
+               SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY 1, 2),
+    region_tot AS (SELECT region, SUM(rev) AS rtot FROM rev GROUP BY 1),
+    grand AS (SELECT SUM(rev) AS g FROM rev)
+    SELECT rev.region, rev.nation,
+           CAST(rev.rev AS DOUBLE) AS revenue,
+           ROUND(CAST(rev.rev AS DOUBLE) / CAST(rt.rtot AS DOUBLE), 6) AS share_of_region,
+           ROUND(CAST(rt.rtot AS DOUBLE) / CAST(grand.g AS DOUBLE), 6) AS region_share_of_total
+    FROM rev JOIN region_tot rt ON rev.region = rt.region, grand
+    ORDER BY rev.region, rev.nation
+    """,
+    doc="Share-of-parent contribution analysis: every nation's revenue "
+    "share WITHIN its region, and each region's share of the grand "
+    "total, in one result -- the drill-down contribution report behind "
+    "'France is 31% of Europe, Europe is 24% of total'.  Engine path "
+    "computes the leaf aggregate once and derives both parent levels "
+    "with window sums over the tiny (region, nation) frame -- no second "
+    "pass over orders, no rollup re-scan; the star join broadcasts all "
+    "three dims (q11's pinned shape).  DECIMAL accumulate, double "
+    "publish.",
+)
+def q234_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    rev = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    )
+    w_region = Window.partitionBy("region")
+    w_all = Window.partitionBy()
+    return rev.select(
+        "region",
+        "nation",
+        F.col("rev").cast("double").alias("revenue"),
+        F.round(
+            F.col("rev").cast("double") / F.sum("rev").over(w_region).cast("double"), 6
+        ).alias("share_of_region"),
+        F.round(
+            F.sum("rev").over(w_region).cast("double")
+            / F.sum("rev").over(w_all).cast("double"),
+            6,
+        ).alias("region_share_of_total"),
+    ).orderBy("region", "nation")
+
+
+# ---------------------------------------------------------------------------
+# q235: two-stage cluster sampling (sample orders, keep whole baskets)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q235_cluster_sample",
+    sql="""
+    WITH sampled AS (
+        SELECT o_orderkey FROM orders
+        WHERE CAST('0x' || substr(md5('clus|' || o_orderkey), 1, 8) AS BIGINT) % 10 = 0)
+    SELECT l.l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(COUNT(DISTINCT l.l_orderkey) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem l JOIN sampled s ON l.l_orderkey = s.o_orderkey
+    GROUP BY l.l_returnflag
+    ORDER BY l.l_returnflag
+    """,
+    doc="Two-stage CLUSTER sampling: sample ~10% of ORDERS by a salted "
+    "key hash, then keep every lineitem of a sampled order -- the "
+    "unit-consistent sample (whole baskets survive intact) that row-"
+    "level sampling (q87/q123) cannot give, required whenever the "
+    "analysis is per-basket (q217's market-basket rules, order-level "
+    "funnels).  The deterministic hash makes the same clusters sample "
+    "on every run and engine; the membership join is a broadcastable "
+    "semi-join shape (10% of order KEYS, not data).",
+)
+def q235_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    sampled = o.filter(
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("clus|"), F.col("o_orderkey"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % 10
+        == 0
+    ).select("o_orderkey")
+    return (
+        li.join(F.broadcast(sampled), li.l_orderkey == sampled.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
