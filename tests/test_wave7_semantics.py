@@ -168,3 +168,31 @@ def test_streaming_asof_enrichment_carries_dimension_state_across_batches(spark,
     q.awaitTermination()
     got = {r.seq: r.plan_at_event for r in spark.table(table).collect()}
     assert got == {1: "free", 2: "free", 4: "pro", 5: None}, got
+
+
+def test_decimal_accumulation_survives_magnitude_skew(spark):
+    """The repo-wide DECIMAL-accumulate / double-publish policy, pinned on
+    the case that breaks naive double sums: one 1e16 row plus ten thousand
+    0.01 rows.  float64 has 52 mantissa bits, so each 0.01 added to 1e16
+    rounds to nothing -- the double sum loses the entire tail, DECIMAL
+    keeps every cent.  (Partial-aggregation order makes the double loss
+    nondeterministic too; decimal is exact under ANY aggregation tree,
+    which is why associativity-safe money math is non-negotiable at
+    100 TB.)"""
+    # Single partition, big value FIRST: the sequential double fold starts
+    # at 1e16 and each 0.01 rounds to nothing.  (With default partitioning
+    # the map-side partials happen to sum the small values together first
+    # and mask the loss -- which is itself the nondeterminism: the double
+    # answer depends on the aggregation tree, the decimal answer never.)
+    df = (
+        spark.range(1)
+        .selectExpr("1e16 AS v")
+        .unionAll(spark.range(10_000).selectExpr("0.01D AS v"))
+        .coalesce(1)
+    )
+    dec_sum = df.selectExpr(
+        "CAST(SUM(CAST(v AS DECIMAL(38,2))) AS STRING) AS s"
+    ).collect()[0].s
+    assert dec_sum == "10000000000000100.00", dec_sum
+    dbl_sum = df.selectExpr("SUM(v) AS s").collect()[0].s
+    assert dbl_sum == 1e16, dbl_sum  # the whole 100.00 tail vanished
