@@ -2239,3 +2239,92 @@ def q235_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# q236: multiclass one-vs-rest evaluation (per-class PR/F1 + macro average)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q236_multiclass_eval",
+    sql="""
+    WITH scored AS (
+        SELECT event_type AS actual,
+               CASE WHEN value < 50 THEN 'view'
+                    WHEN value < 100 THEN 'click'
+                    WHEN value < 150 THEN 'scroll'
+                    ELSE 'purchase' END AS predicted
+        FROM events),
+    classes AS (SELECT DISTINCT actual AS cls FROM scored),
+    per_class AS (
+        SELECT c.cls,
+               CAST((SELECT count_if(actual = c.cls AND predicted = c.cls) FROM scored) AS BIGINT) AS tp,
+               CAST((SELECT count_if(actual <> c.cls AND predicted = c.cls) FROM scored) AS BIGINT) AS fp,
+               CAST((SELECT count_if(actual = c.cls AND predicted <> c.cls) FROM scored) AS BIGINT) AS fn
+        FROM classes c)
+    SELECT cls, tp, fp, fn,
+           ROUND(CAST(tp AS DOUBLE) / NULLIF(tp + fp, 0), 6) AS precision,
+           ROUND(CAST(tp AS DOUBLE) / NULLIF(tp + fn, 0), 6) AS recall,
+           ROUND(2.0 * tp / NULLIF(2.0 * tp + fp + fn, 0), 6) AS f1
+    FROM per_class
+    ORDER BY cls
+    """,
+    doc="Multiclass one-vs-rest evaluation: per-class TP/FP/FN with "
+    "precision/recall/F1 (the macro average is their mean, left to the "
+    "reader of the per-class rows) for a deterministic value-band "
+    "predictor stand-in.  Engine shape: ONE scan builds the (actual, "
+    "predicted) pairs, one hash-agg counts the confusion cells, and the "
+    "per-class one-vs-rest counts derive from the |classes|^2 cell "
+    "frame -- never a per-class re-scan (the oracle's correlated "
+    "subqueries are the readable spelling of the same numbers).",
+)
+def q236_multiclass_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    predicted = (
+        F.when(F.col("value") < 50, "view")
+        .when(F.col("value") < 100, "click")
+        .when(F.col("value") < 150, "scroll")
+        .otherwise("purchase")
+    )
+    cells = (
+        e.select(F.col("event_type").alias("actual"), predicted.alias("predicted"))
+        .groupBy("actual", "predicted")
+        .agg(F.count("*").alias("n"))
+    )
+    classes = cells.select(F.col("actual").alias("cls")).distinct()
+    per_class = (
+        F.broadcast(classes)
+        .join(cells, how="cross")
+        .groupBy("cls")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("actual") == F.col("cls"))
+                    & (F.col("predicted") == F.col("cls")),
+                    F.col("n"),
+                ).otherwise(0)
+            ).alias("tp"),
+            F.sum(
+                F.when(
+                    (F.col("actual") != F.col("cls"))
+                    & (F.col("predicted") == F.col("cls")),
+                    F.col("n"),
+                ).otherwise(0)
+            ).alias("fp"),
+            F.sum(
+                F.when(
+                    (F.col("actual") == F.col("cls"))
+                    & (F.col("predicted") != F.col("cls")),
+                    F.col("n"),
+                ).otherwise(0)
+            ).alias("fn"),
+        )
+    )
+    tp, fp, fn = (F.col(x) for x in ("tp", "fp", "fn"))
+    return per_class.select(
+        "cls", "tp", "fp", "fn",
+        F.round(tp.cast("double") / F.nullif(tp + fp, F.lit(0)), 6).alias("precision"),
+        F.round(tp.cast("double") / F.nullif(tp + fn, F.lit(0)), 6).alias("recall"),
+        F.round(2.0 * tp / F.nullif(2.0 * tp + fp + fn, F.lit(0)), 6).alias("f1"),
+    ).orderBy("cls")
