@@ -357,3 +357,41 @@ def test_binned_interval_join_avoids_nested_loop(spark, sf_dir):
     simple = explain_str(df, "simple")
     assert "BroadcastNestedLoopJoin" not in simple, simple
     assert "CartesianProduct" not in simple, simple
+
+
+def test_market_basket_pair_join_is_equi_on_basket_key(spark, sf_dir):
+    # q217: the pair expansion must be an equi-join on l_orderkey (quadratic
+    # only in basket size); support/stats sides broadcast.  A cartesian or
+    # nested-loop here would be item-catalog-squared.
+    from sparkstreaming_quickstart_spark.queries.wave8 import q217_market_basket
+
+    df = q217_market_basket(spark, sf_dir)
+    simple = explain_str(df, "simple")
+    assert "CartesianProduct" not in simple, simple
+    # the 1-row corpus-stats scalar legitimately attaches via a broadcast
+    # nested loop; the DATA joins (pair expansion + two support lookups)
+    # must all be hashable
+    assert simple.count("BroadcastNestedLoopJoin") <= 1, simple
+    assert simple.count("BroadcastHashJoin") + simple.count("SortMergeJoin") >= 3, simple
+
+
+def test_rag_index_chain_has_no_joins(spark, sf_dir):
+    # q226's whole pipeline (chunk -> hash-embed -> bucket -> rollup) is a
+    # narrow generator chain plus two hash-aggs; any Join in the plan means
+    # an accidental reshuffle crept into the composition.
+    from sparkstreaming_quickstart_spark.queries.wave8 import q226_rag_index_build
+
+    df = q226_rag_index_build(spark, sf_dir)
+    simple = explain_str(df, "simple")
+    assert "Join" not in simple, simple
+    assert "BatchEvalPython" not in simple, simple  # hashing stays in codegen
+
+
+def test_dedup_provenance_report_joins_are_hashable(spark, sf_dir):
+    # q233: the three stage results attach to the doc spine via equi left
+    # joins -- no nested loop anywhere despite composing three operators.
+    from sparkstreaming_quickstart_spark.queries.wave8 import q233_dedup_provenance
+
+    df = q233_dedup_provenance(spark, sf_dir)
+    simple = explain_str(df, "simple")
+    assert "BroadcastNestedLoopJoin" not in simple and "CartesianProduct" not in simple, simple
