@@ -491,3 +491,65 @@ def test_foreach_batch_dead_letter_queue_quarantines_bad_rows(spark, tmp_path):
     dlq = {r.id: r.error for r in spark.read.parquet(dlq_dir).collect()}
     assert good == {1: 10.5, 3: 7.0, 5: 3.25}
     assert dlq == {2: "NOT_A_DOUBLE", 4: "NOT_A_DOUBLE"}
+
+
+def test_streaming_restart_with_added_projection_continues_from_checkpoint(spark, sf_dir, tmp_path):
+    """Pipeline evolution across restarts: run a windowed aggregation over
+    half the input, stop, then restart ON THE SAME CHECKPOINT with an extra
+    downstream projection (an 'allowed change' -- state schema untouched).
+    The restarted query must resume from the recorded offsets (no
+    reprocessing: only the second half's files are new) and the combined
+    result must equal the batch answer over all rows."""
+    import os
+    import time
+    import uuid as _uuid
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    src = str(tmp_path / "src")
+    e.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(os.path.join(src, "b0"))
+    schema = spark.read.parquet(os.path.join(src, "b0")).schema
+    ckpt = str(tmp_path / "ck")
+
+    def agg_of(stream):
+        return stream.withColumn("ts", F.col("ts").cast("timestamp")).groupBy(
+            F.window("ts", "1 day").alias("w")
+        ).count()
+
+    def drain(extra_projection):
+        stream = spark.readStream.schema(schema).parquet(os.path.join(src, "b*"))
+        agg = agg_of(stream)
+        if extra_projection:  # the evolution: rename + derived column
+            agg = agg.select(
+                F.col("w"), F.col("count").alias("n"), (F.col("count") > 0).alias("nonzero")
+            )
+        name = f"evo_{_uuid.uuid4().hex[:8]}"
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return name
+
+    drain(extra_projection=False)
+    time.sleep(1.1)
+    e.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(os.path.join(src, "b1"))
+    name2 = drain(extra_projection=True)
+
+    got = {
+        (r["w"].start.isoformat(), r["n"], r["nonzero"])
+        for r in spark.table(name2).collect()
+    }
+    want = {
+        (r["w"].start.isoformat(), r["count"], True)
+        for r in (
+            e.withColumn("ts", F.col("ts").cast("timestamp"))
+            .groupBy(F.window("ts", "1 day").alias("w"))
+            .count()
+            .collect()
+        )
+    }
+    assert got == want
