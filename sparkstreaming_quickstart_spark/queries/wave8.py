@@ -2328,3 +2328,112 @@ def q236_multiclass_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(tp.cast("double") / F.nullif(tp + fn, F.lit(0)), 6).alias("recall"),
         F.round(2.0 * tp / F.nullif(2.0 * tp + fp + fn, F.lit(0)), 6).alias("f1"),
     ).orderBy("cls")
+
+
+# ---------------------------------------------------------------------------
+# q237: Kaplan-Meier survival curve (time to first purchase, with censoring)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q237_kaplan_meier",
+    sql="""
+    WITH per_user AS (
+        SELECT user_id,
+               MIN(ts) AS t0,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase,
+               MAX(ts) AS t_last
+        FROM events GROUP BY user_id),
+    durations AS (
+        SELECT user_id,
+               CASE WHEN t_purchase IS NOT NULL
+                    THEN CAST(epoch_us(t_purchase) - epoch_us(t0) AS DOUBLE) / 86400000000.0
+                    ELSE CAST(epoch_us(t_last) - epoch_us(t0) AS DOUBLE) / 86400000000.0
+               END AS dur_days,
+               (t_purchase IS NOT NULL) AS converted
+        FROM per_user),
+    binned AS (
+        SELECT CAST(ceil(dur_days) AS BIGINT) AS t, converted FROM durations),
+    at_time AS (
+        SELECT t,
+               CAST(count_if(converted) AS BIGINT) AS d
+        FROM binned GROUP BY t),
+    risk AS (
+        SELECT a.t, a.d,
+               (SELECT COUNT(*) FROM binned b WHERE b.t >= a.t) AS n
+        FROM at_time a
+        WHERE a.d > 0),
+    km AS (
+        SELECT t, d, CAST(n AS BIGINT) AS n_at_risk,
+               -- a time point where everyone at risk converts drives S to
+               -- exactly 0; keep the log term finite and zero the output
+               CASE WHEN MAX(CASE WHEN d = n THEN 1 ELSE 0 END)
+                         OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+                    THEN 0.0
+                    ELSE exp(SUM(ln(CASE WHEN d = n THEN 1.0 ELSE 1.0 - CAST(d AS DOUBLE) / n END))
+                             OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+               END AS s
+        FROM risk)
+    SELECT t, d AS n_events, n_at_risk, ROUND(s, 6) AS survival
+    FROM km
+    ORDER BY t
+    """,
+    doc="Kaplan-Meier survival curve for time-to-first-purchase (days, "
+    "ceil-binned), with right-censoring: users who never purchase are "
+    "censored at their last observed event -- the estimator that makes "
+    "'median days to convert' honest when many users haven't converted "
+    "yet (a plain average silently drops them).  S(t) = prod(1 - d_i/n_i) "
+    "computes distributively as exp(cumsum(ln)) over the per-day event "
+    "table -- a few hundred rows after the per-user collapse, so the "
+    "ordered window costs nothing; the at-risk counts come from a "
+    "suffix-sum over the same tiny frame (spelled as a correlated count "
+    "in the oracle).  One user-collapse hash-agg touches row-scale data.",
+)
+def q237_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    per_user = e.groupBy("user_id").agg(
+        F.min(us).alias("t0"),
+        F.min(F.when(F.col("event_type") == "purchase", us)).alias("t_purchase"),
+        F.max(us).alias("t_last"),
+    )
+    dur = per_user.select(
+        F.ceil(
+            (
+                F.coalesce("t_purchase", "t_last").cast("double") - F.col("t0")
+            )
+            / 86400000000.0
+        ).cast("bigint").alias("t"),
+        F.col("t_purchase").isNotNull().alias("converted"),
+    )
+    at_time = dur.groupBy("t").agg(
+        F.count_if(F.col("converted")).alias("d"),
+        F.count("*").alias("ended_here"),
+    )
+    # at-risk = suffix sum of everyone whose duration >= t (tiny frame)
+    w_suffix = Window.orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = (
+        at_time.withColumn("n", F.sum("ended_here").over(w_suffix))
+        .filter(F.col("d") > 0)
+        .select("t", "d", F.col("n").alias("n_at_risk"))
+    )
+    w_km = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # terminal point (d == n) drives S to exactly 0: keep the log term
+    # finite there and zero the output from that point on
+    ratio = F.when(
+        F.col("d") == F.col("n_at_risk"), F.lit(1.0)
+    ).otherwise(1.0 - F.col("d").cast("double") / F.col("n_at_risk"))
+    hit_zero = F.max(
+        F.when(F.col("d") == F.col("n_at_risk"), 1).otherwise(0)
+    ).over(w_km)
+    s = F.when(hit_zero == 1, F.lit(0.0)).otherwise(
+        F.exp(F.sum(F.log(ratio)).over(w_km))
+    )
+    return risk.select(
+        "t",
+        F.col("d").alias("n_events"),
+        "n_at_risk",
+        F.round(s, 6).alias("survival"),
+    ).orderBy("t")
