@@ -2437,3 +2437,168 @@ def q237_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_at_risk",
         F.round(s, 6).alias("survival"),
     ).orderBy("t")
+
+
+# ---------------------------------------------------------------------------
+# q238: Zipf rank-frequency fit over the corpus vocabulary
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q238_zipf_fit",
+    sql="""
+    WITH freq AS (
+        SELECT token, COUNT(*) AS f
+        FROM (SELECT unnest(string_split(text, ' ')) AS token
+              FROM documents WHERE length(text) > 0)
+        GROUP BY token),
+    ranked AS (
+        SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, token ASC) AS r FROM freq)
+    SELECT ROUND(regr_slope(ln(CAST(f AS DOUBLE)), ln(CAST(r AS DOUBLE))), 6) AS zipf_slope,
+           ROUND(regr_intercept(ln(CAST(f AS DOUBLE)), ln(CAST(r AS DOUBLE))), 6) AS log_c,
+           ROUND(regr_r2(ln(CAST(f AS DOUBLE)), ln(CAST(r AS DOUBLE))), 6) AS r2,
+           CAST(COUNT(*) AS BIGINT) AS vocab_size
+    FROM ranked
+    """,
+    doc="Zipf rank-frequency fit: token frequencies rank-ordered, then OLS "
+    "on (ln rank, ln freq) gives the Zipf exponent (natural language "
+    "sits near -1; the synthetic fixture's ~flat vocabulary fits near 0, "
+    "and the R^2 says how Zipfian the corpus is either way) -- the "
+    "corpus-statistics diagnostic that distinguishes organic text from "
+    "generated/templated text in a data-quality report.  One vocab-sized "
+    "hash-agg, a rank window over the vocabulary (not the corpus), and "
+    "q153's regression aggregates close the fit in the same pass.",
+)
+def q238_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    freq = (
+        d.select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("f"))
+    )
+    w = Window.orderBy(F.col("f").desc(), F.col("token").asc())
+    ranked = freq.withColumn("r", F.row_number().over(w))
+    lf = F.log(F.col("f").cast("double"))
+    lr = F.log(F.col("r").cast("double"))
+    return ranked.agg(
+        F.round(F.regr_slope(lf, lr), 6).alias("zipf_slope"),
+        F.round(F.regr_intercept(lf, lr), 6).alias("log_c"),
+        F.round(F.regr_r2(lf, lr), 6).alias("r2"),
+        F.count("*").alias("vocab_size"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q239: inter-arrival burstiness per user
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q239_burstiness",
+    sql="""
+    WITH gaps AS (
+        SELECT user_id,
+               CAST(epoch_us(ts) - LAG(epoch_us(ts))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS DOUBLE)
+                   / 3600000000.0 AS gap_h
+        FROM events),
+    stats AS (
+        SELECT user_id,
+               AVG(gap_h) AS mean_gap,
+               stddev_samp(gap_h) AS sd_gap,
+               CAST(COUNT(gap_h) AS BIGINT) AS n_gaps
+        FROM gaps WHERE gap_h IS NOT NULL GROUP BY user_id)
+    SELECT user_id, n_gaps,
+           ROUND(mean_gap, 6) AS mean_gap_h,
+           ROUND(sd_gap / mean_gap, 6) AS cv,
+           ROUND((sd_gap - mean_gap) / (sd_gap + mean_gap), 6) AS burstiness
+    FROM stats
+    ORDER BY user_id
+    """,
+    doc="Inter-arrival burstiness per user: gaps between consecutive events "
+    "(total order ts, event_id), their coefficient of variation, and the "
+    "Goh-Barabasi burstiness B = (sd-mean)/(sd+mean) in [-1, 1] -- B~0 "
+    "is Poisson-like, B->1 is bursty, B->-1 is periodic; the temporal "
+    "fingerprint that separates humans from schedulers/bots in event "
+    "logs.  One lag window per user + one hash-agg; gaps in hours keep "
+    "the doubles well-conditioned.",
+)
+def q239_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = e.select(
+        "user_id",
+        ((us - F.lag(us).over(w)).cast("double") / 3600000000.0).alias("gap_h"),
+    ).filter(F.col("gap_h").isNotNull())
+    stats = gaps.groupBy("user_id").agg(
+        F.avg("gap_h").alias("mean_gap"),
+        F.stddev_samp("gap_h").alias("sd_gap"),
+        F.count("gap_h").alias("n_gaps"),
+    )
+    return stats.select(
+        "user_id",
+        "n_gaps",
+        F.round("mean_gap", 6).alias("mean_gap_h"),
+        F.round(F.col("sd_gap") / F.col("mean_gap"), 6).alias("cv"),
+        F.round(
+            (F.col("sd_gap") - F.col("mean_gap")) / (F.col("sd_gap") + F.col("mean_gap")),
+            6,
+        ).alias("burstiness"),
+    ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# q240: Heaps' law vocabulary-growth curve
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q240_heaps_law",
+    sql="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents WHERE length(text) > 0),
+    first_seen AS (
+        SELECT token, MIN(doc_id) AS d0 FROM toks GROUP BY token),
+    n_docs AS (SELECT COUNT(DISTINCT doc_id) AS nd FROM toks),
+    deciles AS (
+        SELECT CAST(least(ceil((d0 + 1) * 10.0 / nd), 10) AS INT) AS decile,
+               COUNT(*) AS new_types
+        FROM first_seen, n_docs GROUP BY 1)
+    SELECT decile,
+           CAST(new_types AS BIGINT) AS new_types,
+           CAST(SUM(new_types) OVER (ORDER BY decile
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS vocab_size
+    FROM deciles
+    ORDER BY decile
+    """,
+    doc="Heaps' law vocabulary-growth curve: distinct token types "
+    "accumulated after each decile of the corpus (by doc_id order) -- "
+    "organic text grows sublinearly (V ~ k*n^b, b~0.5), a saturating "
+    "curve signals a closed/templated vocabulary (this fixture saturates "
+    "in the first decile, which is exactly what the diagnostic should "
+    "say about synthetic text).  Same scalable shape as q228's growth "
+    "curve: first-seen doc per TYPE (one hash-agg) converts running "
+    "distinct into a plain cumulative sum over 10 rows.",
+)
+def q240_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    toks = d.select("doc_id", F.explode(tokens("text")).alias("token"))
+    first_seen = toks.groupBy("token").agg(F.min("doc_id").alias("d0"))
+    nd = toks.select(F.countDistinct("doc_id").alias("nd"))
+    deciles = (
+        first_seen.crossJoin(F.broadcast(nd))
+        .groupBy(
+            F.least(
+                F.ceil((F.col("d0") + 1) * 10.0 / F.col("nd")), F.lit(10)
+            ).cast("int").alias("decile")
+        )
+        .agg(F.count("*").alias("new_types"))
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return deciles.select(
+        "decile",
+        "new_types",
+        F.sum("new_types").over(w).alias("vocab_size"),
+    ).orderBy("decile")
