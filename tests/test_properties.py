@@ -185,3 +185,42 @@ def test_containment_prefix_filter_is_lossless(spark, docs):
             if c >= 0.8:
                 want[(i, j)] = c
     assert got == want
+
+
+@given(
+    probes=st.lists(_probe, min_size=1, max_size=12),
+    quotes=st.lists(_quote, min_size=0, max_size=12),
+    tol_minutes=st.integers(1, 15),
+)
+@_SETTINGS
+def test_asof_join_tolerance_matches_python_oracle(spark, probes, quotes, tol_minutes):
+    """asof_join(tolerance=...) must equal the python oracle restricted to
+    quotes within [t - tol, t] -- including the boundary (a quote exactly
+    tol old is still fresh) and the fall-to-None when only stale quotes
+    exist."""
+    left = spark.createDataFrame(
+        [(i, k, _t(m)) for i, (k, m) in enumerate(probes)], ["event_id", "k", "ts"]
+    )
+    right = spark.createDataFrame(
+        [(100 + j, k, _t(m)) for j, (k, m) in enumerate(quotes)],
+        ["quote_id", "k", "qts"],
+    ) if quotes else spark.createDataFrame([], "quote_id long, k long, qts timestamp")
+    out = asof_join(
+        left,
+        right.select("k", "qts", "quote_id"),
+        on="k",
+        left_time="ts",
+        right_time="qts",
+        value_cols=["quote_id"],
+        tiebreak="quote_id",
+        tolerance=f"{tol_minutes} minutes",
+    )
+    got = {r.event_id: r.asof_quote_id for r in out.collect()}
+    for i, (k, m) in enumerate(probes):
+        eligible = [
+            (qm, 100 + j)
+            for j, (qk, qm) in enumerate(quotes)
+            if qk == k and qm <= m and qm >= m - tol_minutes
+        ]
+        want = max(eligible)[1] if eligible else None
+        assert got[i] == want, f"probe {i} (k={k}, t={m}, tol={tol_minutes}): got {got[i]}, want {want}"
