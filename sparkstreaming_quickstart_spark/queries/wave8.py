@@ -2602,3 +2602,165 @@ def q240_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_types",
         F.sum("new_types").over(w).alias("vocab_size"),
     ).orderBy("decile")
+
+
+# ---------------------------------------------------------------------------
+# q241: weighted median (cumulative-weight crossing)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q241_weighted_median",
+    sql="""
+    WITH w AS (
+        SELECT o.o_orderpriority AS grp,
+               o.o_totalprice AS price,
+               o.o_orderkey,
+               SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS wt
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2, 3),
+    cum AS (
+        SELECT grp, price, wt,
+               SUM(wt) OVER (PARTITION BY grp ORDER BY price, o_orderkey
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+               SUM(wt) OVER (PARTITION BY grp) AS tw
+        FROM w),
+    pick AS (
+        SELECT grp, price,
+               ROW_NUMBER() OVER (PARTITION BY grp ORDER BY cw) AS rn
+        FROM cum WHERE cw >= tw / 2)
+    SELECT grp AS o_orderpriority, ROUND(price, 2) AS weighted_median_price
+    FROM pick WHERE rn = 1
+    ORDER BY o_orderpriority
+    """,
+    doc="Weighted median: per priority group, the order price at which "
+    "cumulative QUANTITY weight first crosses half the total -- the "
+    "'median unit shipped' rather than q154's median order, which is the "
+    "statistic purchasing actually wants.  Exact DECIMAL weights, one "
+    "window pass over the per-order frame with a deterministic (price, "
+    "orderkey) total order; the crossing-point pick is the standard "
+    "distributed weighted-quantile spelling (any quantile: replace tw/2).",
+)
+def q241_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    w = (
+        o.join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("o_orderpriority").alias("grp"),
+            F.col("o_totalprice").alias("price"),
+            "o_orderkey",
+        )
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("wt"))
+    )
+    win = Window.partitionBy("grp").orderBy("price", "o_orderkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = w.select(
+        "grp",
+        "price",
+        F.sum("wt").over(win).alias("cw"),
+        F.sum("wt").over(Window.partitionBy("grp")).alias("tw"),
+    )
+    pick = cum.filter(F.col("cw") >= F.col("tw") / 2).withColumn(
+        "rn", F.row_number().over(Window.partitionBy("grp").orderBy("cw"))
+    )
+    return (
+        pick.filter(F.col("rn") == 1)
+        .select(
+            F.col("grp").alias("o_orderpriority"),
+            F.round("price", 2).alias("weighted_median_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q242: marketing attribution (first-touch vs last-touch)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q242_touch_attribution",
+    sql="""
+    WITH purchases AS (
+        SELECT user_id, ts AS pts, event_id AS pid FROM events
+        WHERE event_type = 'purchase'),
+    touches AS (
+        SELECT user_id, ts, event_id, event_type FROM events
+        WHERE event_type <> 'purchase'),
+    windowed AS (
+        SELECT p.pid,
+               (SELECT (list(t.event_type ORDER BY t.ts, t.event_id))[1]
+                  FROM touches t
+                 WHERE t.user_id = p.user_id AND t.ts <= p.pts
+                   AND t.ts >= p.pts - INTERVAL 1 DAY) AS first_touch,
+               (SELECT (list(t.event_type ORDER BY t.ts, t.event_id))[-1]
+                  FROM touches t
+                 WHERE t.user_id = p.user_id AND t.ts <= p.pts
+                   AND t.ts >= p.pts - INTERVAL 1 DAY) AS last_touch
+        FROM purchases p)
+    SELECT COALESCE(first_touch, '(none)') AS first_touch,
+           COALESCE(last_touch, '(none)') AS last_touch,
+           CAST(COUNT(*) AS BIGINT) AS n_conversions
+    FROM windowed
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    doc="Marketing attribution, first-touch vs last-touch: each purchase "
+    "credits the earliest and the latest non-purchase event inside its "
+    "1-day lookback window, and the report cross-tabulates the two "
+    "models -- the comparison that shows how much credit moves between "
+    "channels when the attribution rule changes.  Engine path reuses "
+    "q215's BINNED interval-join shape (1-day bins, <=2 per window) so "
+    "both touches resolve in ONE hashable join pass + min_by/max_by "
+    "aggregation, never a per-purchase subquery; the oracle's correlated "
+    "form is the readable spelling of the same rule.",
+)
+def q242_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    day_us = 86_400_000_000
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("pts"),
+    )
+    p_binned = purchases.select(
+        "*",
+        F.explode(
+            F.sequence(
+                F.floor((F.unix_micros(F.col("pts").cast("timestamp")) - day_us) / day_us),
+                F.floor(F.unix_micros(F.col("pts").cast("timestamp")) / day_us),
+            )
+        ).alias("bin"),
+    )
+    touches = e.filter(F.col("event_type") != "purchase").select(
+        "user_id", "ts", "event_id", "event_type", F.floor(us / day_us).alias("bin")
+    )
+    # INNER join the binned candidates (a purchase's empty bin must not
+    # inject a null group member that would win min_by's ordering), then
+    # re-attach the no-touch purchases via a left join on the spine.
+    joined = p_binned.join(
+        touches,
+        (touches.user_id == p_binned.p_user)
+        & (touches.bin == p_binned.bin)
+        & (touches.ts <= p_binned.pts)
+        & (
+            F.unix_micros(touches.ts.cast("timestamp"))
+            >= F.unix_micros(p_binned.pts.cast("timestamp")) - day_us
+        ),
+    )
+    matched = joined.groupBy("pid").agg(
+        F.min_by("event_type", F.struct(us, "event_id")).alias("first_touch"),
+        F.max_by("event_type", F.struct(us, "event_id")).alias("last_touch"),
+    )
+    per_purchase = purchases.select("pid").join(matched, "pid", "left")
+    return (
+        per_purchase.groupBy(
+            F.coalesce("first_touch", F.lit("(none)")).alias("first_touch"),
+            F.coalesce("last_touch", F.lit("(none)")).alias("last_touch"),
+        )
+        .agg(F.count("*").alias("n_conversions"))
+        .orderBy("first_touch", "last_touch")
+    )
