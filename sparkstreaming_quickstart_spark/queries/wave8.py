@@ -2764,3 +2764,76 @@ def q242_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_conversions"))
         .orderBy("first_touch", "last_touch")
     )
+
+
+# ---------------------------------------------------------------------------
+# q243: cross-source content-overlap matrix
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q243_source_overlap",
+    sql="""
+    WITH hashes AS (
+        SELECT DISTINCT source, md5(text) AS h FROM documents),
+    sizes AS (SELECT source, COUNT(*) AS n FROM hashes GROUP BY source),
+    pairs AS (
+        SELECT a.source AS s1, b.source AS s2, COUNT(*) AS common
+        FROM hashes a JOIN hashes b ON a.h = b.h AND a.source < b.source
+        GROUP BY 1, 2),
+    matrix AS (
+        SELECT x.source AS s1, y.source AS s2, x.n AS n1, y.n AS n2
+        FROM sizes x JOIN sizes y ON x.source < y.source)
+    SELECT m.s1, m.s2,
+           CAST(COALESCE(p.common, 0) AS BIGINT) AS common,
+           ROUND(CAST(COALESCE(p.common, 0) AS DOUBLE) / LEAST(m.n1, m.n2), 6) AS containment,
+           ROUND(CAST(COALESCE(p.common, 0) AS DOUBLE) / (m.n1 + m.n2 - COALESCE(p.common, 0)), 6) AS jaccard
+    FROM matrix m LEFT JOIN pairs p ON m.s1 = p.s1 AND m.s2 = p.s2
+    ORDER BY m.s1, m.s2
+    """,
+    doc="Cross-source content-overlap matrix: for every pair of ingestion "
+    "sources, how many exact documents they share (hash intersection), "
+    "as containment (share of the smaller source already present in the "
+    "other -- the 'is this new crawl worth buying' number) and Jaccard.  "
+    "Inverted-index join on the content hash -- candidate pairs exist "
+    "only where content actually collides, never a source x source "
+    "cross-join -- then per-source set sizes broadcast into the scoring; "
+    "the same shape q51 uses for shingles, lifted to whole-document "
+    "granularity and source-level rollup.  Zero-overlap pairs report "
+    "explicitly (full pair matrix, tiny) rather than vanishing.",
+)
+def q243_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    hashes = d.select("source", F.md5("text").alias("h")).distinct()
+    sizes = hashes.groupBy("source").agg(F.count("*").alias("n"))
+    a, b = hashes.alias("a"), hashes.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h")) & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(F.col("a.source").alias("s1"), F.col("b.source").alias("s2"))
+        .agg(F.count("*").alias("common"))
+    )
+    sx = sizes.select(F.col("source").alias("s1"), F.col("n").alias("n1"))
+    sy = sizes.select(F.col("source").alias("s2"), F.col("n").alias("n2"))
+    # full pair matrix (tiny: sources^2/2) so zero-overlap pairs REPORT as
+    # zero instead of silently vanishing -- the no-silent-truncation rule
+    matrix = sx.join(sy, F.col("s1") < F.col("s2"))
+    return (
+        matrix.join(pairs, ["s1", "s2"], "left")
+        .withColumn("common", F.coalesce("common", F.lit(0)))
+        .select(
+            "s1",
+            "s2",
+            "common",
+            F.round(
+                F.col("common").cast("double") / F.least("n1", "n2"), 6
+            ).alias("containment"),
+            F.round(
+                F.col("common").cast("double") / (F.col("n1") + F.col("n2") - F.col("common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("s1", "s2")
+    )
