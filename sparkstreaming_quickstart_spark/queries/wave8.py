@@ -2837,3 +2837,144 @@ def q243_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s1", "s2")
     )
+
+
+# ---------------------------------------------------------------------------
+# q244: Welch's t-test for a continuous experiment metric
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q244_welch_ttest",
+    sql="""
+    WITH assigned AS (
+        SELECT CASE WHEN CAST('0x' || substr(md5('exp1|' || user_id), 1, 8) AS BIGINT) % 2 = 0
+                    THEN 'control' ELSE 'treatment' END AS variant,
+               value
+        FROM events),
+    arms AS (
+        SELECT variant, COUNT(*) AS n, AVG(value) AS m,
+               var_samp(value) AS v
+        FROM assigned GROUP BY variant),
+    wide AS (
+        SELECT MAX(CASE WHEN variant = 'control' THEN n END) AS n_c,
+               MAX(CASE WHEN variant = 'control' THEN m END) AS m_c,
+               MAX(CASE WHEN variant = 'control' THEN v END) AS v_c,
+               MAX(CASE WHEN variant = 'treatment' THEN n END) AS n_t,
+               MAX(CASE WHEN variant = 'treatment' THEN m END) AS m_t,
+               MAX(CASE WHEN variant = 'treatment' THEN v END) AS v_t
+        FROM arms)
+    SELECT CAST(n_c AS BIGINT) AS n_control, CAST(n_t AS BIGINT) AS n_treatment,
+           ROUND(m_c, 6) AS mean_control, ROUND(m_t, 6) AS mean_treatment,
+           ROUND((m_t - m_c) / sqrt(v_c / n_c + v_t / n_t), 6) AS t_stat,
+           ROUND(pow(v_c / n_c + v_t / n_t, 2)
+                 / (pow(v_c / n_c, 2) / (n_c - 1) + pow(v_t / n_t, 2) / (n_t - 1)), 2) AS welch_dof
+    FROM wide
+    """,
+    doc="Welch's unequal-variance t-test on a CONTINUOUS experiment metric "
+    "(event value), with the Welch-Satterthwaite degrees of freedom -- "
+    "the companion to q229's proportion z-test, using the same stable "
+    "hash assignment so both analyses describe one experiment.  "
+    "Everything derives from five sufficient statistics per arm (n, "
+    "mean, sample variance) out of ONE hash-agg -- the reason "
+    "experiment analysis parallelizes perfectly at 100 TB.",
+)
+def q244_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    variant = F.when(
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("exp1|"), F.col("user_id"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+        == 0,
+        "control",
+    ).otherwise("treatment")
+    arms = (
+        e.select(variant.alias("variant"), "value")
+        .groupBy("variant")
+        .agg(
+            F.count("*").alias("n"),
+            F.avg("value").alias("m"),
+            F.var_samp("value").alias("v"),
+        )
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("variant") == "control", F.col("n"))).alias("n_c"),
+        F.max(F.when(F.col("variant") == "control", F.col("m"))).alias("m_c"),
+        F.max(F.when(F.col("variant") == "control", F.col("v"))).alias("v_c"),
+        F.max(F.when(F.col("variant") == "treatment", F.col("n"))).alias("n_t"),
+        F.max(F.when(F.col("variant") == "treatment", F.col("m"))).alias("m_t"),
+        F.max(F.when(F.col("variant") == "treatment", F.col("v"))).alias("v_t"),
+    )
+    n_c, m_c, v_c = (F.col(x) for x in ("n_c", "m_c", "v_c"))
+    n_t, m_t, v_t = (F.col(x) for x in ("n_t", "m_t", "v_t"))
+    se2 = v_c / n_c + v_t / n_t
+    dof = F.pow(se2, 2) / (
+        F.pow(v_c / n_c, 2) / (n_c - 1) + F.pow(v_t / n_t, 2) / (n_t - 1)
+    )
+    return wide.select(
+        F.col("n_c").alias("n_control"),
+        F.col("n_t").alias("n_treatment"),
+        F.round(m_c, 6).alias("mean_control"),
+        F.round(m_t, 6).alias("mean_treatment"),
+        F.round((m_t - m_c) / F.sqrt(se2), 6).alias("t_stat"),
+        F.round(dof, 2).alias("welch_dof"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q245: day-of-week seasonality profile
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q245_seasonality_profile",
+    sql="""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               CAST(dayofweek(date_trunc('day', ts)) + 1 AS INT) AS dow,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2, 3),
+    base AS (
+        SELECT event_type, dow, AVG(CAST(n AS DOUBLE)) AS dow_avg
+        FROM daily GROUP BY 1, 2),
+    overall AS (
+        SELECT event_type, AVG(CAST(n AS DOUBLE)) AS all_avg FROM daily GROUP BY 1)
+    SELECT b.event_type, b.dow,
+           ROUND(b.dow_avg, 6) AS dow_avg,
+           ROUND(b.dow_avg / o.all_avg, 6) AS seasonal_index
+    FROM base b JOIN overall o ON b.event_type = o.event_type
+    ORDER BY b.event_type, b.dow
+    """,
+    doc="Day-of-week seasonality profile: average daily event volume per "
+    "(event_type, weekday) normalized by the type's overall daily "
+    "average -- index > 1 marks the hot weekdays, the multiplicative "
+    "seasonal factor a forecasting pipeline divides out before trend "
+    "fitting.  Two hash-aggs on tiny domains (types x days, then types "
+    "x 7); dayofweek reconciles the engines' weekday origins the same "
+    "way q201 does.",
+)
+def q245_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts").cast("timestamp"))
+    daily = e.groupBy(
+        "event_type", day.alias("day"), F.dayofweek(day).cast("int").alias("dow")
+    ).agg(F.count("*").alias("n"))
+    base = daily.groupBy("event_type", "dow").agg(
+        F.avg(F.col("n").cast("double")).alias("dow_avg")
+    )
+    overall = daily.groupBy("event_type").agg(
+        F.avg(F.col("n").cast("double")).alias("all_avg")
+    )
+    return (
+        base.join(F.broadcast(overall), "event_type")
+        .select(
+            "event_type",
+            "dow",
+            F.round("dow_avg", 6).alias("dow_avg"),
+            F.round(F.col("dow_avg") / F.col("all_avg"), 6).alias("seasonal_index"),
+        )
+        .orderBy("event_type", "dow")
+    )
