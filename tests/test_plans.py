@@ -379,7 +379,7 @@ def test_rag_index_chain_has_no_joins(spark, sf_dir):
     # q226's whole pipeline (chunk -> hash-embed -> bucket -> rollup) is a
     # narrow generator chain plus two hash-aggs; any Join in the plan means
     # an accidental reshuffle crept into the composition.
-    from sparkstreaming_quickstart_spark.queries.wave8 import q226_rag_index_build
+    from sparkstreaming_quickstart_spark.queries.wave9 import q226_rag_index_build
 
     df = q226_rag_index_build(spark, sf_dir)
     simple = explain_str(df, "simple")
@@ -390,7 +390,7 @@ def test_rag_index_chain_has_no_joins(spark, sf_dir):
 def test_dedup_provenance_report_joins_are_hashable(spark, sf_dir):
     # q233: the three stage results attach to the doc spine via equi left
     # joins -- no nested loop anywhere despite composing three operators.
-    from sparkstreaming_quickstart_spark.queries.wave8 import q233_dedup_provenance
+    from sparkstreaming_quickstart_spark.queries.wave9 import q233_dedup_provenance
 
     df = q233_dedup_provenance(spark, sf_dir)
     simple = explain_str(df, "simple")
