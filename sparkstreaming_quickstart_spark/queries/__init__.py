@@ -140,7 +140,8 @@ _PRIORITY: list[str] = [
     "q236_multiclass_eval", "q237_kaplan_meier", "q238_zipf_fit",
     "q239_burstiness", "q240_heaps_law", "q241_weighted_median",
     "q242_touch_attribution", "q243_source_overlap",
-    "q244_welch_ttest", "q245_seasonality_profile",
+    "q244_welch_ttest", "q245_seasonality_profile", "q246_user_trend",
+    "q247_calibration_curve",
     # The six TPC-H shapes completed this round (all 22 covered)
     "q115_tpch_q2_min_cost", "q116_tpch_q9_profit",
     "q117_tpch_q11_important_stock", "q118_tpch_q16_supplier_cnt",

@@ -1487,3 +1487,105 @@ def q245_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "dow")
     )
+
+
+# ---------------------------------------------------------------------------
+# q246: per-entity linear trend (grouped regression slopes)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q246_user_trend",
+    sql="""
+    WITH pts AS (
+        SELECT user_id,
+               CAST(epoch_us(ts) AS DOUBLE) / 86400000000.0 AS t_days,
+               value
+        FROM events)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(regr_slope(value, t_days), 6) AS slope_per_day,
+           ROUND(regr_r2(value, t_days), 6) AS r2,
+           regr_slope(value, t_days) > 0 AS rising
+    FROM pts
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc="Per-entity linear trend: each user's event-value trajectory fit "
+    "by OLS (slope per day + R^2 + rising flag) -- the per-key trend "
+    "scan behind churn/expansion scoring, q153's regression aggregates "
+    "applied PER GROUP so a million users fit in one hash-agg pass "
+    "(sufficient statistics again: sums of t, v, tv, t^2, v^2 per key), "
+    "with no per-user iteration anywhere.",
+)
+def q246_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    t_days = (
+        F.unix_micros(F.col("ts").cast("timestamp")).cast("double") / 86400000000.0
+    )
+    slope = F.regr_slope(F.col("value"), t_days)
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(slope, 6).alias("slope_per_day"),
+            F.round(F.regr_r2(F.col("value"), t_days), 6).alias("r2"),
+            (slope > 0).alias("rising"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q247: calibration curve (reliability diagram)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q247_calibration_curve",
+    sql="""
+    WITH scored AS (
+        SELECT least(greatest(value / 300.0, 0.0), 1.0) AS p_hat,
+               (event_type = 'purchase') AS y
+        FROM events),
+    binned AS (
+        SELECT least(CAST(floor(p_hat * 10) AS INT), 9) AS bin, p_hat, y
+        FROM scored)
+    SELECT bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(p_hat), 6) AS mean_predicted,
+           ROUND(AVG(CASE WHEN y THEN 1.0 ELSE 0.0 END), 6) AS observed_rate,
+           ROUND(ABS(AVG(p_hat) - AVG(CASE WHEN y THEN 1.0 ELSE 0.0 END)), 6) AS calibration_gap
+    FROM binned
+    GROUP BY bin
+    ORDER BY bin
+    """,
+    doc="Calibration curve (reliability diagram): predicted probabilities "
+    "bin into deciles and each bin reports mean prediction vs observed "
+    "outcome rate plus the gap -- the evaluation that tells you whether "
+    "a quality/conversion scorer's probabilities MEAN anything before "
+    "they gate a pipeline (q220/q236 measure discrimination; this "
+    "measures calibration, the other axis).  Deterministic value-derived "
+    "score stand-in; one conditional hash-agg over a 10-bin domain.  "
+    "The weighted average of calibration_gap is Expected Calibration "
+    "Error.",
+)
+def q247_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    p_hat = F.least(F.greatest(F.col("value") / 300.0, F.lit(0.0)), F.lit(1.0))
+    y = (F.col("event_type") == "purchase").cast("double")
+    binned = e.select(
+        F.least(F.floor(p_hat * 10).cast("int"), F.lit(9)).alias("bin"),
+        p_hat.alias("p_hat"),
+        y.alias("y"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("p_hat"), 6).alias("mean_predicted"),
+            F.round(F.avg("y"), 6).alias("observed_rate"),
+            F.round(F.abs(F.avg("p_hat") - F.avg("y")), 6).alias("calibration_gap"),
+        )
+        .orderBy("bin")
+    )
