@@ -22,8 +22,19 @@ correlated range.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+# A safe INTERVAL literal: "<number> <unit>" pairs, e.g. "2 hours" or
+# "1 day 30 minutes".  Anything else (including SQL injection via the
+# f-string interpolation below) is rejected up front with a clear error.
+_INTERVAL_RE = re.compile(
+    r"^\s*\d+\s+(year|month|week|day|hour|minute|second|millisecond|microsecond)s?"
+    r"(\s+\d+\s+(year|month|week|day|hour|minute|second|millisecond|microsecond)s?)*\s*$",
+    re.IGNORECASE,
+)
 
 
 def asof_join(
@@ -51,6 +62,22 @@ def asof_join(
     assert tiebreak in value_cols, "tiebreak must be one of value_cols"
     overlap = set(value_cols) & set(left.columns)
     assert not overlap, f"rename right-side value cols colliding with left: {overlap}"
+    if tolerance is not None:
+        if not _INTERVAL_RE.match(tolerance):
+            raise ValueError(
+                f"tolerance must be an interval literal like '2 hours', got {tolerance!r}"
+            )
+        # The freshness comparison subtracts an INTERVAL from the time
+        # column, which Spark only defines for timestamp/date types; the
+        # base (tolerance=None) join also supports numeric time columns,
+        # so fail early with a clear message instead of an opaque
+        # analysis-time error.
+        ltype = left.schema[left_time].dataType.typeName()
+        if ltype not in ("timestamp", "timestamp_ntz", "date"):
+            raise TypeError(
+                f"tolerance requires a timestamp-typed left time column; "
+                f"{left_time!r} is {ltype}"
+            )
     lcols = left.columns
     probe = left.withColumn("__t", F.col(left_time)).withColumn("__is_left", F.lit(1))
     for v in value_cols:

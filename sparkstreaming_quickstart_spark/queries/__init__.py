@@ -56,14 +56,67 @@ def oracle_sql() -> dict[str, str]:
 _LOADED = False
 
 # The driver samples the FIRST 50 registered queries per round for its
-# CORRECTNESS report.  Round 1 proved the relational/join/agg/TPC-H block;
-# this list front-loads everything that round did not reach (all LLM-pipeline
-# and streaming entries), the queries whose output contract changed this
-# round (array->string serialization, new invariant oracles), and the window
-# block, so the driver's sample lands on unproven work.  Names absent from
-# this list keep their registration order after it.
+# CORRECTNESS report.  Rounds 1-2 cumulatively hash-checked 97 of the 244
+# entries; this ordering front-loads the 147 never-driver-checked entries
+# (windows, the scalar/generator block, waves 7-9, then the remaining
+# unchecked), with all previously-green entries after them, so every driver
+# sample lands on unproven work until the whole registry is driver-proof.
 _PRIORITY: list[str] = [
-    # LLM-pipeline block (dedup / similarity / text / multimodal)
+    "q30_window_topk", "q31_window_ranks", "q32_window_running",
+    "q33_window_frame", "q34_session_windows", "q66_window_distribution",
+    "q90_window_range_frame", "q106_window_nth_value", "q40_string_funcs",
+    "q41_date_funcs", "q42_math_conditional", "q43_array_funcs",
+    "q44_json_funcs", "q45_explode_posexplode", "q62_from_json_struct",
+    "q91_explode_outer", "q92_unpivot", "q101_hash_encode",
+    "q103_struct_ops", "q104_date_extras", "q105_math_bitwise",
+    "q107_higher_order_predicates", "q108_regexp_extras",
+    "q112_recursive_cte_spine", "q113_lateral_topk", "q183_c4_span_dedup",
+    "q184_gopher_quality", "q185_containment_neardup", "q186_semdedup",
+    "q187_table_checksum", "q188_snapshot_diff", "q189_mode_countif",
+    "q190_window_median", "q191_bm25_search", "q192_inverted_index",
+    "q193_contiguous_ids", "q194_ntile_binning", "q195_map_hof",
+    "q196_aes_roundtrip", "q197_zorder_layout", "q198_window_count_distinct",
+    "q199_corr_matrix", "q200_corpus_pipeline_v2", "q201_calendar_extras",
+    "q202_udtf_table_arg", "q203_incremental_dedup", "q204_string_extras",
+    "q205_transpose", "q206_asof_tolerance", "q207_dynamic_session_gap",
+    "q208_train_val_test_split", "q209_weighted_sample",
+    "q210_grouping_sets_api", "q211_stream_window_distinct",
+    "q212_sql_pipe_syntax", "q213_dq_checks", "q214_column_profile",
+    "q215_binned_interval_join", "q216_variant_explode",
+    "q217_market_basket", "q218_transition_matrix", "q219_keyset_pagination",
+    "q220_classifier_eval", "q221_benford_digits", "q222_tfidf_cosine_pairs",
+    "q223_session_entry_exit", "q224_record_linkage", "q225_golden_record",
+    "q226_rag_index_build", "q227_decayed_engagement", "q228_growth_curve",
+    "q229_ab_test_ztest", "q230_gini_concentration",
+    "q231_chi_square_independence", "q232_psi_drift",
+    "q233_dedup_provenance", "q234_share_of_parent", "q235_cluster_sample",
+    "q236_multiclass_eval", "q237_kaplan_meier", "q238_zipf_fit",
+    "q239_burstiness", "q240_heaps_law", "q241_weighted_median",
+    "q242_touch_attribution", "q243_source_overlap", "q244_welch_ttest",
+    "q245_seasonality_profile", "q246_user_trend", "q247_calibration_curve",
+    "q115_tpch_q2_min_cost", "q116_tpch_q9_profit",
+    "q117_tpch_q11_important_stock", "q118_tpch_q16_supplier_cnt",
+    "q119_tpch_q20_promotion", "q120_tpch_q21_waiting", "q126_bigram_lm",
+    "q127_winsorized_stats", "q128_hll_sketch_union",
+    "q129_pagerank_neardup", "q130_multimodal_resize", "q131_variant_json",
+    "q132_approx_top_k", "q133_collation_group", "q134_xml_decode",
+    "q135_timeseries_gapfill", "q136_anomaly_zscore",
+    "q137_similarity_topk_int8", "q138_scd2_orders", "q139_decontaminate",
+    "q140_repetition_score", "q141_token_shards", "q142_token_pmi",
+    "q144_data_card", "q149_funnel_steps", "q150_retention_cohorts",
+    "q151_fuzzy_title_join", "q153_regr_aggregates", "q154_listagg_median",
+    "q155_doc_perplexity", "q156_random_projection",
+    "q157_countmin_heavy_hitters", "q158_corpus_dup_ngrams",
+    "q159_stream_chained_windows", "q160_null_safe_join", "q161_pq_topk",
+    "q162_try_functions", "q163_state_store_reader",
+    "q164_stream_dedup_within_watermark", "q165_sql_udf",
+    "q166_sql_scripting", "q167_map_in_arrow", "q168_feature_hashing",
+    "q169_neardup_triangles", "q170_union_by_name", "q171_parameterized_sql",
+    "q172_apply_in_arrow", "q173_bitmap_distinct",
+    "q174_percentile_cont_disc", "q175_url_functions", "q176_from_csv",
+    "q177_foreachbatch_upsert", "q178_brp_lsh_euclidean",
+    "q179_stream_stream_full_outer", "q180_generators_xml",
+    "q181_mllib_summarizer", "q182_width_bucket_histogram",
     "q50_dedup_exact", "q51_dedup_jaccard_exact", "q52_dedup_minhash_lsh",
     "q53_dedup_simhash", "q65_dedup_embedding_cosine",
     "q114_dedup_embedding_exact", "q54_similarity_topk",
@@ -71,85 +124,34 @@ _PRIORITY: list[str] = [
     "q58_text_langid", "q59_text_fingerprint", "q60_multimodal_meta",
     "q61_tokens_regex", "q78_multimodal_frames", "q85_dedup_minhash_mllib",
     "q86_training_data_pipeline", "q89_dedup_clusters", "q109_doc_chunking",
-    "q110_text_normalize", "q111_label_centroids",
-    # Streaming block
-    "q70_stream_tumbling", "q71_stream_sliding", "q72_stream_dedup",
-    "q75_stream_static_join", "q74_stream_stateful_counts",
-    "q73_stream_stream_join", "q84_stream_session_window",
-    "q76_stream_tws_counts",
-    # Output-contract fixes from round 1 (array columns / no_oracle errs)
-    "q24_agg_approx_distinct", "q27_agg_collect", "q69_agg_approx_percentile",
-    "q68_scalar_extras", "q77_json_roundtrip_zip", "q102_array_set_algebra",
-    # Remaining extras (incl. new invariant oracles)
+    "q110_text_normalize", "q111_label_centroids", "q70_stream_tumbling",
+    "q71_stream_sliding", "q72_stream_dedup", "q75_stream_static_join",
+    "q74_stream_stateful_counts", "q73_stream_stream_join",
+    "q84_stream_session_window", "q24_agg_approx_distinct",
+    "q27_agg_collect", "q69_agg_approx_percentile", "q68_scalar_extras",
+    "q77_json_roundtrip_zip", "q102_array_set_algebra",
     "q87_stratified_sample", "q88_freq_items", "q64_similarity_ivf",
-    "q09_multiset_ops", "q36_percentiles",
-    # New this round: second-wave LLM-pipeline operators
-    "q121_tfidf", "q122_embedding_quantize", "q123_hash_sample",
-    "q124_kmeans_refine", "q125_key_skew_histogram",
-    # Third-wave operators (newest, least proven; the remaining TPC-H shapes
-    # moved below -- classic SQL is the lowest driver-err risk in the registry)
-    "q145_sequence_packing", "q146_stream_stream_left_outer",
-    "q147_salted_skew_join", "q148_embedding_gram",
-    "q152_stream_global_topk", "q143_dataset_mixing", "q144_data_card",
-    "q139_decontaminate", "q130_multimodal_resize",
-    "q135_timeseries_gapfill", "q137_similarity_topk_int8",
-    "q149_funnel_steps", "q150_retention_cohorts", "q151_fuzzy_title_join",
-    # Fourth-wave operators (newest: statistics, corpus quality, vector
-    # sketching, error-safe scalars, chained streaming aggregation)
-    "q153_regr_aggregates", "q154_listagg_median", "q155_doc_perplexity",
-    "q156_random_projection", "q157_countmin_heavy_hitters",
-    "q158_corpus_dup_ngrams", "q159_stream_chained_windows",
-    "q160_null_safe_join", "q161_pq_topk", "q162_try_functions",
-    "q163_state_store_reader", "q164_stream_dedup_within_watermark",
-    # Fifth wave: SQL-language surface + remaining pipeline ops
-    "q165_sql_udf", "q166_sql_scripting", "q167_map_in_arrow",
-    "q168_feature_hashing", "q169_neardup_triangles", "q170_union_by_name",
-    "q171_parameterized_sql",
-    # Sixth wave: applyInArrow, bitmap distinct, inverse-distribution
-    # percentiles, URL functions, from_csv, idempotent foreachBatch upsert
-    "q172_apply_in_arrow", "q173_bitmap_distinct", "q174_percentile_cont_disc",
-    "q175_url_functions", "q176_from_csv", "q177_foreachbatch_upsert",
-    "q178_brp_lsh_euclidean", "q179_stream_stream_full_outer",
-    "q180_generators_xml", "q181_mllib_summarizer",
-    "q182_width_bucket_histogram",
-    # Seventh wave: corpus-hygiene ops (span dedup, Gopher rules,
-    # containment near-dup, SemDeDup)
-    "q183_c4_span_dedup", "q184_gopher_quality",
-    "q185_containment_neardup", "q186_semdedup",
-    "q187_table_checksum", "q188_snapshot_diff", "q189_mode_countif",
-    "q190_window_median", "q191_bm25_search", "q192_inverted_index",
-    "q193_contiguous_ids", "q194_ntile_binning", "q195_map_hof",
-    "q196_aes_roundtrip", "q197_zorder_layout",
-    "q198_window_count_distinct", "q199_corr_matrix",
-    "q200_corpus_pipeline_v2", "q201_calendar_extras",
-    "q202_udtf_table_arg", "q203_incremental_dedup",
-    "q204_string_extras", "q205_transpose", "q206_asof_tolerance",
-    "q207_dynamic_session_gap", "q208_train_val_test_split",
-    "q209_weighted_sample", "q210_grouping_sets_api",
-    "q211_stream_window_distinct", "q212_sql_pipe_syntax",
-    "q213_dq_checks", "q214_column_profile", "q215_binned_interval_join",
-    "q216_variant_explode", "q217_market_basket",
-    "q218_transition_matrix", "q219_keyset_pagination",
-    "q220_classifier_eval", "q221_benford_digits",
-    "q222_tfidf_cosine_pairs", "q223_session_entry_exit",
-    "q224_record_linkage", "q225_golden_record", "q226_rag_index_build",
-    "q227_decayed_engagement", "q228_growth_curve",
-    "q229_ab_test_ztest", "q230_gini_concentration",
-    "q231_chi_square_independence", "q232_psi_drift",
-    "q233_dedup_provenance", "q234_share_of_parent", "q235_cluster_sample",
-    "q236_multiclass_eval", "q237_kaplan_meier", "q238_zipf_fit",
-    "q239_burstiness", "q240_heaps_law", "q241_weighted_median",
-    "q242_touch_attribution", "q243_source_overlap",
-    "q244_welch_ttest", "q245_seasonality_profile", "q246_user_trend",
-    "q247_calibration_curve",
-    # The six TPC-H shapes completed this round (all 22 covered)
-    "q115_tpch_q2_min_cost", "q116_tpch_q9_profit",
-    "q117_tpch_q11_important_stock", "q118_tpch_q16_supplier_cnt",
-    "q119_tpch_q20_promotion", "q120_tpch_q21_waiting",
-    # Window block (local-pass only so far)
-    "q30_window_topk", "q31_window_ranks", "q32_window_running",
-    "q33_window_frame", "q34_session_windows", "q66_window_distribution",
-    "q90_window_range_frame", "q106_window_nth_value",
+    "q09_multiset_ops", "q36_percentiles", "q121_tfidf",
+    "q122_embedding_quantize", "q123_hash_sample", "q124_kmeans_refine",
+    "q125_key_skew_histogram", "q145_sequence_packing",
+    "q146_stream_stream_left_outer", "q147_salted_skew_join",
+    "q148_embedding_gram", "q152_stream_global_topk", "q143_dataset_mixing",
+    "q01_pricing_summary", "q02_filter_project", "q03_sort_limit",
+    "q04_distinct", "q05_set_ops", "q06_tpch_q3_shipping",
+    "q07_tpch_q5_local_supplier", "q08_tpch_q6_forecast",
+    "q63_udtf_tokenize", "q80_tpch_q10_returns", "q81_tpch_q13_order_counts",
+    "q82_tpch_q14_promo", "q83_tpch_q18_large_orders",
+    "q93_tpch_q4_priority", "q94_tpch_q7_volume", "q95_tpch_q8_market_share",
+    "q96_tpch_q12_late_lines", "q97_tpch_q15_top_supplier",
+    "q98_tpch_q17_small_qty", "q99_tpch_q19_disjunctive",
+    "q100_tpch_q22_idle_customers", "q10_join_inner", "q11_join_multiway",
+    "q12_join_left_outer", "q13_join_semi", "q14_join_anti",
+    "q15_join_theta", "q16_join_range", "q17_join_cross", "q18_join_asof",
+    "q20_agg_groupby", "q21_agg_rollup", "q22_agg_cube", "q23_agg_having",
+    "q25_agg_stats", "q67_agg_moments", "q26_agg_corr", "q28_agg_minmax_by",
+    "q29_grouping_sets", "q35_session_window_builtin", "q37_pivot",
+    "q38_scalar_subquery", "q46_map_funcs", "q47_higher_order",
+    "q48_pandas_udf", "q49_grouped_map", "q79_grouped_agg_udaf",
 ]
 
 

@@ -300,7 +300,7 @@ _SEMDEDUP_T = 0.35
     dropped AS (
         SELECT DISTINCT y.vec_id
         FROM e x JOIN e y ON x.label = y.label AND x.vec_id < y.vec_id
-        WHERE ROUND(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 9) >= {_SEMDEDUP_T})
+        WHERE ROUND(list_dot_product(x.v, y.v) / NULLIF(x.nrm * y.nrm, 0), 9) >= {_SEMDEDUP_T})
     SELECT e.vec_id, e.label,
            (e.vec_id IN (SELECT vec_id FROM dropped)) AS is_dup
     FROM e
@@ -558,8 +558,10 @@ def q190_window_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-4, 0)
     lst = F.array_sort(F.collect_list("value").over(w))
     n = F.size(lst)
-    lo = F.element_at(lst, F.floor((n + 1) / 2).cast("int"))
-    hi = F.element_at(lst, (F.floor(n / 2) + 1).cast("int"))
+    # collect_list drops NULLs: an all-NULL frame gives n == 0, where
+    # element_at(lst, 0) would raise -- guard to return NULL like DuckDB.
+    lo = F.when(n > 0, F.element_at(lst, F.floor((n + 1) / 2).cast("int")))
+    hi = F.when(n > 0, F.element_at(lst, (F.floor(n / 2) + 1).cast("int")))
     return e.select(
         "user_id",
         "event_id",

@@ -49,6 +49,32 @@ def test_asof_join_inclusive_and_tiebreak(spark):
     assert rows == {1: 101, 2: None, 3: None}
 
 
+def test_asof_join_tolerance_validation(spark):
+    import pytest
+
+    left_ts = spark.createDataFrame(
+        [(1, 10, _ts("2024-01-01T10:00:00"))], ["event_id", "user_id", "ts"]
+    )
+    right = spark.createDataFrame(
+        [(100, 10, _ts("2024-01-01T09:30:00"))], ["quote_id", "user_id", "qts"]
+    ).select("user_id", "qts", "quote_id")
+    kw = dict(on="user_id", left_time="ts", right_time="qts",
+              value_cols=["quote_id"], tiebreak="quote_id")
+    # Malformed interval literal is rejected before reaching F.expr.
+    with pytest.raises(ValueError, match="interval literal"):
+        asof_join(left_ts, right, tolerance="2 hours); DROP TABLE x", **kw)
+    # Multi-unit literals are fine.
+    asof_join(left_ts, right, tolerance="1 day 30 minutes", **kw).collect()
+    # Numeric time columns work without tolerance but fail clearly with it.
+    left_num = spark.createDataFrame([(1, 10, 100.0)], ["event_id", "user_id", "ts"])
+    right_num = spark.createDataFrame([(100, 10, 90.0)], ["quote_id", "user_id", "qts"]).select(
+        "user_id", "qts", "quote_id"
+    )
+    asof_join(left_num, right_num, **kw).collect()
+    with pytest.raises(TypeError, match="timestamp-typed"):
+        asof_join(left_num, right_num, tolerance="2 hours", **kw)
+
+
 def test_exact_jaccard_identical_docs(spark):
     df = spark.createDataFrame(
         [
