@@ -38,6 +38,11 @@ HEADLINE = [
     "q55_similarity_ann_lsh",
     "q60_multimodal_meta",
     "q70_stream_tumbling",
+    # Wave 7-9 representatives so perf regressions in the newer operator
+    # families stay visible round-over-round.
+    "q183_c4_span_dedup",
+    "q191_bm25_search",
+    "q226_rag_index_build",
 ]
 # q51 (exact-jaccard brute force) is deliberately NOT headline: it is the
 # O(n^2)-ish correctness baseline; q52 is the scale path over the same data.

@@ -348,23 +348,55 @@ def q229_ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     "customers) plus the Lorenz decile shares -- the "
     "whale-concentration report behind 'top 10% of customers drive X% "
     "of revenue'.  Per-customer revenue aggregates in DECIMAL (exact), "
-    "the global rank is ONE total-order window over the already-"
-    "collapsed per-customer frame (n_customers rows, not n_orders), and "
-    "deciles are a constant-domain rollup.  At 100 TB the rank window "
-    "would move to the q193 two-phase bucket ranking; noted, same "
-    "result.",
+    "and the global rank uses the q193 two-phase width_bucket pattern: "
+    "per-bucket row_number (partitioned, parallel) plus broadcast "
+    "bucket-count offsets, so the per-customer frame never funnels "
+    "through a single-partition window; n/total attach as a broadcast "
+    "1-row aggregate and deciles are a constant-domain rollup.",
 )
 def q230_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
     )
-    w = Window.orderBy("rev", "o_custkey")
-    ranked = per_cust.select(
+    # Two-phase global rank (the q193 width_bucket pattern): bucket by rev
+    # value, per-bucket row_number partitioned by bucket, plus broadcast
+    # bucket-count offsets -- the customer frame never funnels through one
+    # partition.  double() is order-preserving over decimal, so equal revs
+    # share a bucket and the within-bucket (rev, o_custkey) sort keeps the
+    # global order exact.  n/total come from a broadcast 1-row aggregate,
+    # not a global window.
+    n_buckets = 1024
+    rng = per_cust.agg(
+        F.min(F.col("rev").cast("double")).alias("lo"),
+        (F.max(F.col("rev").cast("double")) + 1.0).alias("hi"),
+    )
+    tot = per_cust.agg(
+        F.count("*").alias("n"), F.sum("rev").alias("total")
+    )
+    bucketed = per_cust.crossJoin(F.broadcast(rng)).select(
+        "o_custkey",
         "rev",
-        F.row_number().over(w).alias("i"),
-        F.count("*").over(Window.partitionBy()).alias("n"),
-        F.sum("rev").over(Window.partitionBy()).alias("total"),
+        F.width_bucket(F.col("rev").cast("double"), "lo", "hi", F.lit(n_buckets)).alias("b"),
+    )
+    offsets = (
+        bucketed.groupBy("b")
+        .agg(F.count("*").alias("m"))
+        .select(
+            "b",
+            F.sum("m")
+            .over(Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1))
+            .alias("off"),
+        )
+        .fillna(0, ["off"])
+    )
+    ranked = (
+        bucketed.withColumn(
+            "r", F.row_number().over(Window.partitionBy("b").orderBy("rev", "o_custkey"))
+        )
+        .join(F.broadcast(offsets), "b")
+        .crossJoin(F.broadcast(tot))
+        .select("rev", (F.col("off") + F.col("r")).alias("i"), "n", "total")
     )
     gini = ranked.groupBy("n", "total").agg(
         F.round(
@@ -975,21 +1007,66 @@ def q237_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "and the R^2 says how Zipfian the corpus is either way) -- the "
     "corpus-statistics diagnostic that distinguishes organic text from "
     "generated/templated text in a data-quality report.  One vocab-sized "
-    "hash-agg, a rank window over the vocabulary (not the corpus), and "
-    "q153's regression aggregates close the fit in the same pass.",
+    "hash-agg; the rank itself is computed WITHOUT sorting the vocabulary "
+    "(tied-frequency ranks are aggregate-invariant, so the rank runs are "
+    "generated arithmetically from the tiny distinct-frequency frame -- "
+    "see the builder comment), and q153's regression aggregates close "
+    "the fit.",
 )
 def q238_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The oracle ranks tokens by (f DESC, token ASC), but every token tied
+    # at frequency f contributes the same ln(f) -- so the regression only
+    # sees the MULTISET of (rank, ln f) pairs, and which tied token takes
+    # which rank is irrelevant.  That lets the vocabulary rank collapse to
+    # arithmetic: per distinct frequency f with multiplicity m and offset
+    # off (= count of strictly more frequent tokens), the ranks are exactly
+    # the run off+1 .. off+m.  We generate those runs with sequence/explode
+    # (chunked to 64k and repartitioned so generation parallelizes) -- the
+    # full vocabulary is never sorted, and the only global window is over
+    # the distinct-frequency frame (bounded by max f, tiny).  The big
+    # shuffles are the token count itself and nothing else.
+    chunk = 65536
     d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
     freq = (
         d.select(F.explode(tokens("text")).alias("token"))
         .groupBy("token")
         .agg(F.count("*").alias("f"))
     )
-    w = Window.orderBy(F.col("f").desc(), F.col("token").asc())
-    ranked = freq.withColumn("r", F.row_number().over(w))
+    fc = freq.groupBy("f").agg(F.count("*").alias("m"))
+    offsets = fc.select(
+        "f",
+        "m",
+        F.sum("m")
+        .over(
+            Window.orderBy(F.col("f").desc()).rowsBetween(
+                Window.unboundedPreceding, -1
+            )
+        )
+        .alias("off"),
+    ).fillna(0, ["off"])
+    chunks = offsets.select(
+        "f",
+        "m",
+        "off",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.floor((F.col("m") - 1) / chunk))
+        ).alias("ci"),
+    ).repartition("f", "ci")
+    ranks = chunks.select(
+        "f",
+        F.explode(
+            F.sequence(
+                F.col("off") + F.col("ci") * chunk + 1,
+                F.least(
+                    F.col("off") + (F.col("ci") + 1) * chunk,
+                    F.col("off") + F.col("m"),
+                ),
+            )
+        ).alias("r"),
+    )
     lf = F.log(F.col("f").cast("double"))
     lr = F.log(F.col("r").cast("double"))
-    return ranked.agg(
+    return ranks.agg(
         F.round(F.regr_slope(lf, lr), 6).alias("zipf_slope"),
         F.round(F.regr_intercept(lf, lr), 6).alias("log_c"),
         F.round(F.regr_r2(lf, lr), 6).alias("r2"),

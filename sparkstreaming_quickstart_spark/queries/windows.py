@@ -148,14 +148,18 @@ def q33_window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q34_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
-    flagged = e.select(
+    # Evaluate lag(ts) ONCE in its own projection: inlining it into both
+    # arms of the gap predicate leaves two identical lag window expressions
+    # in the physical Window operator (Catalyst does not dedupe them).
+    prev = e.select("user_id", "ts", F.lag("ts").over(w).alias("__prev"))
+    flagged = prev.select(
         "user_id",
         "ts",
         # Interval arithmetic (not unix_micros) so the query is agnostic to
         # whether the parquet reader surfaces ts as TIMESTAMP or TIMESTAMP_NTZ.
         F.when(
-            F.lag("ts").over(w).isNull()
-            | (F.col("ts") - F.lag("ts").over(w) > F.expr("INTERVAL 30 MINUTE")),
+            F.col("__prev").isNull()
+            | (F.col("ts") - F.col("__prev") > F.expr("INTERVAL 30 MINUTE")),
             1,
         )
         .otherwise(0)

@@ -395,3 +395,32 @@ def test_dedup_provenance_report_joins_are_hashable(spark, sf_dir):
     df = q233_dedup_provenance(spark, sf_dir)
     simple = explain_str(df, "simple")
     assert "BroadcastNestedLoopJoin" not in simple and "CartesianProduct" not in simple, simple
+
+
+def test_gini_rank_is_bucket_partitioned_no_global_window_over_data(spark, sf_dir):
+    # q230: the customer-rank row_number must partition by the width_bucket
+    # column; the only single-partition window feeds the 1024-row bucket
+    # offsets frame.  n/total must arrive as broadcasts, not global windows.
+    import re
+
+    from sparkstreaming_quickstart_spark.queries.wave9 import q230_gini_concentration
+
+    df = q230_gini_concentration(spark, sf_dir)
+    simple = explain_str(df, "simple")
+    rn_specs = re.findall(r"row_number\(\) windowspecdefinition\(([^,]+),", simple)
+    assert rn_specs and all("b#" in s for s in rn_specs), simple
+
+
+def test_zipf_fit_never_sorts_vocabulary(spark, sf_dir):
+    # q238: the vocabulary rank is generated arithmetically from the
+    # distinct-frequency frame -- the plan must contain NO row_number at
+    # all, and the only window (the offsets cumulative sum) runs over the
+    # grouped-by-frequency frame, never the per-token frame.
+    from sparkstreaming_quickstart_spark.queries.wave9 import q238_zipf_fit
+
+    df = q238_zipf_fit(spark, sf_dir)
+    simple = explain_str(df, "simple")
+    assert "row_number" not in simple, simple
+    # rank-run generation must be distributed: the chunk explode feeds a
+    # repartition exchange, so generation never serializes on one task.
+    assert "hashpartitioning(f#" in simple or "RoundRobin" in simple, simple
