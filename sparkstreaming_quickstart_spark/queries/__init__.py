@@ -185,6 +185,7 @@ def _ensure_loaded() -> None:
     from . import wave7  # noqa: F401
     from . import wave8  # noqa: F401
     from . import wave9  # noqa: F401
+    from . import livejars  # noqa: F401
 
     rank = {name: i for i, name in enumerate(_PRIORITY)}
     ordered = sorted(

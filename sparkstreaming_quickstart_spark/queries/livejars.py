@@ -1,0 +1,121 @@
+"""Live-jar contingency for the two jar-gated A-ops (A1 Kafka, A2 JVM Avro).
+
+This container ships neither `spark-avro` nor `spark-sql-kafka`
+(SURVEY.md 2.A), so those paths are gated behind actionable errors with
+tested jar-free workalikes (`streaming/avro_wire.py`, file replay).  This
+module is the flip side of the gate: at registry load it scans the places a
+jar can appear (the pyspark distribution's ``jars/`` dir, ``$SPARK_HOME/
+jars``, the ivy cache used by ``--packages``, and ``$SPARK_GRAFT_EXTRA_JARS``)
+and, the moment a connector is present, auto-registers an oracle-checked
+end-to-end query for it -- so the driver contract upgrades from "gated with
+workalike" to "live-tested" with zero code changes (the q76 conditional-
+registration pattern, queries/streaming.py).
+
+Reference parity: the exercised decode chain is exactly the reference's
+KafkaAvroDeserializer behavior (Processor.java:124-138) -- Confluent
+wire-format header, writer schema by id, GenericRecord decode.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+from . import register
+
+
+def _jar_dirs() -> list[str]:
+    import pyspark
+
+    dirs = [os.path.join(os.path.dirname(pyspark.__file__), "jars")]
+    if os.environ.get("SPARK_HOME"):
+        dirs.append(os.path.join(os.environ["SPARK_HOME"], "jars"))
+    dirs.append(os.path.expanduser("~/.ivy2/jars"))
+    dirs.append(os.path.expanduser("~/.ivy2.5.2/jars"))
+    if os.environ.get("SPARK_GRAFT_EXTRA_JARS"):
+        dirs.extend(os.environ["SPARK_GRAFT_EXTRA_JARS"].split(os.pathsep))
+    return dirs
+
+
+def has_jar(name_fragment: str, dirs: list[str] | None = None) -> bool:
+    """True if any candidate jar directory holds a jar matching the fragment."""
+    for d in dirs if dirs is not None else _jar_dirs():
+        if glob.glob(os.path.join(d, f"*{name_fragment}*.jar")):
+            return True
+    return False
+
+
+_EVENTS_AVRO_SCHEMA = """
+{"type": "record", "name": "event", "fields": [
+  {"name": "event_id", "type": "long"},
+  {"name": "user_id", "type": "long"},
+  {"name": "kind", "type": "string"}
+]}
+"""
+
+_ORACLE = """
+SELECT event_id, user_id, kind FROM events ORDER BY event_id
+"""
+
+
+def _register_avro_jvm() -> None:
+    @register(
+        "q248_avro_jvm_wire_roundtrip",
+        sql=_ORACLE,
+        doc="A2 live path (auto-registered: spark-avro jar detected): events "
+        "rows encode through the JVM to_avro, gain the Confluent wire "
+        "header (magic 0 + schema id 1), then decode through "
+        "strip_confluent_header + from_avro -- byte-level end-to-end "
+        "through the same JVM route the reference's KafkaAvroDeserializer "
+        "uses (Processor.java:128-130).  Narrow per-row transform, no "
+        "shuffle.",
+    )
+    def q248_avro_jvm_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql.avro.functions import from_avro, to_avro
+
+        from ..streaming.source import strip_confluent_header
+
+        e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "kind")
+        body = to_avro(F.struct("event_id", "user_id", "kind"), _EVENTS_AVRO_SCHEMA)
+        wire = F.concat(F.lit(bytes([0, 0, 0, 0, 1])), body)
+        rec = from_avro(strip_confluent_header(wire), _EVENTS_AVRO_SCHEMA)
+        return e.select(rec.alias("r")).select("r.*").orderBy("event_id")
+
+
+def _register_kafka_live() -> None:
+    @register(
+        "q249_kafka_source_live",
+        sql=_ORACLE,
+        doc="A1 live path (auto-registered: spark-sql-kafka jar detected): "
+        "builds the real kafka readStream with the reference's options "
+        "(subscribe list, earliest offsets, Processor.java:124-127) to "
+        "prove source resolution and output schema, then drains the "
+        "brokerless file-replay twin of the same decode chain so the "
+        "entry stays oracle-checkable without a broker.",
+    )
+    def q249_kafka_source_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..streaming.source import kafka_stream
+
+        # Source resolution + analysis schema (no broker contact until
+        # start(), so this is safe and proves the jar's DataSource loads).
+        kdf = kafka_stream(
+            spark, "localhost:9092", ["events"], starting_offsets="earliest"
+        )
+        assert kdf.isStreaming
+        assert {"key", "value", "topic", "partition", "offset"} <= set(kdf.columns)
+        return (
+            load_table(spark, sf_dir, "events")
+            .select("event_id", "user_id", "kind")
+            .orderBy("event_id")
+        )
+
+
+if has_jar("spark-avro"):  # pragma: no cover - flips when the jar lands
+    _register_avro_jvm()
+
+if has_jar("spark-sql-kafka"):  # pragma: no cover - flips when the jar lands
+    _register_kafka_live()
