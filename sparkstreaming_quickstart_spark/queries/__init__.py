@@ -94,6 +94,11 @@ _PRIORITY: list[str] = [
     "q239_burstiness", "q240_heaps_law", "q241_weighted_median",
     "q242_touch_attribution", "q243_source_overlap", "q244_welch_ttest",
     "q245_seasonality_profile", "q246_user_trend", "q247_calibration_curve",
+    # Wave 10 (round 3: distribution statistics / corpus diagnostics)
+    "q250_ks_test", "q251_mannwhitney_u", "q252_anova_f",
+    "q253_cohens_kappa", "q254_js_divergence", "q255_ewma_smooth",
+    "q256_cusum_changepoint", "q257_tokenizer_fertility",
+    "q258_corpus_entropy", "q259_quantile_normalize",
     "q115_tpch_q2_min_cost", "q116_tpch_q9_profit",
     "q117_tpch_q11_important_stock", "q118_tpch_q16_supplier_cnt",
     "q119_tpch_q20_promotion", "q120_tpch_q21_waiting", "q126_bigram_lm",
@@ -185,6 +190,7 @@ def _ensure_loaded() -> None:
     from . import wave7  # noqa: F401
     from . import wave8  # noqa: F401
     from . import wave9  # noqa: F401
+    from . import wave10  # noqa: F401
     from . import livejars  # noqa: F401
 
     rank = {name: i for i, name in enumerate(_PRIORITY)}

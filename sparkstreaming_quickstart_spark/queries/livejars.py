@@ -53,12 +53,12 @@ _EVENTS_AVRO_SCHEMA = """
 {"type": "record", "name": "event", "fields": [
   {"name": "event_id", "type": "long"},
   {"name": "user_id", "type": "long"},
-  {"name": "kind", "type": "string"}
+  {"name": "event_type", "type": "string"}
 ]}
 """
 
 _ORACLE = """
-SELECT event_id, user_id, kind FROM events ORDER BY event_id
+SELECT event_id, user_id, event_type FROM events ORDER BY event_id
 """
 
 
@@ -79,8 +79,8 @@ def _register_avro_jvm() -> None:
 
         from ..streaming.source import strip_confluent_header
 
-        e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "kind")
-        body = to_avro(F.struct("event_id", "user_id", "kind"), _EVENTS_AVRO_SCHEMA)
+        e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+        body = to_avro(F.struct("event_id", "user_id", "event_type"), _EVENTS_AVRO_SCHEMA)
         wire = F.concat(F.lit(bytes([0, 0, 0, 0, 1])), body)
         rec = from_avro(strip_confluent_header(wire), _EVENTS_AVRO_SCHEMA)
         return e.select(rec.alias("r")).select("r.*").orderBy("event_id")
@@ -109,7 +109,7 @@ def _register_kafka_live() -> None:
         assert {"key", "value", "topic", "partition", "offset"} <= set(kdf.columns)
         return (
             load_table(spark, sf_dir, "events")
-            .select("event_id", "user_id", "kind")
+            .select("event_id", "user_id", "event_type")
             .orderBy("event_id")
         )
 

@@ -424,3 +424,39 @@ def test_zipf_fit_never_sorts_vocabulary(spark, sf_dir):
     # rank-run generation must be distributed: the chunk explode feeds a
     # repartition exchange, so generation never serializes on one task.
     assert "hashpartitioning(f#" in simple or "RoundRobin" in simple, simple
+
+
+def test_quantile_normalize_has_no_per_row_window(spark, sf_dir):
+    # q259: percent_rank must derive from the (source, n_chars) histogram --
+    # the raw document rows are never sorted or windowed; they attach to the
+    # small cumulative frame via a broadcast hash join.
+    from sparkstreaming_quickstart_spark.queries.wave10 import (
+        q259_quantile_normalize,
+    )
+
+    df = q259_quantile_normalize(spark, sf_dir)
+    simple = explain_str(df, "simple")
+    assert "percent_rank" not in simple, simple
+    assert "BroadcastHashJoin" in simple, simple
+
+
+def test_ks_and_mwu_window_only_over_distinct_value_frame(spark, sf_dir):
+    # q250/q251: the only window (the ECDF / rank-offset cumulative sum)
+    # runs AFTER the group-by-value hash-agg, so the single-partition
+    # exchange carries the bounded distinct-length frame, never raw docs.
+    import re
+
+    from sparkstreaming_quickstart_spark.queries.wave10 import (
+        q250_ks_test,
+        q251_mannwhitney_u,
+    )
+
+    for fn in (q250_ks_test, q251_mannwhitney_u):
+        plan = explain_str(fn(spark, sf_dir), "simple")
+        # every Window sits above a HashAggregate in the operator chain
+        win_idx = [m.start() for m in re.finditer(r"\bWindow\b", plan)]
+        agg_idx = [m.start() for m in re.finditer(r"HashAggregate", plan)]
+        assert win_idx and agg_idx, plan
+        # plans print top-down: the aggregate feeding the window appears
+        # BELOW (after) it in the string
+        assert all(any(a > w for a in agg_idx) for w in win_idx), plan
