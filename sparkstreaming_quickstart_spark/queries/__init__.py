@@ -99,6 +99,11 @@ _PRIORITY: list[str] = [
     "q253_cohens_kappa", "q254_js_divergence", "q255_ewma_smooth",
     "q256_cusum_changepoint", "q257_tokenizer_fertility",
     "q258_corpus_entropy", "q259_quantile_normalize",
+    "q260_fpgrowth_itemsets",
+    # Wave 11 (round 3: corpus tails / time-series rollups / IR eval)
+    "q261_hapax_share", "q262_exponential_gof", "q263_twap",
+    "q264_ohlc_bars", "q265_ir_eval", "q266_stream_psi_drift",
+    "q267_mahalanobis_outliers",
     "q115_tpch_q2_min_cost", "q116_tpch_q9_profit",
     "q117_tpch_q11_important_stock", "q118_tpch_q16_supplier_cnt",
     "q119_tpch_q20_promotion", "q120_tpch_q21_waiting", "q126_bigram_lm",
@@ -191,6 +196,7 @@ def _ensure_loaded() -> None:
     from . import wave8  # noqa: F401
     from . import wave9  # noqa: F401
     from . import wave10  # noqa: F401
+    from . import wave11  # noqa: F401
     from . import livejars  # noqa: F401
 
     rank = {name: i for i, name in enumerate(_PRIORITY)}

@@ -361,20 +361,28 @@ def q49_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q79_grouped_agg_udaf",
     sql="""
     SELECT l_returnflag,
-           ROUND(SUM(l_extendedprice * l_discount) / SUM(l_discount), 6) AS disc_weighted_price,
+           ROUND(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * CAST(round(l_discount * 100) AS BIGINT))
+                 / (100.0 * SUM(CAST(round(l_discount * 100) AS BIGINT))), 6)
+               AS disc_weighted_price,
            COUNT(*) AS n
     FROM lineitem
     GROUP BY l_returnflag
     ORDER BY l_returnflag
     """,
     doc="UDAF via a grouped-agg pandas UDF (Arrow-batched, one scalar per "
-    "group): discount-weighted mean price.  The mean is rounded so in-group "
-    "order sensitivity of float summation cannot flip the oracle hash.",
+    "group): discount-weighted mean price.  Prices/discounts are cents/"
+    "percent quantities stored as doubles, so both engines recover the "
+    "exact integers (round(x*100)), sum those exactly, and divide once -- "
+    "order-of-summation float drift (which DID flip the 6th decimal at "
+    "sf0.1 with 200k-row groups) is impossible by construction.",
 )
 def q79_grouped_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     @pandas_udf("double")
     def weighted_mean(price: pd.Series, weight: pd.Series) -> float:
-        return float((price * weight).sum() / weight.sum())
+        cents = (price * 100).round().astype("int64")
+        pct = (weight * 100).round().astype("int64")
+        return float((cents * pct).sum() / (100.0 * pct.sum()))
 
     # Spark disallows mixing grouped-agg pandas UDFs with JVM aggregates in
     # one agg(), so the row count is a second pandas aggregate.

@@ -657,3 +657,65 @@ def q259_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "n_chars", "pct")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q260: frequent itemsets via MLlib FPGrowth (exact-oracle twin of q217)
+# ---------------------------------------------------------------------------
+
+# 1/16 is exactly representable in binary, so FPGrowth's internal
+# ceil(minSupport * n) equals the oracle's integer ceiling (n + 15) // 16 for
+# every n -- a decimal like 0.05 would drift (0.05 * 140 = 7.000...0004,
+# whose ceil is 8, while ceil(140/20) = 7).
+_FP_MIN_SUPPORT = 0.0625
+
+
+@register(
+    "q260_fpgrowth_itemsets",
+    sql=f"""
+    WITH bi AS (
+        SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS item
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+    n AS (SELECT COUNT(DISTINCT ok) AS n FROM bi),
+    singles AS (
+        SELECT item AS itemset, COUNT(*) AS freq FROM bi GROUP BY item),
+    pairs AS (
+        SELECT a.item || ',' || b.item AS itemset, COUNT(*) AS freq
+        FROM bi a JOIN bi b ON a.ok = b.ok AND a.item < b.item
+        GROUP BY 1)
+    SELECT itemset, CAST(freq AS BIGINT) AS freq
+    FROM (SELECT * FROM singles UNION ALL SELECT * FROM pairs), n
+    WHERE freq >= (n.n + 15) // 16
+    ORDER BY itemset
+    """,
+    doc="Frequent brand itemsets (sizes 1-2) via MLlib FPGrowth over "
+    "per-order baskets -- the library twin of q217's hand-rolled market "
+    "basket, oracle-checked against the exact relational spelling "
+    "(distinct basket-item pairs, self-join for pairs, integer-ceiling "
+    "support threshold).  FPGrowth is the scale path: the FP-tree "
+    "conditional growth is distributed by item suffix (parallel FP-"
+    "Growth, Li et al. 2008), so no candidate-pair shuffle touches the "
+    "basket frame; the oracle's self-join is quadratic only within a "
+    "basket (q217's argument).",
+)
+def q260_fpgrowth_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.fpm import FPGrowth
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("p_brand").alias("items"))
+    )
+    model = FPGrowth(
+        itemsCol="items", minSupport=_FP_MIN_SUPPORT, minConfidence=0.5
+    ).fit(baskets)
+    return (
+        model.freqItemsets.filter(F.size("items") <= 2)
+        .select(
+            F.concat_ws(",", F.array_sort("items")).alias("itemset"),
+            F.col("freq").cast("bigint").alias("freq"),
+        )
+        .orderBy("itemset")
+    )

@@ -24,9 +24,10 @@ from .llm import _jaccard_oracle
     "q165_sql_udf",
     sql="""
     SELECT lang, source,
-           ROUND(AVG(CASE WHEN n_chars < 20 THEN 0.0
-                          ELSE least(1.0, len(string_split(text, ' ')) / 100.0) END), 6)
-               AS avg_quality,
+           CAST((2 * SUM(CASE WHEN n_chars < 20 THEN 0
+                              ELSE least(100, len(string_split(text, ' '))) END)
+                 * 10000 + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
+               / 1000000.0 AS avg_quality,
            COUNT(*) AS n_docs
     FROM documents
     GROUP BY ALL
@@ -36,19 +37,27 @@ from .llm import _jaccard_oracle
     "ORDER BY ALL: the declarative UDF path -- the body is inlined into the "
     "plan as an ordinary expression (stays in codegen, fully optimizable), "
     "unlike a Python UDF which is an opaque serialization barrier.  The "
-    "right default for any user-defined logic expressible as SQL.",
+    "right default for any user-defined logic expressible as SQL.  The "
+    "UDF returns the INTEGER quality score (0-100), and the 6-decimal "
+    "average rounds half-up in exact integer arithmetic (2s+n over 2n in "
+    "parts-per-million) before ONE float division -- at sf0.1 the zh/src8 "
+    "group averages exactly 0.5146875, a decimal half where Spark's "
+    "string-based ROUND and DuckDB's binary-value round disagree, and "
+    "float-sum order drift flips the same digit; both are impossible "
+    "here by construction.",
 )
 def q165_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.sql(
         """CREATE OR REPLACE TEMPORARY FUNCTION doc_quality(nc BIGINT, txt STRING)
-           RETURNS DOUBLE
-           RETURN CASE WHEN nc < 20 THEN 0.0
-                       ELSE least(1.0, size(split(txt, ' ')) / 100.0) END"""
+           RETURNS BIGINT
+           RETURN CASE WHEN nc < 20 THEN 0
+                       ELSE least(100, size(split(txt, ' '))) END"""
     )
     load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents_v")
     return spark.sql(
         """SELECT lang, source,
-                  ROUND(AVG(doc_quality(n_chars, text)), 6) AS avg_quality,
+                  CAST((2 * SUM(doc_quality(n_chars, text)) * 10000 + COUNT(*))
+                       DIV (2 * COUNT(*)) AS BIGINT) / 1000000e0 AS avg_quality,
                   COUNT(*) AS n_docs
            FROM documents_v
            GROUP BY ALL
