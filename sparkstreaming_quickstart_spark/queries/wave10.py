@@ -647,9 +647,12 @@ def q259_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     pct = cum.select(
         "source",
         "n_chars",
-        F.round(
-            F.col("before").cast("double") / (F.col("n_src") - 1), 6
-        ).alias("pct"),
+        # percent_rank of a single-row partition is 0 by definition; guard
+        # the n-1 denominator (ANSI mode raises on divide-by-zero).
+        F.when(F.col("n_src") > 1,
+               F.round(F.col("before").cast("double") / (F.col("n_src") - 1), 6))
+        .otherwise(0.0)
+        .alias("pct"),
     )
     return (
         d.select("doc_id", "source", "n_chars")
