@@ -104,6 +104,9 @@ _PRIORITY: list[str] = [
     "q261_hapax_share", "q262_exponential_gof", "q263_twap",
     "q264_ohlc_bars", "q265_ir_eval", "q266_stream_psi_drift",
     "q267_mahalanobis_outliers",
+    # Wave 12 (round 3: sequence mining / subword vocabulary training)
+    "q268_prefixspan_sequences", "q269_behavior_trigrams",
+    "q270_bpe_merges",
     "q115_tpch_q2_min_cost", "q116_tpch_q9_profit",
     "q117_tpch_q11_important_stock", "q118_tpch_q16_supplier_cnt",
     "q119_tpch_q20_promotion", "q120_tpch_q21_waiting", "q126_bigram_lm",
@@ -197,6 +200,7 @@ def _ensure_loaded() -> None:
     from . import wave9  # noqa: F401
     from . import wave10  # noqa: F401
     from . import wave11  # noqa: F401
+    from . import wave12  # noqa: F401
     from . import livejars  # noqa: F401
 
     rank = {name: i for i, name in enumerate(_PRIORITY)}
