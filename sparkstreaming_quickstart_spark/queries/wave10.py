@@ -42,14 +42,14 @@ from . import register
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ccb
         FROM g)
     SELECT CAST(t.na AS BIGINT) AS na, CAST(t.nb AS BIGINT) AS nb,
-           ROUND(MAX(ABS(cca / CAST(t.na AS DOUBLE)
-                         - ccb / CAST(t.nb AS DOUBLE))), 6) AS d_stat,
+           ROUND(MAX(ABS(cca / NULLIF(CAST(t.na AS DOUBLE), 0)
+                         - ccb / NULLIF(CAST(t.nb AS DOUBLE), 0))), 6) AS d_stat,
            ROUND(1.358 * sqrt((t.na + t.nb)
-                 / (CAST(t.na AS DOUBLE) * t.nb)), 6) AS d_crit_95,
-           (ROUND(MAX(ABS(cca / CAST(t.na AS DOUBLE)
-                          - ccb / CAST(t.nb AS DOUBLE))), 6)
+                 / NULLIF(CAST(t.na AS DOUBLE) * t.nb, 0)), 6) AS d_crit_95,
+           (ROUND(MAX(ABS(cca / NULLIF(CAST(t.na AS DOUBLE), 0)
+                          - ccb / NULLIF(CAST(t.nb AS DOUBLE), 0))), 6)
             > ROUND(1.358 * sqrt((t.na + t.nb)
-                    / (CAST(t.na AS DOUBLE) * t.nb)), 6)) AS reject_95
+                    / NULLIF(CAST(t.na AS DOUBLE) * t.nb, 0)), 6)) AS reject_95
     FROM cum, tot t GROUP BY t.na, t.nb
     """,
     doc="Two-sample Kolmogorov-Smirnov test: D = max |ECDF_en - ECDF_rest| "
@@ -72,13 +72,17 @@ def q250_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ca").over(w).alias("cca"), F.sum("cb").over(w).alias("ccb")
     )
     joined = cum.crossJoin(F.broadcast(tot))
+    # one-sided corpus (na or nb == 0): the test is undefined, NULL both sides
     gap = F.abs(
-        F.col("cca") / F.col("na").cast("double")
-        - F.col("ccb") / F.col("nb").cast("double")
+        F.col("cca") / F.nullif(F.col("na").cast("double"), F.lit(0.0))
+        - F.col("ccb") / F.nullif(F.col("nb").cast("double"), F.lit(0.0))
     )
     crit = F.round(
         1.358
-        * F.sqrt((F.col("na") + F.col("nb")) / (F.col("na").cast("double") * F.col("nb"))),
+        * F.sqrt(
+            (F.col("na") + F.col("nb"))
+            / F.nullif(F.col("na").cast("double") * F.col("nb"), F.lit(0.0))
+        ),
         6,
     )
     return (
@@ -122,9 +126,9 @@ def q250_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(ra - na * (na + 1) / 2.0, 2) AS u_a,
            ROUND(CAST(na AS DOUBLE) * nb - (ra - na * (na + 1) / 2.0), 2) AS u_b,
            ROUND((ra - na * (na + 1) / 2.0 - CAST(na AS DOUBLE) * nb / 2.0)
-                 / sqrt(CAST(na AS DOUBLE) * nb / 12.0
+                 / NULLIF(sqrt(CAST(na AS DOUBLE) * nb / 12.0
                         * ((na + nb + 1.0)
-                           - ties / ((na + nb) * (na + nb - 1.0)))), 6) AS z
+                           - ties / ((na + nb) * (na + nb - 1.0)))), 0), 6) AS z
     FROM s
     """,
     doc="Mann-Whitney U rank test (tie-corrected normal approximation) "
@@ -162,7 +166,8 @@ def q251_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         nb.cast("bigint").alias("nb"),
         F.round(ua, 2).alias("u_a"),
         F.round(na.cast("double") * nb - ua, 2).alias("u_b"),
-        F.round((ua - na.cast("double") * nb / 2.0) / sigma, 6).alias("z"),
+        # all-tied pooled values make sigma 0: z is undefined, NULL both sides
+        F.round((ua - na.cast("double") * nb / 2.0) / F.nullif(sigma, F.lit(0.0)), 6).alias("z"),
     )
 
 
@@ -189,7 +194,7 @@ def q251_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
            ROUND(ssb / (k - 1), 6) AS ms_between,
            ROUND(ssw / (n - k), 6) AS ms_within,
-           ROUND((ssb / (k - 1)) / (ssw / (n - k)), 6) AS f_stat
+           ROUND((ssb / (k - 1)) / NULLIF(ssw / (n - k), 0), 6) AS f_stat
     FROM parts
     """,
     doc="One-way ANOVA F across languages on document length, computed "
@@ -222,7 +227,8 @@ def q252_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("bigint").alias("n"),
         F.round(ssb / (k - 1), 6).alias("ms_between"),
         F.round(ssw / (n - k), 6).alias("ms_within"),
-        F.round((ssb / (k - 1)) / (ssw / (n - k)), 6).alias("f_stat"),
+        # zero within-group variance: F undefined, NULL both sides
+        F.round((ssb / (k - 1)) / F.nullif(ssw / (n - k), F.lit(0.0)), 6).alias("f_stat"),
     )
 
 
@@ -256,7 +262,7 @@ def q252_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(pe.cross_sum / (CAST(t.n AS DOUBLE) * t.n), 6) AS p_expected,
            ROUND((CAST(po.agree AS DOUBLE) / t.n
                   - pe.cross_sum / (CAST(t.n AS DOUBLE) * t.n))
-                 / (1.0 - pe.cross_sum / (CAST(t.n AS DOUBLE) * t.n)), 6) AS kappa
+                 / NULLIF(1.0 - pe.cross_sum / (CAST(t.n AS DOUBLE) * t.n), 0), 6) AS kappa
     FROM tot t, po, pe
     """,
     doc="Cohen's kappa chance-corrected agreement between the q236 "
@@ -296,7 +302,8 @@ def q253_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n"),
         F.round(p_o, 6).alias("p_observed"),
         F.round(p_e, 6).alias("p_expected"),
-        F.round((p_o - p_e) / (1.0 - p_e), 6).alias("kappa"),
+        # p_e == 1 (single observed class): kappa undefined, NULL both sides
+        F.round((p_o - p_e) / F.nullif(1.0 - p_e, F.lit(0.0)), 6).alias("kappa"),
     )
 
 

@@ -83,7 +83,7 @@ _GOF_BINS = 10
     g AS (SELECT event_type, gap_us FROM gaps WHERE gap_us IS NOT NULL),
     lam AS (
         SELECT event_type, COUNT(*) AS n,
-               COUNT(*) / CAST(SUM(gap_us) AS DOUBLE) AS lambda_us
+               COUNT(*) / NULLIF(CAST(SUM(gap_us) AS DOUBLE), 0) AS lambda_us
         FROM g GROUP BY event_type),
     binned AS (
         SELECT g.event_type, l.n,
@@ -117,7 +117,8 @@ def q262_exponential_gof(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("gap_us").isNotNull())
     lam = g.groupBy("event_type").agg(
         F.count("*").alias("n"),
-        (F.count("*") / F.sum("gap_us").cast("double")).alias("lambda_us"),
+        # all-equal timestamps give zero total gap: rate undefined, NULL both sides
+        (F.count("*") / F.nullif(F.sum("gap_us").cast("double"), F.lit(0.0))).alias("lambda_us"),
     )
     binned = g.join(F.broadcast(lam), "event_type").select(
         "event_type",
@@ -162,7 +163,7 @@ def q262_exponential_gof(spark: SparkSession, sf_dir: str) -> DataFrame:
                COUNT(*) AS n_segments
         FROM seg WHERE dt_us IS NOT NULL GROUP BY user_id)
     SELECT user_id, CAST(n_segments AS BIGINT) AS n_segments,
-           ROUND(CAST(num AS DOUBLE) / (100.0 * den), 6) AS twap
+           ROUND(CAST(num AS DOUBLE) / NULLIF(100.0 * den, 0), 6) AS twap
     FROM s ORDER BY user_id
     """,
     doc="Time-weighted average value (TWAP) per user: each observation is "
@@ -190,7 +191,10 @@ def q263_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "user_id",
         F.col("n_segments").cast("bigint").alias("n_segments"),
-        F.round(F.col("num").cast("double") / (100.0 * F.col("den")), 6).alias("twap"),
+        # zero total holding time (all events at one instant): NULL both sides
+        F.round(
+            F.col("num").cast("double") / F.nullif(100.0 * F.col("den"), F.lit(0.0)), 6
+        ).alias("twap"),
     ).orderBy("user_id")
 
 

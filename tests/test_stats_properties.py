@@ -116,3 +116,28 @@ def test_quantile_normalize_matches_python_percent_rank(
             continue
         expected = sum(1 for x in vals if x < n) / (len(vals) - 1)
         assert abs(r.pct - round(expected, 6)) < 1e-9, (r, expected)
+
+
+def test_degenerate_inputs_yield_null_not_ansi_error(spark, tmp_path_factory):
+    """The guard class the q259 property test exposed: degenerate groups
+    (all-tied values, one-sided splits) must yield NULL statistics, not an
+    ANSI divide-by-zero -- and must agree with what the DuckDB oracle
+    produces for the same degenerate input."""
+    import math
+
+    from sparkstreaming_quickstart_spark.queries.wave10 import (
+        q251_mannwhitney_u,
+        q252_anova_f,
+    )
+
+    # every doc identical length, languages split across en / de
+    rows = [(50, "en"), (50, "en"), (50, "de"), (50, "de")]
+    sf_dir = _write_documents(tmp_path_factory.mktemp("deg"), rows)
+    r = q251_mannwhitney_u(spark, sf_dir).collect()[0]
+    assert r.z is None or (isinstance(r.z, float) and math.isnan(r.z))
+    assert r.u_a == 2.0  # rank math still exact: ra = 2 * 2.5, minus na(na+1)/2
+    r2 = q252_anova_f(spark, sf_dir).collect()[0]
+    assert r2.f_stat is None or (
+        isinstance(r2.f_stat, float) and math.isnan(r2.f_stat)
+    )
+    assert r2.ms_within == 0.0
