@@ -236,3 +236,107 @@ def q270_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "step int, merge_rule string, pair_count bigint"
     ).orderBy("step")
+
+
+# ---------------------------------------------------------------------------
+# q271: streaming per-key top-k via custom state (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+
+_TOPK_PER_USER = 3
+
+
+@register(
+    "q271_stream_user_topk",
+    sql=f"""
+    WITH ranked AS (
+        SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY round(value * 100) DESC, event_id ASC) AS r
+        FROM events)
+    SELECT user_id, CAST(r AS INT) AS r, ROUND(cents / 100.0, 2) AS value
+    FROM ranked WHERE r <= {_TOPK_PER_USER}
+    ORDER BY user_id, r
+    """,
+    doc=f"Streaming per-key top-{_TOPK_PER_USER} via a custom stateful "
+    "operator (applyInPandasWithState): state per user is just the "
+    f"current top-{_TOPK_PER_USER} (value-cents, event_id) pairs -- O(k) "
+    "bounded, and the merge is commutative/associative, so the result is "
+    "EXACT under any micro-batch split or arrival order (unlike an "
+    "order-sensitive recurrence).  The per-key complement of q152's "
+    "global streaming top-k; ties break by lowest event_id.  Oracle = "
+    "batch row_number over the same total order.",
+)
+def q271_stream_user_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from ..streaming.pipeline import run_to_memory
+    from ..streaming.source import events_stream
+
+    k = _TOPK_PER_USER
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("r", IntegerType()),
+            StructField("cents", LongType()),
+            StructField("n_seen", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("cents", ArrayType(LongType())),
+            StructField("ids", ArrayType(LongType())),
+            StructField("n_seen", LongType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            cents, ids, n_seen = state.get
+            heap = list(zip(cents, ids))
+        else:
+            heap, n_seen = [], 0
+        for pdf in pdfs:
+            n_seen += len(pdf)
+            batch_cents = pdf["value"].mul(100).round().astype("int64")
+            heap.extend(zip(batch_cents, pdf["event_id"].astype("int64")))
+        # keep best k: highest cents first, lowest event_id on ties
+        heap.sort(key=lambda t: (-t[0], t[1]))
+        heap = heap[:k]
+        state.update(([int(c) for c, _ in heap], [int(i) for _, i in heap], n_seen))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(heap),
+                "r": list(range(1, len(heap) + 1)),
+                "cents": [int(c) for c, _ in heap],
+                "n_seen": [n_seen] * len(heap),
+            }
+        )
+
+    stream = events_stream(spark, sf_dir).select("user_id", "event_id", "value")
+    topk = stream.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+    table = run_to_memory(topk, output_mode="update")
+    # Update mode re-emits the running top-k each micro-batch; keep each
+    # user's FINAL emission (highest n_seen) so the result is correct under
+    # any batch split (the q74 reduction argument).
+    final = (
+        spark.table(table)
+        .withColumn(
+            "mx", F.max("n_seen").over(Window.partitionBy("user_id"))
+        )
+        .filter(F.col("n_seen") == F.col("mx"))
+    )
+    return final.select(
+        "user_id",
+        "r",
+        F.round(F.col("cents") / 100.0, 2).alias("value"),
+    ).orderBy("user_id", "r")
