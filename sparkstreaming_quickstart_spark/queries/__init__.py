@@ -107,6 +107,7 @@ _PRIORITY: list[str] = [
     # Wave 12 (round 3: sequence mining / subword vocabulary training)
     "q268_prefixspan_sequences", "q269_behavior_trigrams",
     "q270_bpe_merges", "q271_stream_user_topk",
+    "q272_multimodal_audio_energy",
     "q115_tpch_q2_min_cost", "q116_tpch_q9_profit",
     "q117_tpch_q11_important_stock", "q118_tpch_q16_supplier_cnt",
     "q119_tpch_q20_promotion", "q120_tpch_q21_waiting", "q126_bigram_lm",

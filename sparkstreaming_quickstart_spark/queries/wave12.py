@@ -340,3 +340,88 @@ def q271_stream_user_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "r",
         F.round(F.col("cents") / 100.0, 2).alias("value"),
     ).orderBy("user_id", "r")
+
+
+# ---------------------------------------------------------------------------
+# q272: multimodal audio-style frame-energy extraction (numpy over Arrow)
+# ---------------------------------------------------------------------------
+
+_FRAME_BYTES = 256
+
+
+@register(
+    "q272_multimodal_audio_energy",
+    sql=f"""
+    WITH chars AS (
+        SELECT doc_id,
+               unnest(string_split(text, '')) AS ch,
+               generate_subscripts(string_split(text, ''), 1) AS i
+        FROM documents WHERE length(text) > 0)
+    SELECT doc_id,
+           CAST((i - 1) // {_FRAME_BYTES} AS INT) AS frame_no,
+           CAST(COUNT(*) AS BIGINT) AS n_bytes,
+           CAST(SUM(ascii(ch)) AS BIGINT) AS energy,
+           CAST(MAX(ascii(ch)) AS INT) AS peak,
+           ROUND(sqrt(SUM(ascii(ch) * ascii(ch)) / CAST(COUNT(*) AS DOUBLE)), 6) AS rms
+    FROM chars
+    GROUP BY doc_id, frame_no
+    ORDER BY doc_id, frame_no
+    """,
+    doc=f"Audio-style frame feature extraction over opaque binary payloads: "
+    f"{_FRAME_BYTES}-byte frames, per-frame energy (sum), peak, and RMS "
+    "computed by a single numpy kernel inside mapInPandas (one "
+    "np.frombuffer + reshape-free add.reduceat per Arrow batch -- the "
+    "shape a real PCM pipeline uses, with the codec swapped for the "
+    "identity since this container ships no audio libs; the payload IS "
+    "the UTF-8 bytes, so the DuckDB oracle reproduces every frame "
+    "statistic exactly from per-char ASCII codes).  No shuffle: frames "
+    "stay on their input's executor, integer sums exact, one float sqrt "
+    "at the end.",
+)
+def q272_multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.multimodal import with_binary_payload
+
+    fb = _FRAME_BYTES
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fnos, ns, energies, peaks, rmss = [], [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = np.frombuffer(bytes(payload), dtype=np.uint8)
+                if buf.size == 0:
+                    continue
+                starts = np.arange(0, buf.size, fb)
+                b64 = buf.astype(np.int64)
+                e = np.add.reduceat(b64, starts)
+                sq = np.add.reduceat(b64 * b64, starts)
+                pk = np.maximum.reduceat(buf, starts)
+                n = np.diff(np.append(starts, buf.size))
+                ids.extend([doc_id] * len(starts))
+                fnos.extend(range(len(starts)))
+                ns.extend(n.tolist())
+                energies.extend(e.tolist())
+                peaks.extend(pk.tolist())
+                rmss.extend(np.round(np.sqrt(sq / n), 6).tolist())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_no": pd.Series(fnos, dtype="int32"),
+                    "n_bytes": pd.Series(ns, dtype="int64"),
+                    "energy": pd.Series(energies, dtype="int64"),
+                    "peak": pd.Series(peaks, dtype="int32"),
+                    "rms": pd.Series(rmss, dtype="float64"),
+                }
+            )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    payloads = with_binary_payload(d.select("doc_id", "text"), "text")
+    out = payloads.select("doc_id", "payload").mapInPandas(
+        frames,
+        schema="doc_id bigint, frame_no int, n_bytes bigint, energy bigint, peak int, rms double",
+    )
+    return out.orderBy("doc_id", "frame_no")
