@@ -108,6 +108,9 @@ _PRIORITY: list[str] = [
     "q268_prefixspan_sequences", "q269_behavior_trigrams",
     "q270_bpe_merges", "q271_stream_user_topk",
     "q272_multimodal_audio_energy",
+    # Wave 13 (round 3: pipeline-operations pre-flight tooling)
+    "q273_join_cardinality_audit", "q274_blocking_recall_eval",
+    "q275_lateness_profile",
     "q115_tpch_q2_min_cost", "q116_tpch_q9_profit",
     "q117_tpch_q11_important_stock", "q118_tpch_q16_supplier_cnt",
     "q119_tpch_q20_promotion", "q120_tpch_q21_waiting", "q126_bigram_lm",
@@ -202,6 +205,7 @@ def _ensure_loaded() -> None:
     from . import wave10  # noqa: F401
     from . import wave11  # noqa: F401
     from . import wave12  # noqa: F401
+    from . import wave13  # noqa: F401
     from . import livejars  # noqa: F401
 
     rank = {name: i for i, name in enumerate(_PRIORITY)}

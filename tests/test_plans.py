@@ -460,3 +460,19 @@ def test_ks_and_mwu_window_only_over_distinct_value_frame(spark, sf_dir):
         # plans print top-down: the aggregate feeding the window appears
         # BELOW (after) it in the string
         assert all(any(a > w for a in agg_idx) for w in win_idx), plan
+
+
+def test_lateness_profile_prefix_max_is_bucket_partitioned(spark, sf_dir):
+    # q275: the running max must be the two-phase form -- the only window
+    # over the event frame partitions by the width_bucket column; the
+    # single-partition window feeds only the 1024-row bucket-maxima frame.
+    import re
+
+    from sparkstreaming_quickstart_spark.queries.wave13 import q275_lateness_profile
+
+    df = q275_lateness_profile(spark, sf_dir)
+    simple = explain_str(df, "simple")
+    mx_specs = re.findall(r"max\([^)]*\) windowspecdefinition\(([^,]+),", simple)
+    # every max-window over a non-empty partition spec must key on the bucket
+    partitioned = [s for s in mx_specs if "#" in s]
+    assert any("b#" in s for s in partitioned), simple
