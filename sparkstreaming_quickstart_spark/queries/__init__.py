@@ -115,6 +115,9 @@ _PRIORITY: list[str] = [
     "q276_diff_in_diff", "q277_experiment_power", "q278_mad_robust_scale",
     # Wave 15 (round 3: rank correlation without ranking rows)
     "q279_kendall_tau", "q280_spearman_rho",
+    # Wave 16 (round 3: feature screening / mixing weights / conformal)
+    "q281_mutual_information", "q282_distribution_reweight",
+    "q283_conformal_interval",
     "q115_tpch_q2_min_cost", "q116_tpch_q9_profit",
     "q117_tpch_q11_important_stock", "q118_tpch_q16_supplier_cnt",
     "q119_tpch_q20_promotion", "q120_tpch_q21_waiting", "q126_bigram_lm",
@@ -212,6 +215,7 @@ def _ensure_loaded() -> None:
     from . import wave13  # noqa: F401
     from . import wave14  # noqa: F401
     from . import wave15  # noqa: F401
+    from . import wave16  # noqa: F401
     from . import livejars  # noqa: F401
 
     rank = {name: i for i, name in enumerate(_PRIORITY)}
