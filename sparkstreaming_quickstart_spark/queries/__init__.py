@@ -56,11 +56,12 @@ def oracle_sql() -> dict[str, str]:
 _LOADED = False
 
 # The driver samples the FIRST 50 registered queries per round for its
-# CORRECTNESS report.  Rounds 1-2 cumulatively hash-checked 97 of the 244
-# entries; this ordering front-loads the 147 never-driver-checked entries
-# (windows, the scalar/generator block, waves 7-9, then the remaining
-# unchecked), with all previously-green entries after them, so every driver
-# sample lands on unproven work until the whole registry is driver-proof.
+# CORRECTNESS report.  Rounds 1-2 cumulatively hash-checked 97 entries;
+# this ordering front-loads the never-driver-checked entries -- oldest
+# first (windows, the scalar/generator block, waves 7-9, per the round-2
+# verdict), then this round's waves 10-16, then the remaining unchecked --
+# with all previously-green entries after them, so every driver sample
+# lands on unproven work until the whole registry is driver-proof.
 _PRIORITY: list[str] = [
     "q30_window_topk", "q31_window_ranks", "q32_window_running",
     "q33_window_frame", "q34_session_windows", "q66_window_distribution",
