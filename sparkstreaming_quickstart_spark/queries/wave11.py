@@ -104,17 +104,49 @@ _GOF_BINS = 10
     "engines derive the identical lambda) defines 10 equal-probability "
     "analytic bins via the exponential CDF; observed counts against the "
     "uniform expectation n/10 close the statistic -- the Poissonness "
-    "test behind 'is this event stream organic or scheduled'.  Gaps are "
-    "one window shuffle on event_type; binning is a stateless projection "
-    "against broadcast per-type rates.",
+    "test behind 'is this event stream organic or scheduled'.  Gaps use "
+    "the bucket-stitched distributed lag ((type, day) windows + carried "
+    "boundary timestamps over the tiny types x days frame), so "
+    "parallelism is types x days, not |types|; binning is a stateless "
+    "projection against broadcast per-type rates.",
 )
 def q262_exponential_gof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Distributed lag via bucket stitching: a plain per-type window would
+    # partition the whole stream into |event_types| partitions (5 here) --
+    # a hard parallelism ceiling at 100 TB.  Instead the lag runs within
+    # (type, day) buckets, and each day's FIRST gap stitches against the
+    # carried last-timestamp of the latest previous non-empty day, computed
+    # on the tiny types x days frame.  Identical output to the
+    # single-window spelling (us is monotone in ts, ties share a day).
     e = load_table(spark, sf_dir, "events")
     us = F.unix_micros(F.col("ts").cast("timestamp"))
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    g = e.select(
-        "event_type", (us - F.lag(us).over(w)).alias("gap_us")
-    ).filter(F.col("gap_us").isNotNull())
+    b = e.select(
+        "event_type",
+        F.date_trunc("day", "ts").alias("day"),
+        us.alias("us"),
+        "event_id",
+    )
+    wb = Window.partitionBy("event_type", "day").orderBy("us", "event_id")
+    intra = b.select(
+        "event_type", "day", "us", F.lag("us").over(wb).alias("prev_us")
+    )
+    lasts = b.groupBy("event_type", "day").agg(F.max("us").alias("last_us"))
+    wd = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prevb = lasts.select(
+        "event_type", "day", F.max("last_us").over(wd).alias("carry_us")
+    )
+    g = (
+        intra.join(F.broadcast(prevb), ["event_type", "day"])
+        .select(
+            "event_type",
+            (F.col("us") - F.coalesce("prev_us", "carry_us")).alias("gap_us"),
+        )
+        .filter(F.col("gap_us").isNotNull())
+    )
     lam = g.groupBy("event_type").agg(
         F.count("*").alias("n"),
         # all-equal timestamps give zero total gap: rate undefined, NULL both sides

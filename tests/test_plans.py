@@ -476,3 +476,18 @@ def test_lateness_profile_prefix_max_is_bucket_partitioned(spark, sf_dir):
     # every max-window over a non-empty partition spec must key on the bucket
     partitioned = [s for s in mx_specs if "#" in s]
     assert any("b#" in s for s in partitioned), simple
+
+
+def test_exponential_gof_lag_is_bucket_stitched(spark, sf_dir):
+    # q262: the gap lag must partition by (event_type, day) -- the plain
+    # per-type spelling caps parallelism at |event_types|.  The only window
+    # partitioned by event_type alone is the carry over the tiny
+    # types x days frame.
+    import re
+
+    from sparkstreaming_quickstart_spark.queries.wave11 import q262_exponential_gof
+
+    df = q262_exponential_gof(spark, sf_dir)
+    simple = explain_str(df, "simple")
+    lag_specs = re.findall(r"lag\([^)]*\) windowspecdefinition\(([^)]+?), [a-z]+\(", simple)
+    assert lag_specs and all("day#" in s for s in lag_specs), simple
