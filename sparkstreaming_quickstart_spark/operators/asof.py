@@ -46,19 +46,37 @@ def asof_join(
     value_cols: list[str],
     tiebreak: str,
     tolerance: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach `value_cols` of the latest right row with
-    right_time <= left_time for the same `on` key (None if no such row).
+    """For each left row, attach `value_cols` of the matching right row for
+    the same `on` key (None if no such row), where the match is:
 
-    `tolerance` (an INTERVAL literal like "2 hours") bounds the match age:
-    a carried quote older than left_time - tolerance resolves to None, the
-    pandas merge_asof(tolerance=...) semantics.  Implemented by carrying
-    the matched quote's OWN time alongside its values and nulling stale
+      * direction="backward" (default): the LATEST right row with
+        right_time <= left_time (pandas merge_asof default);
+      * direction="forward": the EARLIEST right row with
+        right_time >= left_time;
+      * direction="nearest": whichever of those two is closer in time
+        (ties resolve backward).
+
+    All directions remain ONE shuffle on the key: forward mirrors the
+    backward union-and-carry window with time descending; nearest computes
+    both carries over the SAME unioned/partitioned frame (one exchange,
+    two sorts) and picks per row.  In every direction a right row at
+    exactly t == left.t matches (inclusive), and among equal-time right
+    rows the highest tiebreak wins.
+
+    `tolerance` (an INTERVAL literal like "2 hours") bounds the match age
+    (backward), the lookahead (forward), or both (nearest): a carried
+    match farther than tolerance resolves to None, the pandas
+    merge_asof(tolerance=...) semantics.  Implemented by carrying the
+    matched quote's OWN time alongside its values and nulling stale
     matches -- still one shuffle, no join blowup.
 
     Requirements: `value_cols` must be disjoint from `left`'s columns (rename
     on the right side first), and `tiebreak` must be one of `value_cols`.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward|forward|nearest, got {direction!r}")
     assert tiebreak in value_cols, "tiebreak must be one of value_cols"
     overlap = set(value_cols) & set(left.columns)
     assert not overlap, f"rename right-side value cols colliding with left: {overlap}"
@@ -97,26 +115,87 @@ def asof_join(
     )
     # Right rows sort before left rows at equal time (inclusive semantics);
     # among equal-time right rows the highest tiebreak lands last -> wins.
-    w = (
-        Window.partitionBy(on)
-        .orderBy(F.col("__t").asc(), F.col("__is_left").asc(), F.col(tiebreak).asc_nulls_first())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    carried = unioned.select(
-        *lcols,
-        "__t",
-        "__is_left",
-        *[
-            F.last(F.when(F.col("__is_left") == 0, F.col(v)), ignorenulls=True).over(w).alias(f"asof_{v}")
+    # Backward carries over time ascending; forward is the mirror (time
+    # descending, so `last` picks the EARLIEST future right row).
+    def carry_window(time_desc: bool) -> Window:
+        t = F.col("__t").desc() if time_desc else F.col("__t").asc()
+        return (
+            Window.partitionBy(on)
+            .orderBy(t, F.col("__is_left").asc(), F.col(tiebreak).asc_nulls_first())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+
+    def carried_cols(w: Window, prefix: str):
+        return [
+            F.last(F.when(F.col("__is_left") == 0, F.col(v)), ignorenulls=True)
+            .over(w)
+            .alias(f"{prefix}{v}")
             for v in value_cols
-        ],
-        F.last(F.when(F.col("__is_left") == 0, F.col("__t")), ignorenulls=True)
-        .over(w)
-        .alias("__matched_t"),
-    )
+        ] + [
+            F.last(F.when(F.col("__is_left") == 0, F.col("__t")), ignorenulls=True)
+            .over(w)
+            .alias(f"{prefix}t")
+        ]
+
+    if direction == "nearest":
+        carried = unioned.select(
+            *lcols,
+            "__t",
+            "__is_left",
+            *carried_cols(carry_window(False), "__b_"),
+            *carried_cols(carry_window(True), "__f_"),
+        )
+        # gaps compare as raw differences; timestamps (incl. NTZ) go through
+        # unix_micros, numeric time columns subtract directly
+        ttype = left.schema[left_time].dataType.typeName()
+        if ttype in ("timestamp", "timestamp_ntz", "date"):
+            tval = lambda c: F.unix_micros(F.col(c).cast("timestamp"))
+        else:
+            tval = lambda c: F.col(c)
+        back_gap = tval("__t") - tval("__b_t")
+        fwd_gap = tval("__f_t") - tval("__t")
+        use_back = F.col("__f_t").isNull() | (
+            F.col("__b_t").isNotNull() & (back_gap <= fwd_gap)
+        )
+        carried = carried.select(
+            *lcols,
+            "__t",
+            "__is_left",
+            *[
+                F.when(use_back, F.col(f"__b_{v}"))
+                .otherwise(F.col(f"__f_{v}"))
+                .alias(f"asof_{v}")
+                for v in value_cols
+            ],
+            F.when(use_back, F.col("__b_t")).otherwise(F.col("__f_t")).alias("__matched_t"),
+        )
+    else:
+        w = carry_window(time_desc=(direction == "forward"))
+        carried = unioned.select(
+            *lcols,
+            "__t",
+            "__is_left",
+            *[
+                F.last(F.when(F.col("__is_left") == 0, F.col(v)), ignorenulls=True)
+                .over(w)
+                .alias(f"asof_{v}")
+                for v in value_cols
+            ],
+            F.last(F.when(F.col("__is_left") == 0, F.col("__t")), ignorenulls=True)
+            .over(w)
+            .alias("__matched_t"),
+        )
     out = carried.filter(F.col("__is_left") == 1)
     if tolerance is not None:
-        fresh = F.col("__matched_t") >= F.col("__t") - F.expr(f"INTERVAL {tolerance}")
+        interval = F.expr(f"INTERVAL {tolerance}")
+        if direction == "backward":
+            fresh = F.col("__matched_t") >= F.col("__t") - interval
+        elif direction == "forward":
+            fresh = F.col("__matched_t") <= F.col("__t") + interval
+        else:
+            fresh = (F.col("__matched_t") >= F.col("__t") - interval) & (
+                F.col("__matched_t") <= F.col("__t") + interval
+            )
         out = out.select(
             *lcols,
             *[

@@ -118,7 +118,7 @@ _PRIORITY: list[str] = [
     "q279_kendall_tau", "q280_spearman_rho",
     # Wave 16 (round 3: feature screening / mixing weights / conformal)
     "q281_mutual_information", "q282_distribution_reweight",
-    "q283_conformal_interval",
+    "q283_conformal_interval", "q284_asof_forward", "q285_asof_nearest",
     "q115_tpch_q2_min_cost", "q116_tpch_q9_profit",
     "q117_tpch_q11_important_stock", "q118_tpch_q16_supplier_cnt",
     "q119_tpch_q20_promotion", "q120_tpch_q21_waiting", "q126_bigram_lm",

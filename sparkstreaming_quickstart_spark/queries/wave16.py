@@ -232,3 +232,107 @@ def q283_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q284/q285: forward and nearest as-of joins (completing the family)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q284_asof_forward",
+    sql="""
+    SELECT e.event_id, e.user_id, e.ts,
+           (SELECT min_by(c.event_id, c.ts)
+              FROM events c
+             WHERE c.user_id = e.user_id AND c.event_type = 'click' AND c.ts >= e.ts
+           ) AS next_click_event_id
+    FROM events e
+    WHERE e.event_type = 'error'
+    ORDER BY e.event_id
+    """,
+    doc="Forward as-of join: the EARLIEST subsequent click per user for "
+    "each error event -- the 'what did the user do next' direction, "
+    "completing q18 (backward) and q206 (tolerance).  Same "
+    "union-and-carry shape with the window mirrored (time descending), "
+    "still ONE shuffle on the key; see operators/asof.py.",
+)
+def q284_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"), F.col("event_id").alias("next_click_event_id")
+    )
+    joined = asof_join(
+        errors,
+        clicks,
+        on="user_id",
+        left_time="ts",
+        right_time="click_ts",
+        value_cols=["next_click_event_id"],
+        tiebreak="next_click_event_id",
+        direction="forward",
+    )
+    return joined.select(
+        "event_id", "user_id", "ts",
+        F.col("asof_next_click_event_id").alias("next_click_event_id"),
+    ).orderBy("event_id")
+
+
+@register(
+    "q285_asof_nearest",
+    sql="""
+    WITH e AS (
+        SELECT e.event_id, e.user_id, e.ts,
+               (SELECT max_by(c.event_id, c.ts) FROM events c
+                 WHERE c.user_id = e.user_id AND c.event_type = 'click'
+                   AND c.ts <= e.ts) AS bid,
+               (SELECT max(c.ts) FROM events c
+                 WHERE c.user_id = e.user_id AND c.event_type = 'click'
+                   AND c.ts <= e.ts) AS bts,
+               (SELECT min_by(c.event_id, c.ts) FROM events c
+                 WHERE c.user_id = e.user_id AND c.event_type = 'click'
+                   AND c.ts >= e.ts) AS fid,
+               (SELECT min(c.ts) FROM events c
+                 WHERE c.user_id = e.user_id AND c.event_type = 'click'
+                   AND c.ts >= e.ts) AS fts
+        FROM events e WHERE e.event_type = 'error')
+    SELECT event_id, user_id, ts,
+           CASE WHEN bts IS NULL THEN fid
+                WHEN fts IS NULL THEN bid
+                WHEN epoch_us(ts) - epoch_us(bts)
+                     <= epoch_us(fts) - epoch_us(ts) THEN bid
+                ELSE fid END AS nearest_click_event_id
+    FROM e
+    ORDER BY event_id
+    """,
+    doc="Nearest as-of join: whichever click (prior or subsequent) is "
+    "closer in time per user, ties resolving backward -- pandas "
+    "merge_asof(direction='nearest') semantics.  Both carries compute "
+    "over the SAME unioned key-partitioned frame (one exchange, two "
+    "sorts) and the pick is a per-row projection; see operators/asof.py.",
+)
+def q285_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"), F.col("event_id").alias("nearest_click_event_id")
+    )
+    joined = asof_join(
+        errors,
+        clicks,
+        on="user_id",
+        left_time="ts",
+        right_time="click_ts",
+        value_cols=["nearest_click_event_id"],
+        tiebreak="nearest_click_event_id",
+        direction="nearest",
+    )
+    return joined.select(
+        "event_id", "user_id", "ts",
+        F.col("asof_nearest_click_event_id").alias("nearest_click_event_id"),
+    ).orderBy("event_id")

@@ -328,3 +328,40 @@ def test_sequence_packing_oversized_doc_gets_own_bin(spark):
 
     out = {(r.bin, r.n_docs, r.n_tokens) for r in q145_sequence_packing(spark, d).collect()}
     assert out == {(0, 2, 500), (1, 1, 600), (2, 2, 500), (3, 1, 50)}, out
+
+
+def test_asof_join_forward_and_nearest(spark):
+    import pytest
+
+    left = spark.createDataFrame(
+        [
+            (1, 10, _ts("2024-01-01T10:00:00")),  # quote exactly at t -> matches in all directions
+            (2, 10, _ts("2024-01-01T08:00:00")),  # only future quotes
+            (3, 10, _ts("2024-01-01T12:00:00")),  # only past quotes
+            (4, 10, _ts("2024-01-01T09:45:00")),  # backward 15min vs forward 15min -> tie -> backward
+        ],
+        ["event_id", "user_id", "ts"],
+    )
+    right = spark.createDataFrame(
+        [
+            (100, 10, _ts("2024-01-01T09:30:00")),
+            (101, 10, _ts("2024-01-01T10:00:00")),
+        ],
+        ["quote_id", "user_id", "qts"],
+    ).select("user_id", "qts", "quote_id")
+    kw = dict(on="user_id", left_time="ts", right_time="qts",
+              value_cols=["quote_id"], tiebreak="quote_id")
+    fwd = {
+        r.event_id: r.asof_quote_id
+        for r in asof_join(left, right, direction="forward", **kw).collect()
+    }
+    # forward: earliest quote with qts >= ts (inclusive at event 1)
+    assert fwd == {1: 101, 2: 100, 3: None, 4: 101}
+    near = {
+        r.event_id: r.asof_quote_id
+        for r in asof_join(left, right, direction="nearest", **kw).collect()
+    }
+    # nearest: exact match; future-only; past-only; equidistant -> backward
+    assert near == {1: 101, 2: 100, 3: 101, 4: 100}
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(left, right, direction="sideways", **kw)
