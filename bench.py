@@ -43,6 +43,8 @@ HEADLINE = [
     "q183_c4_span_dedup",
     "q191_bm25_search",
     "q226_rag_index_build",
+    # Wave 10-16 representative (vocab-join shape of the statistics layer)
+    "q254_js_divergence",
 ]
 # q51 (exact-jaccard brute force) is deliberately NOT headline: it is the
 # O(n^2)-ish correctness baseline; q52 is the scale path over the same data.
