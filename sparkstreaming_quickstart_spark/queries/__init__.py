@@ -56,30 +56,14 @@ def oracle_sql() -> dict[str, str]:
 _LOADED = False
 
 # The driver samples the FIRST 50 registered queries per round for its
-# CORRECTNESS report.  Rounds 1-2 cumulatively hash-checked 97 entries;
-# this ordering front-loads the never-driver-checked entries -- oldest
-# first (windows, the scalar/generator block, waves 7-9, per the round-2
-# verdict), then this round's waves 10-16, then the remaining unchecked --
-# with all previously-green entries after them, so every driver sample
-# lands on unproven work until the whole registry is driver-proof.
+# CORRECTNESS report.  Rounds 1-3 cumulatively hash-checked 147 entries
+# (r3's sample = windows + scalars + wave 7, all green); this round-4
+# ordering front-loads the remaining never-driver-checked entries per the
+# round-3 verdict: waves 8-9 (q208-q247, never sampled), then waves 10-16
+# (q250-q285), then the round-2 TPC-H shapes (q115-q120) and waves 4-6
+# stragglers, with all previously-green entries after them, so every
+# driver sample lands on unproven work until the registry is driver-proof.
 _PRIORITY: list[str] = [
-    "q30_window_topk", "q31_window_ranks", "q32_window_running",
-    "q33_window_frame", "q34_session_windows", "q66_window_distribution",
-    "q90_window_range_frame", "q106_window_nth_value", "q40_string_funcs",
-    "q41_date_funcs", "q42_math_conditional", "q43_array_funcs",
-    "q44_json_funcs", "q45_explode_posexplode", "q62_from_json_struct",
-    "q91_explode_outer", "q92_unpivot", "q101_hash_encode",
-    "q103_struct_ops", "q104_date_extras", "q105_math_bitwise",
-    "q107_higher_order_predicates", "q108_regexp_extras",
-    "q112_recursive_cte_spine", "q113_lateral_topk", "q183_c4_span_dedup",
-    "q184_gopher_quality", "q185_containment_neardup", "q186_semdedup",
-    "q187_table_checksum", "q188_snapshot_diff", "q189_mode_countif",
-    "q190_window_median", "q191_bm25_search", "q192_inverted_index",
-    "q193_contiguous_ids", "q194_ntile_binning", "q195_map_hof",
-    "q196_aes_roundtrip", "q197_zorder_layout", "q198_window_count_distinct",
-    "q199_corr_matrix", "q200_corpus_pipeline_v2", "q201_calendar_extras",
-    "q202_udtf_table_arg", "q203_incremental_dedup", "q204_string_extras",
-    "q205_transpose", "q206_asof_tolerance", "q207_dynamic_session_gap",
     "q208_train_val_test_split", "q209_weighted_sample",
     "q210_grouping_sets_api", "q211_stream_window_distinct",
     "q212_sql_pipe_syntax", "q213_dq_checks", "q214_column_profile",
@@ -177,6 +161,25 @@ _PRIORITY: list[str] = [
     "q29_grouping_sets", "q35_session_window_builtin", "q37_pivot",
     "q38_scalar_subquery", "q46_map_funcs", "q47_higher_order",
     "q48_pandas_udf", "q49_grouped_map", "q79_grouped_agg_udaf",
+    # Round-3 driver sample (all green in CORRECTNESS_r03) -- rotated to
+    # the tail so round 4's sample lands on never-checked entries.
+    "q30_window_topk", "q31_window_ranks", "q32_window_running",
+    "q33_window_frame", "q34_session_windows", "q66_window_distribution",
+    "q90_window_range_frame", "q106_window_nth_value", "q40_string_funcs",
+    "q41_date_funcs", "q42_math_conditional", "q43_array_funcs",
+    "q44_json_funcs", "q45_explode_posexplode", "q62_from_json_struct",
+    "q91_explode_outer", "q92_unpivot", "q101_hash_encode",
+    "q103_struct_ops", "q104_date_extras", "q105_math_bitwise",
+    "q107_higher_order_predicates", "q108_regexp_extras",
+    "q112_recursive_cte_spine", "q113_lateral_topk", "q183_c4_span_dedup",
+    "q184_gopher_quality", "q185_containment_neardup", "q186_semdedup",
+    "q187_table_checksum", "q188_snapshot_diff", "q189_mode_countif",
+    "q190_window_median", "q191_bm25_search", "q192_inverted_index",
+    "q193_contiguous_ids", "q194_ntile_binning", "q195_map_hof",
+    "q196_aes_roundtrip", "q197_zorder_layout", "q198_window_count_distinct",
+    "q199_corr_matrix", "q200_corpus_pipeline_v2", "q201_calendar_extras",
+    "q202_udtf_table_arg", "q203_incremental_dedup", "q204_string_extras",
+    "q205_transpose", "q206_asof_tolerance", "q207_dynamic_session_gap",
 ]
 
 
