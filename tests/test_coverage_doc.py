@@ -30,22 +30,64 @@ def test_every_registered_query_is_documented():
     assert not missing, f"queries absent from COVERAGE.md: {missing}"
 
 
+# The two canonical README sentences that state the registry size.  Anchoring
+# to the exact surrounding words (rather than any "<N> queries" number in the
+# file) means a rephrased-but-stale count can't slip past the check, and a
+# registry that legitimately shrinks below 101 still gets verified (round-4
+# advisor note).
+_README_COUNT_ANCHORS = [
+    r"the oracle-checked registry \(driver contract\): (\d+) queries",
+    r"- (\d+) registered queries, every one carrying a DuckDB oracle",
+]
+
+
 def test_readme_registry_count_matches():
-    """Every hand-written registry count in README.md must equal the live
+    """The hand-written registry counts in README.md must equal the live
     registry size (the round-3 verdict caught a 279-vs-280 drift here)."""
     import re
 
     readme = os.path.join(os.path.dirname(COVERAGE_PATH), "README.md")
     with open(readme) as fh:
         text = fh.read()
-    counts = [
-        int(m)
-        for m in re.findall(r"(\d+) (?:registered )?queries", text)
-        if int(m) > 100  # ignore incidental small numbers (e.g. "22 TPC-H")
-    ]
     n = len(all_queries())
-    assert counts, "README.md no longer states the registry count"
-    assert all(c == n for c in counts), (
-        f"README.md registry counts {counts} != live registry size {n}; "
-        "update README.md"
+    for pattern in _README_COUNT_ANCHORS:
+        m = re.search(pattern, text)
+        assert m, (
+            f"README.md canonical count sentence not found: /{pattern}/ -- "
+            "if the sentence was reworded, update _README_COUNT_ANCHORS too"
+        )
+        assert int(m.group(1)) == n, (
+            f"README.md states {m.group(1)} for /{pattern}/ but the live "
+            f"registry has {n} queries; update README.md"
+        )
+
+
+def test_priority_head_targets_unchecked_queries():
+    """The driver hash-checks the FIRST 50 registered queries each round, so
+    `_PRIORITY`'s head must point at entries no committed CORRECTNESS_r*.json
+    has already proven -- otherwise a round's coverage budget re-proves
+    known-green rows (round-4 verdict task #7).  Skipped once fewer than 50
+    unchecked entries remain (full driver-proof is then one sample away)."""
+    import glob
+    import json
+
+    import pytest
+
+    from sparkstreaming_quickstart_spark.queries import _PRIORITY
+
+    repo = os.path.dirname(COVERAGE_PATH)
+    checked: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        with open(path) as fh:
+            checked.update(json.load(fh).keys())
+    registered = set(all_queries())
+    unchecked = registered - checked
+    if len(unchecked) < 50:
+        pytest.skip(f"only {len(unchecked)} unchecked entries remain")
+    head = _PRIORITY[:50]
+    stale = [name for name in head if name in checked]
+    assert not stale, (
+        f"_PRIORITY head-50 contains {len(stale)} already-driver-checked "
+        f"queries (e.g. {stale[:5]}); rotate them to the tail so the next "
+        "driver sample lands on unproven entries"
     )
