@@ -83,14 +83,14 @@ def q226_rag_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
     t = tokens("text")
-    n_chunks = F.ceil(F.size(t) / F.lit(32.0)).cast("int")
-    chunk_arr = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.slice(t, i * 32 + 1, 32),
+    # Chunk assignment is pure integer arithmetic on the token position: one
+    # posexplode and `pos div 32` replaces the earlier chunk-array transform
+    # -> posexplode -> explode chain (which materialized every chunk as an
+    # array before re-exploding it -- 2x the token bytes through the narrow
+    # stage for the same rows).
+    ct = d.select("doc_id", F.posexplode(t).alias("tpos", "token")).select(
+        "doc_id", F.floor(F.col("tpos") / F.lit(32)).cast("int").alias("pos"), "token"
     )
-    ct = d.select(
-        "doc_id", F.posexplode(chunk_arr).alias("pos", "ctoks")
-    ).select("doc_id", "pos", F.explode("ctoks").alias("token"))
     fidx = F.pmod(md5_lower64(F.col("token")), F.lit(_RAG_DIMS))
     sgn = F.when(
         F.pmod(md5_lower64(F.concat(F.lit("s:"), F.col("token"))), F.lit(2)) == 1, 1
