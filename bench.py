@@ -38,6 +38,10 @@ HEADLINE = [
     "q55_similarity_ann_lsh",
     "q60_multimodal_meta",
     "q70_stream_tumbling",
+    # Custom-state streaming representative (applyInPandasWithState per-key
+    # top-k): the stateful-operator path whose regressions matter most at
+    # scale was previously invisible to the headline set.
+    "q271_stream_user_topk",
     # Wave 7-9 representatives so perf regressions in the newer operator
     # families stay visible round-over-round.
     "q183_c4_span_dedup",
