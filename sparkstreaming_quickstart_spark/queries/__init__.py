@@ -98,6 +98,11 @@ _PRIORITY: list[str] = [
     "q177_foreachbatch_upsert", "q178_brp_lsh_euclidean",
     "q179_stream_stream_full_outer", "q180_generators_xml",
     "q181_mllib_summarizer", "q182_width_bucket_histogram",
+    # Wave 17 (round 5, never driver-checked yet): queued directly behind
+    # the pre-existing unchecked block so the round-6 rotation picks them up.
+    "q286_fdr_bh_correction", "q287_cluster_quality",
+    "q288_leakage_safe_split", "q289_token_budget_curriculum",
+    "q290_acf_lags", "q291_ngram_novelty",
     "q208_train_val_test_split", "q209_weighted_sample",
     "q210_grouping_sets_api", "q211_stream_window_distinct",
     "q212_sql_pipe_syntax", "q213_dq_checks", "q214_column_profile",
@@ -212,6 +217,7 @@ def _ensure_loaded() -> None:
     from . import wave14  # noqa: F401
     from . import wave15  # noqa: F401
     from . import wave16  # noqa: F401
+    from . import wave17  # noqa: F401
     from . import livejars  # noqa: F401
 
     rank = {name: i for i, name in enumerate(_PRIORITY)}

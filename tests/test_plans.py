@@ -491,3 +491,40 @@ def test_exponential_gof_lag_is_bucket_stitched(spark, sf_dir):
     simple = explain_str(df, "simple")
     lag_specs = re.findall(r"lag\([^)]*\) windowspecdefinition\(([^)]+?), [a-z]+\(", simple)
     assert lag_specs and all("day#" in s for s in lag_specs), simple
+
+
+def test_cluster_quality_distance_scan_never_shuffles_points(spark, sf_dir):
+    # q287: the N x k distance pass must join the k-row centroid-array frame
+    # via broadcast (nested-loop over a broadcast k-row build is fine; a
+    # SortMergeJoin would shuffle every point row) and the fold must stay
+    # JVM-side.
+    from sparkstreaming_quickstart_spark.queries.wave17 import q287_cluster_quality
+
+    df = q287_cluster_quality(spark, sf_dir)
+    simple = explain_str(df, "simple")
+    assert "SortMergeJoin" not in simple, simple
+    assert "CartesianProduct" not in simple, simple
+    assert "BatchEvalPython" not in simple, simple
+
+
+def test_fdr_bh_single_pass_over_events(spark, sf_dir):
+    # q286: all statistics derive from ONE sufficient-statistic hash-agg --
+    # the events table must be scanned exactly once, and no Python ever runs.
+    from sparkstreaming_quickstart_spark.queries.wave17 import q286_fdr_bh_correction
+
+    df = q286_fdr_bh_correction(spark, sf_dir)
+    simple = explain_str(df, "simple")
+    assert simple.count("Scan parquet") == 1, simple
+    assert "BatchEvalPython" not in simple, simple
+
+
+def test_ngram_novelty_final_join_is_on_rollup_frames(spark, sf_dir):
+    # q291: the instances/novel join touches only the sources x deciles
+    # rollup frames -- no cartesian anywhere (the 1-row maxid attach is a
+    # broadcast), and the gram expansion stays in codegen.
+    from sparkstreaming_quickstart_spark.queries.wave17 import q291_ngram_novelty
+
+    df = q291_ngram_novelty(spark, sf_dir)
+    simple = explain_str(df, "simple")
+    assert "CartesianProduct" not in simple, simple
+    assert "BatchEvalPython" not in simple, simple
