@@ -638,3 +638,115 @@ def q291_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "decile")
     )
+
+
+# ---------------------------------------------------------------------------
+# q292: DSIR-style hashed n-gram importance weights
+# ---------------------------------------------------------------------------
+
+_DSIR_B = 64
+_DSIR_ORACLE = f"""
+    WITH docs AS (
+        SELECT doc_id, lang, source, string_split(text, ' ') AS toks
+        FROM documents WHERE length(text) > 0),
+    grams AS (
+        SELECT doc_id, lang,
+               CAST(md5_number_lower(array_to_string(list_slice(toks, i, i + 1), ' '))
+                    % {_DSIR_B} AS INT) AS b
+        FROM docs, UNNEST(range(1, GREATEST(len(toks), 1))) AS t(i)),
+    hist AS (
+        SELECT b, COUNT(*) AS cs,
+               SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct
+        FROM grams GROUP BY b),
+    tot AS (SELECT SUM(cs) AS s_tot, SUM(ct) AS t_tot FROM hist),
+    ratio AS (
+        SELECT b,
+               ln(CAST(ct + 1 AS DOUBLE) / (t.t_tot + {_DSIR_B}))
+               - ln(CAST(cs + 1 AS DOUBLE) / (t.s_tot + {_DSIR_B})) AS lr
+        FROM hist CROSS JOIN tot t),
+    per_doc AS (
+        SELECT g.doc_id, COUNT(*) AS n_grams, SUM(r.lr) AS lw
+        FROM grams g JOIN ratio r ON g.b = r.b
+        GROUP BY g.doc_id)
+    SELECT d.lang, d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(p.lw / p.n_grams), 6) AS avg_lw_per_gram,
+           CAST(SUM(CASE WHEN p.lw > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_targetlike
+    FROM per_doc p JOIN docs d ON p.doc_id = d.doc_id
+    GROUP BY d.lang, d.source
+    ORDER BY d.lang, d.source
+"""
+
+
+@register(
+    "q292_dsir_importance",
+    sql=_DSIR_ORACLE,
+    doc="DSIR-style data selection (Xie et al. 2023, 'Data Selection for "
+    "Language Models via Importance Resampling'): documents score by the "
+    "log importance ratio of hashed-bigram language models -- target = "
+    "the 'en' slice, source = the whole corpus, both estimated as "
+    f"Laplace-smoothed {_DSIR_B}-bucket hashed-n-gram histograms.  The "
+    "report rolls per-doc normalized log-weights up to (lang, source): "
+    "'en' rows score highest by construction, quantifying how well the "
+    "hashed proxy separates the target domain.  Plan: ONE gram pass "
+    "builds both histograms (count + conditional count per bucket), the "
+    "bucket ratio table is a broadcast 64-row frame, and the per-doc "
+    "rollup is a doc_id hash-agg -- two linear scans total, no "
+    "data-sized shuffle beyond them.  All histogram mass is exact "
+    "BIGINT; the only floats are the final log ratios (64 fixed "
+    "constants) and their per-doc sum.",
+)
+def q292_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import md5_lower64
+
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    t = tokens("text")
+    docs = d.select("doc_id", "lang", "source", t.alias("toks"))
+    grams = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.when(
+                F.size("toks") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 1),
+                    lambda i: F.concat_ws(" ", F.slice("toks", i, 2)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("gram"),
+    ).select(
+        "doc_id",
+        "lang",
+        F.pmod(md5_lower64(F.col("gram")), F.lit(_DSIR_B)).cast("int").alias("b"),
+    )
+    hist = grams.groupBy("b").agg(
+        F.count("*").alias("cs"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("ct"),
+    )
+    w_all = Window.partitionBy()
+    ratio = hist.select(
+        "b",
+        (
+            F.log((F.col("ct") + 1).cast("double") / (F.sum("ct").over(w_all) + _DSIR_B))
+            - F.log(
+                (F.col("cs") + 1).cast("double") / (F.sum("cs").over(w_all) + _DSIR_B)
+            )
+        ).alias("lr"),
+    )
+    per_doc = (
+        grams.join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_grams"), F.sum("lr").alias("lw"))
+    )
+    return (
+        per_doc.join(docs.select("doc_id", "lang", "source"), "doc_id")
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.round(F.avg(F.col("lw") / F.col("n_grams")), 6).alias("avg_lw_per_gram"),
+            F.sum(F.when(F.col("lw") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_targetlike"),
+        )
+        .orderBy("lang", "source")
+    )
