@@ -750,3 +750,104 @@ def q292_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q293: greedy k-center coreset (farthest-point diversity selection)
+# ---------------------------------------------------------------------------
+
+_KCENTER_K = 6
+
+
+def _kcenter_oracle(k: int) -> str:
+    """Unrolled DuckDB twin of the greedy farthest-point loop: round r picks
+    the point maximizing its min squared distance to the selected set
+    (tie-break: lowest vec_id), seeded with MIN(vec_id)."""
+    parts = [
+        """WITH dims AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings),
+    sel0 AS (SELECT MIN(vec_id) AS vec_id FROM embeddings),
+    sels1 AS (SELECT vec_id FROM sel0)"""
+    ]
+    for r in range(1, k):
+        parts.append(
+            f""",
+    dist{r} AS (
+        SELECT vec_id, MIN(d2) AS mind2 FROM (
+            SELECT d.vec_id, c.vec_id AS cid,
+                   SUM((d.x - c.x) * (d.x - c.x)) AS d2
+            FROM dims d JOIN dims c ON d.pos = c.pos
+            WHERE c.vec_id IN (SELECT vec_id FROM sels{r})
+            GROUP BY d.vec_id, c.vec_id)
+        GROUP BY vec_id),
+    sel{r} AS (SELECT vec_id FROM dist{r} ORDER BY mind2 DESC, vec_id LIMIT 1),
+    sels{r + 1} AS (SELECT vec_id FROM sels{r}
+                    UNION ALL SELECT vec_id FROM sel{r})"""
+        )
+    rounds = "\n    UNION ALL\n    ".join(
+        ["SELECT 0 AS step, (SELECT vec_id FROM sel0) AS vec_id, CAST(NULL AS DOUBLE) AS radius"]
+        + [
+            f"SELECT {r} AS step, (SELECT vec_id FROM sel{r}) AS vec_id,"
+            f" (SELECT ROUND(sqrt(mind2), 6) FROM dist{r}"
+            f"  WHERE vec_id = (SELECT vec_id FROM sel{r})) AS radius"
+            for r in range(1, k)
+        ]
+    )
+    parts.append(
+        f"""
+    SELECT CAST(step AS INT) AS step, CAST(vec_id AS BIGINT) AS vec_id, radius
+    FROM ({rounds}) ORDER BY step"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "q293_kcenter_coreset",
+    sql=_kcenter_oracle(_KCENTER_K),
+    doc=f"Greedy k-center coreset selection ({_KCENTER_K} rounds of "
+    "farthest-point traversal): each round adds the embedding farthest "
+    "from the already-selected set (min-over-centers squared distance, "
+    "deterministic lowest-vec_id tie-break) -- the classic 2-approximation "
+    "for k-center and the standard diversity-sampling step in coreset- "
+    "based data selection.  `radius` at each step is the covering radius "
+    "the selection achieves, i.e. the k-center objective's trajectory.  "
+    "Plan: per round one linear scan folds distances against a BROADCAST "
+    "<=k-row center frame (array-native zip_with, no explode) and a "
+    "1-row argmax collects to the driver -- selected ids are the only "
+    "driver state (the q270/q124 scripting pattern).  Rounds are "
+    "inherently sequential; per-round cost at 100 TB is one scan.  The "
+    "oracle unrolls the identical loop as chained CTEs.",
+)
+def q293_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda v: v.cast("double")).alias("x")
+    )
+    seed = e.agg(F.min("vec_id")).collect()[0][0]
+    sel = [int(seed)]
+    rows = [(0, sel[0], None)]
+    for r in range(1, _KCENTER_K):
+        cen = F.broadcast(e.filter(F.col("vec_id").isin(sel)).select(F.col("x").alias("cvec")))
+        d2 = F.aggregate(
+            F.zip_with("x", "cvec", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        dmin = (
+            e.crossJoin(cen)
+            .select("vec_id", d2.alias("d2"))
+            .groupBy("vec_id")
+            .agg(F.min("d2").alias("mind2"))
+        )
+        top = (
+            dmin.orderBy(F.col("mind2").desc(), F.col("vec_id").asc())
+            .limit(1)
+            .select("vec_id", F.round(F.sqrt("mind2"), 6).alias("radius"))
+            .collect()[0]
+        )
+        rows.append((r, int(top["vec_id"]), float(top["radius"])))
+        sel.append(int(top["vec_id"]))
+    return spark.createDataFrame(
+        rows, "step int, vec_id bigint, radius double"
+    ).orderBy("step")
