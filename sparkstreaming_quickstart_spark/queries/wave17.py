@@ -702,9 +702,13 @@ def q292_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
     t = tokens("text")
     docs = d.select("doc_id", "lang", "source", t.alias("toks"))
+    # lang/source ride along the gram rows (a few bytes against the gram
+    # string) so the final rollup needs no join back to documents -- the
+    # whole query is two scans of the gram subtree, zero non-broadcast joins.
     grams = docs.select(
         "doc_id",
         "lang",
+        "source",
         F.explode(
             F.when(
                 F.size("toks") >= 2,
@@ -717,6 +721,7 @@ def q292_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id",
         "lang",
+        "source",
         F.pmod(md5_lower64(F.col("gram")), F.lit(_DSIR_B)).cast("int").alias("b"),
     )
     hist = grams.groupBy("b").agg(
@@ -735,12 +740,11 @@ def q292_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per_doc = (
         grams.join(F.broadcast(ratio), "b")
-        .groupBy("doc_id")
+        .groupBy("doc_id", "lang", "source")
         .agg(F.count("*").alias("n_grams"), F.sum("lr").alias("lw"))
     )
     return (
-        per_doc.join(docs.select("doc_id", "lang", "source"), "doc_id")
-        .groupBy("lang", "source")
+        per_doc.groupBy("lang", "source")
         .agg(
             F.count("*").cast("bigint").alias("n_docs"),
             F.round(F.avg(F.col("lw") / F.col("n_grams")), 6).alias("avg_lw_per_gram"),

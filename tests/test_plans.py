@@ -528,3 +528,17 @@ def test_ngram_novelty_final_join_is_on_rollup_frames(spark, sf_dir):
     simple = explain_str(df, "simple")
     assert "CartesianProduct" not in simple, simple
     assert "BatchEvalPython" not in simple, simple
+
+
+def test_dsir_is_two_scans_no_sort_merge(spark, sf_dir):
+    # q292: one gram pass builds both histograms, one builds the per-doc
+    # weights (lang/source ride the gram rows, so there is no join back to
+    # documents) -- exactly two scans, and the only join is the broadcast
+    # 64-row ratio table.
+    from sparkstreaming_quickstart_spark.queries.wave17 import q292_dsir_importance
+
+    df = q292_dsir_importance(spark, sf_dir)
+    simple = explain_str(df, "simple")
+    assert simple.count("Scan parquet") == 2, simple
+    assert "SortMergeJoin" not in simple, simple
+    assert "BatchEvalPython" not in simple, simple
