@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from sparkstreaming_quickstart_spark.queries.wave17 import (
+    q292_dsir_importance,
     q286_fdr_bh_correction,
     q287_cluster_quality,
     q288_leakage_safe_split,
@@ -127,3 +128,33 @@ def test_ngram_novelty_partitions_the_gram_census(spark, sf_dir):
     for src, (inst, novel) in agg.items():
         assert inst == census[src][0], f"{src}: instance total mismatch"
         assert novel == census[src][1], f"{src}: every distinct gram is novel exactly once"
+
+
+def test_wave17_float_paths_are_partition_order_invariant(spark, sf_dir):
+    """The wave-17 queries that sum floats (centroid averages, log-ratio
+    sums, bucket-mean corr) must produce identical normalized results under
+    different shuffle partitionings -- the partition-order sensitivity that
+    the ROUND-6 discipline claims to absorb, exercised directly."""
+    from sparkstreaming_quickstart_spark.oracle import _normalize
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        results = []
+        for n in ("5", "27"):
+            spark.conf.set("spark.sql.shuffle.partitions", n)
+            results.append(
+                {
+                    fn.__name__: _normalize(fn(spark, sf_dir).toPandas())
+                    for fn in (
+                        q287_cluster_quality,
+                        q289_token_budget_curriculum,
+                        q290_acf_lags,
+                        q292_dsir_importance,
+                    )
+                }
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    a, b = results
+    for name in a:
+        assert a[name] == b[name], f"{name} drifts with shuffle partitioning"
