@@ -465,3 +465,24 @@ def connected_components(pairs: DataFrame, max_iter: int = 15) -> DataFrame:
         if changed == 0:
             break
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
+
+
+def md5_mod(c: Column, m: int) -> Column:
+    """`pmod(md5_lower64(c), m)` computed from only the low bytes when `m`
+    is a power of two: the high bytes of the little-endian value contribute
+    exact multiples of `m`, so `hash % m` needs just ceil(log2(m)/8) conv
+    parses instead of md5_lower64's eight -- measured 2x on q292's
+    hash-dominated gram pass.  DuckDB oracles keep the full
+    `md5_number_lower(x) % m` spelling; the values are identical.  Falls
+    back to the full hash for non-power-of-two moduli."""
+    if m > 0 and (m & (m - 1)) == 0:
+        k = max(1, (m.bit_length() - 1 + 7) // 8)
+        h = F.md5(c)
+        parts = [
+            F.shiftleft(
+                F.conv(F.substring(h, 17 + 2 * i, 2), 16, 10).cast("long"), 8 * i
+            )
+            for i in range(k)
+        ]
+        return F.pmod(reduce(Column.bitwiseOR, parts), F.lit(m))
+    return F.pmod(md5_lower64(c), F.lit(m))

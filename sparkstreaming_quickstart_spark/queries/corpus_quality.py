@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.dedup import md5_lower64
+from ..operators.dedup import md5_mod
 from ..sources.catalog import load_table, spread
 from . import register
 
@@ -89,7 +89,7 @@ def _cms_bucket(token, d: int):
     md5_number_lower is unsigned, but 2^64 % width == 0 for any power-of-two
     width, so pmod(signed, width) == unsigned % width exactly.
     """
-    return F.pmod(md5_lower64(F.concat(F.lit(f"{d}:"), token)), F.lit(_CMS_WIDTH))
+    return md5_mod(F.concat(F.lit(f"{d}:"), token), _CMS_WIDTH)
 
 
 @register(

@@ -697,7 +697,7 @@ _DSIR_ORACLE = f"""
     "constants) and their per-doc sum.",
 )
 def q292_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import md5_lower64
+    from ..operators.dedup import md5_mod
 
     d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
     t = tokens("text")
@@ -722,7 +722,10 @@ def q292_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         "source",
-        F.pmod(md5_lower64(F.col("gram")), F.lit(_DSIR_B)).cast("int").alias("b"),
+        # Power-of-two modulus -> md5_mod low-byte fast path (1 conv
+        # instead of 8; measured 2x on this hash-dominated pass).  The
+        # oracle keeps the full md5_number_lower % 64 spelling -- identical.
+        md5_mod(F.col("gram"), _DSIR_B).cast("int").alias("b"),
     )
     hist = grams.groupBy("b").agg(
         F.count("*").alias("cs"),

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.dedup import md5_lower64
+from ..operators.dedup import md5_mod
 from ..sources.catalog import load_table, spread
 from . import register
 from .llm import _jaccard_oracle
@@ -160,12 +160,12 @@ def q168_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(load_table(spark, sf_dir, "documents"))
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
     sgn = F.when(
-        F.pmod(md5_lower64(F.concat(F.lit("s:"), F.col("token"))), F.lit(2)) == 1, 1
+        md5_mod(F.concat(F.lit("s:"), F.col("token")), 2) == 1, 1
     ).otherwise(-1)
     return (
         toks.select(
             "doc_id",
-            F.pmod(md5_lower64(F.col("token")), F.lit(64)).alias("feature_idx"),
+            md5_mod(F.col("token"), 64).alias("feature_idx"),
             sgn.alias("sgn"),
         )
         .groupBy("doc_id", "feature_idx")

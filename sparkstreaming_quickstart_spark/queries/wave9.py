@@ -79,7 +79,7 @@ _RAG_ORACLE = """
     "per-chunk feature agg and the bucket rollup -- no joins anywhere.",
 )
 def q226_rag_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import md5_lower64
+    from ..operators.dedup import md5_mod
 
     d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
     t = tokens("text")
@@ -91,9 +91,11 @@ def q226_rag_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     ct = d.select("doc_id", F.posexplode(t).alias("tpos", "token")).select(
         "doc_id", F.floor(F.col("tpos") / F.lit(32)).cast("int").alias("pos"), "token"
     )
-    fidx = F.pmod(md5_lower64(F.col("token")), F.lit(_RAG_DIMS))
+    # Power-of-two moduli take the md5_mod low-byte fast path (1 conv
+    # instead of 8 per hash; the oracle's md5_number_lower % m is identical).
+    fidx = md5_mod(F.col("token"), _RAG_DIMS)
     sgn = F.when(
-        F.pmod(md5_lower64(F.concat(F.lit("s:"), F.col("token"))), F.lit(2)) == 1, 1
+        md5_mod(F.concat(F.lit("s:"), F.col("token")), 2) == 1, 1
     ).otherwise(-1)
     v = ct.select("doc_id", "pos", fidx.alias("fidx"), sgn.alias("sgn")).groupBy(
         "doc_id", "pos"

@@ -365,3 +365,39 @@ def test_asof_join_forward_and_nearest(spark):
     assert near == {1: 101, 2: 100, 3: 101, 4: 100}
     with pytest.raises(ValueError, match="direction"):
         asof_join(left, right, direction="sideways", **kw)
+
+
+def test_md5_hash_family_matches_duckdb_and_fast_path(spark):
+    """Pins the two cross-engine hash contracts: md5_lower64 equals DuckDB's
+    md5_number_lower byte-for-byte, and md5_mod's power-of-two low-byte fast
+    path equals pmod(md5_lower64, m) for every modulus class in use
+    (2 sign, 8 RAG dims, 64 feature/DSIR buckets, 512 CMS width) plus a
+    non-power-of-two fallback."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from sparkstreaming_quickstart_spark.operators.dedup import md5_lower64, md5_mod
+
+    df = spark.range(500).select(F.concat(F.lit("probe|"), F.col("id")).alias("s"))
+    got = {
+        r["s"]: r["h"]
+        for r in df.select("s", md5_lower64(F.col("s")).alias("h")).collect()
+    }
+    con = duckdb.connect()
+    raw = con.execute(
+        "SELECT 'probe|' || i, md5_number_lower('probe|' || i) FROM range(500) t(i)"
+    ).fetchall()
+    con.close()
+    # DuckDB returns UINT64; Spark longs are the two's-complement view.
+    want = {s: (v - (1 << 64) if v >= (1 << 63) else v) for s, v in raw}
+    assert got == want
+    for m in (2, 8, 64, 512, 100):
+        bad = (
+            df.select(
+                (md5_mod(F.col("s"), m) != F.pmod(md5_lower64(F.col("s")), F.lit(m))).alias("d")
+            )
+            .filter("d")
+            .count()
+        )
+        assert bad == 0, f"md5_mod fast path diverges for m={m}"
