@@ -49,6 +49,9 @@ HEADLINE = [
     "q226_rag_index_build",
     # Wave 10-16 representative (vocab-join shape of the statistics layer)
     "q254_js_divergence",
+    # Wave 17 representative (two-scan hashed-gram shape of the curation
+    # layer; also exercises the md5_mod low-byte fast path)
+    "q292_dsir_importance",
 ]
 # q51 (exact-jaccard brute force) is deliberately NOT headline: it is the
 # O(n^2)-ish correctness baseline; q52 is the scale path over the same data.
