@@ -542,3 +542,36 @@ def test_dsir_is_two_scans_no_sort_merge(spark, sf_dir):
     assert simple.count("Scan parquet") == 2, simple
     assert "SortMergeJoin" not in simple, simple
     assert "BatchEvalPython" not in simple, simple
+
+
+def test_headline_plans_match_committed_audit(spark, sf_dir):
+    # Registry-wide plan baseline: tools/plan_audit.json records every
+    # query's plan-shape metrics; this pins the bench-headline subset so a
+    # helper/session change that silently worsens a headline plan (extra
+    # scan, new sort-merge join, a Python boundary) fails fast.  Regenerate
+    # with `python tools/plan_audit.py` after an intentional plan change.
+    import json
+    import os
+    import sys
+
+    import pytest
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    audit_path = os.path.join(repo, "tools", "plan_audit.json")
+    if not os.path.exists(audit_path):
+        pytest.skip("no committed plan audit")
+    sys.path.insert(0, os.path.join(repo, "tools"))
+    from plan_audit import plan_metrics
+
+    from bench import HEADLINE
+    from sparkstreaming_quickstart_spark.queries import all_queries
+
+    with open(audit_path) as fh:
+        committed = json.load(fh)
+    registry = all_queries()
+    diffs = {}
+    for name in HEADLINE:
+        got = plan_metrics(registry[name].fn(spark, sf_dir))
+        if got != committed.get(name):
+            diffs[name] = {"committed": committed.get(name), "current": got}
+    assert not diffs, f"headline plan drift vs tools/plan_audit.json: {diffs}"
