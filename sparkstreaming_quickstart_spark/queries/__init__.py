@@ -103,6 +103,7 @@ _PRIORITY: list[str] = [
     "q286_fdr_bh_correction", "q287_cluster_quality",
     "q288_leakage_safe_split", "q289_token_budget_curriculum",
     "q290_acf_lags", "q291_ngram_novelty", "q292_dsir_importance",
+    "q294_k_anonymity_generalize",
     "q293_kcenter_coreset",
     "q208_train_val_test_split", "q209_weighted_sample",
     "q210_grouping_sets_api", "q211_stream_window_distinct",

@@ -858,3 +858,84 @@ def q293_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "step int, vec_id bigint, radius double"
     ).orderBy("step")
+
+
+# ---------------------------------------------------------------------------
+# q294: k-anonymity release audit with minimal generalization + l-diversity
+# ---------------------------------------------------------------------------
+
+_KANON_K = 10
+_KANON_L = 3
+_KANON_WIDTHS = (16, 64, 256)  # n_chars generalization lattice, finest first
+
+_KANON_ORACLE = f"""
+    WITH {", ".join(
+        f'''g{w} AS (
+        SELECT lang, n_chars // {w} AS bucket, COUNT(*) AS n_docs,
+               COUNT(DISTINCT source) AS n_sources
+        FROM documents GROUP BY 1, 2),
+    v{w} AS (SELECT count_if(n_docs < {_KANON_K}) AS viol FROM g{w})'''
+        for w in _KANON_WIDTHS)},
+    chosen AS (
+        SELECT CASE
+            WHEN (SELECT viol FROM v16) = 0 THEN 16
+            WHEN (SELECT viol FROM v64) = 0 THEN 64
+            ELSE 256 END AS width)
+    SELECT c.width AS bucket_width, g.lang,
+           CAST(g.bucket AS BIGINT) AS bucket,
+           CAST(g.n_docs AS BIGINT) AS n_docs,
+           CAST(g.n_sources AS BIGINT) AS n_sources,
+           g.n_docs < {_KANON_K} AS at_risk,
+           g.n_sources >= {_KANON_L} AS l_diverse
+    FROM chosen c
+    JOIN (
+        SELECT 16 AS width, * FROM g16
+        UNION ALL SELECT 64, * FROM g64
+        UNION ALL SELECT 256, * FROM g256
+    ) g ON g.width = c.width
+    ORDER BY g.lang, g.bucket
+"""
+
+
+@register(
+    "q294_k_anonymity_generalize",
+    sql=_KANON_ORACLE,
+    doc=f"Data-release governance: k-anonymity (k={_KANON_K}) over the "
+    "quasi-identifiers (lang, doc-length bucket) with full-domain "
+    "generalization -- the length bucket widens through the lattice "
+    f"{_KANON_WIDTHS} until every equivalence class reaches k (the search "
+    "is scale-dependent: sf0.1 satisfies k at width 256, smaller corpora "
+    "stop at the coarsest level with residual at_risk classes) -- plus "
+    f"l-diversity (>= {_KANON_L} distinct sources per class) on the "
+    "sensitive attribute.  The audit a corpus owner runs before "
+    "publishing per-slice statistics or samples.  Plan: one hash-agg per "
+    "tried lattice level (each a few-hundred-row frame), level selection "
+    "on those tiny frames; the driver holds only the chosen width (the "
+    "q270/q124 bounded-state pattern).  All integers -- no float "
+    "anywhere.",
+)
+def q294_k_anonymity_generalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    chosen = None
+    for w in _KANON_WIDTHS:
+        g = d.groupBy(
+            "lang", (F.col("n_chars") / w).cast("long").alias("bucket")
+        ).agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        chosen = (w, g)
+        if w == _KANON_WIDTHS[-1]:
+            break
+        if g.filter(F.col("n_docs") < _KANON_K).limit(1).count() == 0:
+            break
+    width, g = chosen
+    return g.select(
+        F.lit(width).cast("int").alias("bucket_width"),
+        "lang",
+        F.col("bucket").cast("bigint").alias("bucket"),
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("n_sources").cast("bigint").alias("n_sources"),
+        (F.col("n_docs") < _KANON_K).alias("at_risk"),
+        (F.col("n_sources") >= _KANON_L).alias("l_diverse"),
+    ).orderBy("lang", "bucket")
