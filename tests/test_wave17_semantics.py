@@ -158,3 +158,56 @@ def test_wave17_float_paths_are_partition_order_invariant(spark, sf_dir):
     a, b = results
     for name in a:
         assert a[name] == b[name], f"{name} drifts with shuffle partitioning"
+
+
+def test_kcenter_radius_is_monotone_nonincreasing(spark, sf_dir):
+    """Farthest-point property: each added center covers the previous worst
+    point, so the selection radius can only shrink (or stay) as k grows --
+    and the selected ids are distinct."""
+    from sparkstreaming_quickstart_spark.queries.wave17 import q293_kcenter_coreset
+
+    rows = q293_kcenter_coreset(spark, sf_dir).orderBy("step").collect()
+    ids = [r["vec_id"] for r in rows]
+    assert len(ids) == len(set(ids)), "a center was selected twice"
+    radii = [r["radius"] for r in rows[1:]]
+    assert all(r > 0 for r in radii)
+    assert all(a >= b for a, b in zip(radii, radii[1:])), (
+        "covering radius must be non-increasing in k"
+    )
+
+
+def test_kanon_level_is_minimal_and_flags_consistent(spark, sf_dir):
+    """The chosen generalization width must be the FIRST lattice level whose
+    classes all reach k (or the coarsest); at_risk/l_diverse flags must
+    restate the counts."""
+    from pyspark.sql import functions as F
+
+    from sparkstreaming_quickstart_spark.queries.wave17 import (
+        _KANON_K,
+        _KANON_L,
+        _KANON_WIDTHS,
+        q294_k_anonymity_generalize,
+    )
+    from sparkstreaming_quickstart_spark.sources.catalog import load_table
+
+    rows = q294_k_anonymity_generalize(spark, sf_dir).collect()
+    width = rows[0]["bucket_width"]
+    for r in rows:
+        assert r["at_risk"] == (r["n_docs"] < _KANON_K)
+        assert r["l_diverse"] == (r["n_sources"] >= _KANON_L)
+    d = load_table(spark, sf_dir, "documents")
+
+    def violations(w):
+        return (
+            d.groupBy("lang", (F.col("n_chars") / w).cast("long"))
+            .count()
+            .filter(F.col("count") < _KANON_K)
+            .count()
+        )
+
+    finer = [w for w in _KANON_WIDTHS if w < width]
+    assert all(violations(w) > 0 for w in finer), (
+        "a finer level already satisfied k; the search is not minimal"
+    )
+    if width != _KANON_WIDTHS[-1]:
+        assert violations(width) == 0
