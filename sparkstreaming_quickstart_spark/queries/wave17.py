@@ -44,9 +44,9 @@ _FDR_ORACLE = f"""
     z AS (
         SELECT g.event_type, g.n, t.m,
                (CAST(g.s AS DOUBLE) / g.n - CAST(t.ts - g.s AS DOUBLE) / (t.tn - g.n))
-               / sqrt(((g.ss - CAST(g.s AS DOUBLE) * g.s / g.n) / (g.n - 1)) / g.n
+               / NULLIF(sqrt(((g.ss - CAST(g.s AS DOUBLE) * g.s / g.n) / (g.n - 1)) / g.n
                       + (((t.tss - g.ss) - CAST(t.ts - g.s AS DOUBLE) * (t.ts - g.s)
-                          / (t.tn - g.n)) / (t.tn - g.n - 1)) / (t.tn - g.n)) AS z
+                          / (t.tn - g.n)) / (t.tn - g.n - 1)) / (t.tn - g.n)), 0) AS z
         FROM g CROSS JOIN t),
     p AS (
         SELECT event_type, n, m, z,
@@ -114,7 +114,11 @@ def q286_fdr_bh_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("tss") - F.col("ss"))
         - (F.col("ts") - F.col("s")).cast("double") * (F.col("ts") - F.col("s")) / rest_n
     ) / (rest_n - 1)
-    z = (mean_g - mean_r) / F.sqrt(var_g / F.col("n") + var_r / rest_n)
+    # NULLIF on the degenerate all-constant case (README float rule #4):
+    # both engines emit NULL, never NaN, when every value in both arms ties.
+    z = (mean_g - mean_r) / F.nullif(
+        F.sqrt(var_g / F.col("n") + var_r / rest_n), F.lit(0.0)
+    )
     p = F.least(
         F.lit(1.0), 2.0 * F.exp(-0.717 * F.abs(z) - 0.416 * z * z)
     )
