@@ -82,12 +82,22 @@ def test_priority_head_targets_unchecked_queries():
             checked.update(json.load(fh).keys())
     registered = set(all_queries())
     unchecked = registered - checked
-    if len(unchecked) < 50:
-        pytest.skip(f"only {len(unchecked)} unchecked entries remain")
-    head = _PRIORITY[:50]
+    if not unchecked:
+        pytest.skip("every registered query is driver-proven")
+    # With fewer unchecked entries than the 50-query sample, they must ALL
+    # sit at the head (the sample then finishes the proof in one round);
+    # otherwise the head-50 must be entirely unproven work.
+    head_len = min(50, len(unchecked))
+    head = _PRIORITY[:head_len]
     stale = [name for name in head if name in checked]
     assert not stale, (
-        f"_PRIORITY head-50 contains {len(stale)} already-driver-checked "
-        f"queries (e.g. {stale[:5]}); rotate them to the tail so the next "
-        "driver sample lands on unproven entries"
+        f"_PRIORITY head-{head_len} contains {len(stale)} already-driver-"
+        f"checked queries (e.g. {stale[:5]}); rotate them to the tail so the "
+        "next driver sample lands on unproven entries"
     )
+    if len(unchecked) < 50:
+        assert set(head) == unchecked, (
+            "fewer than 50 unchecked entries remain but the priority head "
+            "does not front-load exactly those; rotate so one driver sample "
+            "completes the proof"
+        )
