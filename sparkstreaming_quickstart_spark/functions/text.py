@@ -63,3 +63,19 @@ def token_chunks(text: Column | str, window: int = 32, stride: int = 24) -> Colu
             F.size(F.slice(t, st, window)).alias("n_chunk_tokens"),
         ),
     )
+
+
+def ngram_instances(toks: Column | str, n: int = 3) -> Column:
+    """ALL n-gram instances (duplicates kept, unlike word_shingles) over a
+    TOKEN-ARRAY column, as 'w1 .. wn' strings; arrays shorter than n yield
+    an empty array, so a following explode drops those rows.  One guarded
+    transform -- no Python, composes inside a single projection.  Callers
+    starting from raw text pass `tokens(text_col)`."""
+    t = F.col(toks) if isinstance(toks, str) else toks
+    return F.when(
+        F.size(t) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))

@@ -486,3 +486,17 @@ def md5_mod(c: Column, m: int) -> Column:
         ]
         return F.pmod(reduce(Column.bitwiseOR, parts), F.lit(m))
     return F.pmod(md5_lower64(c), F.lit(m))
+
+
+def md5_bucket(c: Column, salt: str, mod: int) -> Column:
+    """The stable-bucketing contract (q208's split discipline): bucket =
+    first-8-hex-digits of md5(salt || value) as an integer, mod `mod`.
+    Pure function of (salt, value) -- stable under reruns, re-partitioning,
+    and corpus growth; the salt versions the assignment.  DuckDB replay:
+    `CAST('0x' || substr(md5('<salt>' || col), 1, 8) AS BIGINT) % <mod>`."""
+    return (
+        F.conv(F.substring(F.md5(F.concat(F.lit(salt), c)), 1, 8), 16, 10).cast(
+            "bigint"
+        )
+        % mod
+    )

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import tokens
+from ..functions.text import ngram_instances, tokens
 from ..sources.catalog import load_table
 from . import register
 
@@ -332,13 +332,10 @@ def q288_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("rep"), F.count("*").alias("n_docs")
     )
 
+    from ..operators.dedup import md5_bucket
+
     def bucket(col):
-        return (
-            F.conv(
-                F.substring(F.md5(F.concat(F.lit("lsplit|"), col)), 1, 8), 16, 10
-            ).cast("bigint")
-            % 100
-        )
+        return md5_bucket(col, "lsplit|", 100)
 
     assigned = d.join(reps, "gid").select(
         "doc_id",
@@ -393,18 +390,18 @@ _CURRICULUM_ORACLE = """
     WITH per_doc AS (
         SELECT source,
                len(string_split(text, ' ')) AS tok,
-               CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-                   / len(string_split(text, ' ')) AS ratio
+               len(list_distinct(string_split(text, ' '))) * 1000000
+                   // len(string_split(text, ' ')) AS ppm
         FROM documents WHERE length(text) > 0),
     per_source AS (
         SELECT source, COUNT(*) AS n_docs,
                SUM(CAST(tok AS BIGINT)) AS tokens,
-               AVG(ratio) AS quality
+               SUM(CAST(ppm AS BIGINT)) AS sum_ppm
         FROM per_doc GROUP BY source),
     ranked AS (
-        SELECT source, n_docs, tokens, quality,
-               ROW_NUMBER() OVER (ORDER BY quality DESC, source) AS rnk,
-               SUM(tokens) OVER (ORDER BY quality DESC, source
+        SELECT source, n_docs, tokens, sum_ppm,
+               ROW_NUMBER() OVER (ORDER BY sum_ppm * 1.0 / n_docs DESC, source) AS rnk,
+               SUM(tokens) OVER (ORDER BY sum_ppm * 1.0 / n_docs DESC, source
                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                    AS cum_tokens,
                SUM(tokens) OVER () AS total_tokens
@@ -413,7 +410,7 @@ _CURRICULUM_ORACLE = """
            CAST(n_docs AS BIGINT) AS n_docs,
            CAST(tokens AS BIGINT) AS tokens,
            CAST(cum_tokens AS BIGINT) AS cum_tokens,
-           ROUND(quality, 6) AS quality,
+           ROUND(sum_ppm / 1000000.0 / n_docs, 6) AS quality,
            cum_tokens * 10 <= total_tokens * 6 AS selected
     FROM ranked ORDER BY rnk
 """
@@ -426,26 +423,33 @@ _CURRICULUM_ORACLE = """
     "(mean distinct-token ratio -- repetitive sources score low), and the "
     "highest-quality sources are selected greedily until the cumulative "
     "token count exceeds 60% of the corpus -- the 'which sources fill the "
-    "training budget' decision.  The selection predicate is pure integer "
-    "arithmetic (cum*10 <= total*6), so no float threshold can drift "
-    "between engines; quality is float only in the displayed column.  "
+    "training budget' decision.  Both the selection predicate (cum*10 <= "
+    "total*6) and the RANKING statistic (integer PPM sums, one exact-int "
+    "division) are engine-exact -- no float threshold or float ordering "
+    "can drift between engines.  "
     "Plan: one per-source hash-agg over a narrow projection, then windows "
     "on the |sources|-sized frame.",
 )
 def q289_token_budget_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
     t = tokens("text")
+    # Per-doc quality floors to integer PPM so the ORDER-BEARING statistic
+    # (sum_ppm, and sum_ppm/n_docs as one exact-int division) is identical
+    # in both engines -- ranking on an unrounded float mean would let
+    # summation-order noise flip near-tied sources (README float rule #2
+    # applied to an ordering, not just an output).
     per_doc = d.select(
         "source",
         F.size(t).alias("tok"),
-        (F.size(F.array_distinct(t)).cast("double") / F.size(t)).alias("ratio"),
+        F.floor(F.size(F.array_distinct(t)) * 1000000 / F.size(t)).alias("ppm"),
     )
     per_source = per_doc.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.sum(F.col("tok").cast("bigint")).alias("tokens"),
-        F.avg("ratio").alias("quality"),
+        F.sum(F.col("ppm").cast("bigint")).alias("sum_ppm"),
     )
-    w_order = Window.orderBy(F.col("quality").desc(), "source")
+    qkey = F.col("sum_ppm") * 1.0 / F.col("n_docs")
+    w_order = Window.orderBy(qkey.desc(), "source")
     w_cum = w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     w_all = Window.partitionBy()
     ranked = per_source.select(
@@ -454,7 +458,7 @@ def q289_token_budget_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         "tokens",
         F.sum("tokens").over(w_cum).alias("cum_tokens"),
-        "quality",
+        "sum_ppm",
         F.sum("tokens").over(w_all).alias("total_tokens"),
     )
     return ranked.select(
@@ -463,7 +467,7 @@ def q289_token_budget_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_docs").cast("bigint").alias("n_docs"),
         F.col("tokens").cast("bigint").alias("tokens"),
         F.col("cum_tokens").cast("bigint").alias("cum_tokens"),
-        F.round("quality", 6).alias("quality"),
+        F.round(F.col("sum_ppm") / 1000000.0 / F.col("n_docs"), 6).alias("quality"),
         (F.col("cum_tokens") * 10 <= F.col("total_tokens") * 6).alias("selected"),
     ).orderBy("rnk")
 
@@ -599,8 +603,12 @@ _NOVELTY_ORACLE = """
     "sources x 10 frame.  Exact integer counts; one final division.",
 )
 def q291_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
-    maxid = d.agg((F.max("doc_id") + 1).alias("maxid"))
+    full = load_table(spark, sf_dir, "documents")
+    d = full.filter(F.length("text") > 0)
+    # Decile bounds come from the UNFILTERED table (mirroring the oracle's
+    # mx CTE): if the highest doc_id happened to carry empty text, deriving
+    # maxid post-filter would shift every decile.
+    maxid = full.agg((F.max("doc_id") + 1).alias("maxid"))
     t = tokens("text")
     docs = d.crossJoin(F.broadcast(maxid)).select(
         "source",
@@ -610,17 +618,7 @@ def q291_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.alias("toks"),
     )
     grams = docs.select(
-        "source",
-        "decile",
-        F.explode(
-            F.when(
-                F.size("toks") >= 3,
-                F.transform(
-                    F.sequence(F.lit(1), F.size("toks") - 2),
-                    lambda i: F.concat_ws(" ", F.slice("toks", i, 3)),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("ngram"),
+        "source", "decile", F.explode(ngram_instances("toks", 3)).alias("ngram")
     )
     inst = grams.groupBy("source", "decile").agg(F.count("*").alias("instances"))
     firsts = grams.groupBy("source", "ngram").agg(F.min("decile").alias("first_decile"))
@@ -713,15 +711,7 @@ def q292_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         "source",
-        F.explode(
-            F.when(
-                F.size("toks") >= 2,
-                F.transform(
-                    F.sequence(F.lit(1), F.size("toks") - 1),
-                    lambda i: F.concat_ws(" ", F.slice("toks", i, 2)),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("gram"),
+        F.explode(ngram_instances("toks", 2)).alias("gram"),
     ).select(
         "doc_id",
         "lang",
@@ -793,7 +783,8 @@ def _kcenter_oracle(k: int) -> str:
             WHERE c.vec_id IN (SELECT vec_id FROM sels{r})
             GROUP BY d.vec_id, c.vec_id)
         GROUP BY vec_id),
-    sel{r} AS (SELECT vec_id FROM dist{r} ORDER BY mind2 DESC, vec_id LIMIT 1),
+    sel{r} AS (SELECT vec_id FROM dist{r}
+               ORDER BY ROUND(mind2, 9) DESC, vec_id LIMIT 1),
     sels{r + 1} AS (SELECT vec_id FROM sels{r}
                     UNION ALL SELECT vec_id FROM sel{r})"""
         )
@@ -851,8 +842,11 @@ def q293_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("vec_id")
             .agg(F.min("d2").alias("mind2"))
         )
+        # Argmax on ROUND(mind2, 9): sub-ulp summation-order differences
+        # between the fold and the oracle's grouped sum could otherwise
+        # out-rank the vec_id tie-break on exactly-equidistant points.
         top = (
-            dmin.orderBy(F.col("mind2").desc(), F.col("vec_id").asc())
+            dmin.orderBy(F.round("mind2", 9).desc(), F.col("vec_id").asc())
             .limit(1)
             .select("vec_id", F.round(F.sqrt("mind2"), 6).alias("radius"))
             .collect()[0]
@@ -912,34 +906,66 @@ _KANON_ORACLE = f"""
     "stop at the coarsest level with residual at_risk classes) -- plus "
     f"l-diversity (>= {_KANON_L} distinct sources per class) on the "
     "sensitive attribute.  The audit a corpus owner runs before "
-    "publishing per-slice statistics or samples.  Plan: one hash-agg per "
-    "tried lattice level (each a few-hundred-row frame), level selection "
-    "on those tiny frames; the driver holds only the chosen width (the "
-    "q270/q124 bounded-state pattern).  All integers -- no float "
-    "anywhere.",
+    "publishing per-slice statistics or samples.  Plan: ONE corpus scan "
+    "computes every lattice level's class census (per-doc explode into 3 "
+    "bucket rows, one hash-agg); level selection and the report run on "
+    "the collected few-hundred-row frames (bounded driver state, the "
+    "q270/q124 pattern).  All integers -- no float anywhere.",
 )
 def q294_k_anonymity_generalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ONE corpus scan computes every lattice level's class census at once
+    # (explode the doc into its 3 per-level bucket rows, then a single
+    # (width, lang, bucket) hash-agg); the level choice and the report then
+    # operate on the collected few-hundred-row frames -- bounded driver
+    # state, the q293/q270 pattern.  The earlier per-level probe-and-retry
+    # spelling scanned documents once per tried level plus once more for
+    # the winner's re-execution.
     d = load_table(spark, sf_dir, "documents")
-    chosen = None
-    for w in _KANON_WIDTHS:
-        g = d.groupBy(
-            "lang", (F.col("n_chars") / w).cast("long").alias("bucket")
-        ).agg(
+    leveled = d.select(
+        "lang",
+        "source",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(w).alias("width"),
+                        (F.col("n_chars") / w).cast("long").alias("bucket"),
+                    )
+                    for w in _KANON_WIDTHS
+                ]
+            )
+        ).alias("lv"),
+    )
+    census = (
+        leveled.groupBy("lv.width", "lang", "lv.bucket")
+        .agg(
             F.count("*").alias("n_docs"),
             F.countDistinct("source").alias("n_sources"),
         )
-        chosen = (w, g)
-        if w == _KANON_WIDTHS[-1]:
-            break
-        if g.filter(F.col("n_docs") < _KANON_K).limit(1).count() == 0:
-            break
-    width, g = chosen
-    return g.select(
-        F.lit(width).cast("int").alias("bucket_width"),
-        "lang",
-        F.col("bucket").cast("bigint").alias("bucket"),
-        F.col("n_docs").cast("bigint").alias("n_docs"),
-        F.col("n_sources").cast("bigint").alias("n_sources"),
-        (F.col("n_docs") < _KANON_K).alias("at_risk"),
-        (F.col("n_sources") >= _KANON_L).alias("l_diverse"),
+        .collect()
+    )
+    violations = {w: 0 for w in _KANON_WIDTHS}
+    for r in census:
+        if r["n_docs"] < _KANON_K:
+            violations[r["width"]] += 1
+    width = next(
+        (w for w in _KANON_WIDTHS if violations[w] == 0), _KANON_WIDTHS[-1]
+    )
+    rows = [
+        (
+            int(width),
+            r["lang"],
+            int(r["bucket"]),
+            int(r["n_docs"]),
+            int(r["n_sources"]),
+            r["n_docs"] < _KANON_K,
+            r["n_sources"] >= _KANON_L,
+        )
+        for r in census
+        if r["width"] == width
+    ]
+    return spark.createDataFrame(
+        rows,
+        "bucket_width int, lang string, bucket bigint, n_docs bigint, "
+        "n_sources bigint, at_risk boolean, l_diverse boolean",
     ).orderBy("lang", "bucket")

@@ -473,14 +473,9 @@ def q207_dynamic_session_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q208_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(
-            F.substring(F.md5(F.concat(F.lit("split42|"), F.col("doc_id"))), 1, 8),
-            16,
-            10,
-        ).cast("bigint")
-        % 100
-    ).cast("int")
+    from ..operators.dedup import md5_bucket
+
+    bucket = md5_bucket(F.col("doc_id"), "split42|", 100).cast("int")
     split = (
         F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
     )

@@ -272,15 +272,10 @@ def q228_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q229_ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
+    from ..operators.dedup import md5_bucket
+
     variant = F.when(
-        F.conv(
-            F.substring(F.md5(F.concat(F.lit("exp1|"), F.col("user_id"))), 1, 8),
-            16,
-            10,
-        ).cast("bigint")
-        % 2
-        == 0,
-        "control",
+        md5_bucket(F.col("user_id"), "exp1|", 2) == 0, "control"
     ).otherwise("treatment")
     assigned = (
         e.select("user_id", variant.alias("variant"), ((F.col("event_type") == "purchase") & (F.col("value") >= 150.0)).cast("int").alias("p"))
@@ -1469,15 +1464,10 @@ def q243_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q244_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
+    from ..operators.dedup import md5_bucket
+
     variant = F.when(
-        F.conv(
-            F.substring(F.md5(F.concat(F.lit("exp1|"), F.col("user_id"))), 1, 8),
-            16,
-            10,
-        ).cast("bigint")
-        % 2
-        == 0,
-        "control",
+        md5_bucket(F.col("user_id"), "exp1|", 2) == 0, "control"
     ).otherwise("treatment")
     arms = (
         e.select(variant.alias("variant"), "value")

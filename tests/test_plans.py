@@ -561,10 +561,17 @@ def test_headline_plans_match_committed_audit(spark, sf_dir):
     if not os.path.exists(audit_path):
         pytest.skip("no committed plan audit")
     sys.path.insert(0, os.path.join(repo, "tools"))
+    from plan_audit import SF_DIR as AUDIT_SF_DIR
     from plan_audit import plan_metrics
 
     from bench import HEADLINE
     from sparkstreaming_quickstart_spark.queries import all_queries
+
+    if os.path.realpath(sf_dir) != os.path.realpath(AUDIT_SF_DIR):
+        pytest.skip(
+            f"test sf_dir {sf_dir} != audit baseline sf_dir {AUDIT_SF_DIR}; "
+            "size-dependent join strategies would differ legitimately"
+        )
 
     with open(audit_path) as fh:
         committed = json.load(fh)
