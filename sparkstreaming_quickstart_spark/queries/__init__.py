@@ -56,36 +56,16 @@ def oracle_sql() -> dict[str, str]:
 _LOADED = False
 
 # The driver samples the FIRST 50 registered queries per round for its
-# CORRECTNESS report.  Rounds 1-4 cumulatively hash-checked 197 of the 280
-# entries (r4's sample = waves 8-10, q208-q259, all green).  This round-5
-# ordering front-loads the 83 never-driver-checked entries per the round-4
-# verdict: waves 11-16 (q260-q285), the round-2 TPC-H shapes (q115-q120),
-# then the q126-q182 stragglers, with every previously-green entry rotated
-# to the tail so each driver sample lands on unproven work until the whole
-# registry is driver-proof.  tests/test_coverage_doc.py guards this: the
-# head-50 must not intersect committed CORRECTNESS_r*.json keys while >=50
-# unchecked entries remain.
+# CORRECTNESS report.  Rounds 1-5 cumulatively hash-checked 247 of the 289
+# entries (r5's sample covered waves 11-16, the round-2 TPC-H shapes and the
+# q126-q144 block, all green).  This round-6 ordering front-loads the final
+# 42 never-driver-checked entries (the q149-q182 stragglers + wave 17
+# q286-q294), so ONE driver sample completes the registry-wide proof; every
+# previously-green entry is rotated to the tail.  tests/test_coverage_doc.py
+# guards this: with fewer than 50 unchecked entries remaining, the head must
+# be exactly that set.
 _PRIORITY: list[str] = [
-    "q260_fpgrowth_itemsets", "q261_hapax_share", "q262_exponential_gof",
-    "q263_twap", "q264_ohlc_bars", "q265_ir_eval", "q266_stream_psi_drift",
-    "q267_mahalanobis_outliers", "q268_prefixspan_sequences",
-    "q269_behavior_trigrams", "q270_bpe_merges", "q271_stream_user_topk",
-    "q272_multimodal_audio_energy", "q273_join_cardinality_audit",
-    "q274_blocking_recall_eval", "q275_lateness_profile",
-    "q276_diff_in_diff", "q277_experiment_power", "q278_mad_robust_scale",
-    "q279_kendall_tau", "q280_spearman_rho", "q281_mutual_information",
-    "q282_distribution_reweight", "q283_conformal_interval",
-    "q284_asof_forward", "q285_asof_nearest", "q115_tpch_q2_min_cost",
-    "q116_tpch_q9_profit", "q117_tpch_q11_important_stock",
-    "q118_tpch_q16_supplier_cnt", "q119_tpch_q20_promotion",
-    "q120_tpch_q21_waiting", "q126_bigram_lm", "q127_winsorized_stats",
-    "q128_hll_sketch_union", "q129_pagerank_neardup",
-    "q130_multimodal_resize", "q131_variant_json", "q132_approx_top_k",
-    "q133_collation_group", "q134_xml_decode", "q135_timeseries_gapfill",
-    "q136_anomaly_zscore", "q137_similarity_topk_int8", "q138_scd2_orders",
-    "q139_decontaminate", "q140_repetition_score", "q141_token_shards",
-    "q142_token_pmi", "q144_data_card", "q149_funnel_steps",
-    "q150_retention_cohorts", "q151_fuzzy_title_join",
+    "q149_funnel_steps", "q150_retention_cohorts", "q151_fuzzy_title_join",
     "q153_regr_aggregates", "q154_listagg_median", "q155_doc_perplexity",
     "q156_random_projection", "q157_countmin_heavy_hitters",
     "q158_corpus_dup_ngrams", "q159_stream_chained_windows",
@@ -98,18 +78,33 @@ _PRIORITY: list[str] = [
     "q177_foreachbatch_upsert", "q178_brp_lsh_euclidean",
     "q179_stream_stream_full_outer", "q180_generators_xml",
     "q181_mllib_summarizer", "q182_width_bucket_histogram",
-    # Wave 17 (round 5, never driver-checked yet): queued directly behind
-    # the pre-existing unchecked block so the round-6 rotation picks them up.
     "q286_fdr_bh_correction", "q287_cluster_quality",
     "q288_leakage_safe_split", "q289_token_budget_curriculum",
     "q290_acf_lags", "q291_ngram_novelty", "q292_dsir_importance",
-    "q294_k_anonymity_generalize",
-    "q293_kcenter_coreset",
-    "q208_train_val_test_split", "q209_weighted_sample",
-    "q210_grouping_sets_api", "q211_stream_window_distinct",
-    "q212_sql_pipe_syntax", "q213_dq_checks", "q214_column_profile",
-    "q215_binned_interval_join", "q216_variant_explode",
-    "q217_market_basket", "q218_transition_matrix",
+    "q294_k_anonymity_generalize", "q293_kcenter_coreset",
+    "q260_fpgrowth_itemsets", "q261_hapax_share", "q262_exponential_gof",
+    "q263_twap", "q264_ohlc_bars", "q265_ir_eval", "q266_stream_psi_drift",
+    "q267_mahalanobis_outliers", "q268_prefixspan_sequences",
+    "q269_behavior_trigrams", "q270_bpe_merges", "q271_stream_user_topk",
+    "q272_multimodal_audio_energy", "q273_join_cardinality_audit",
+    "q274_blocking_recall_eval", "q275_lateness_profile", "q276_diff_in_diff",
+    "q277_experiment_power", "q278_mad_robust_scale", "q279_kendall_tau",
+    "q280_spearman_rho", "q281_mutual_information",
+    "q282_distribution_reweight", "q283_conformal_interval",
+    "q284_asof_forward", "q285_asof_nearest", "q115_tpch_q2_min_cost",
+    "q116_tpch_q9_profit", "q117_tpch_q11_important_stock",
+    "q118_tpch_q16_supplier_cnt", "q119_tpch_q20_promotion",
+    "q120_tpch_q21_waiting", "q126_bigram_lm", "q127_winsorized_stats",
+    "q128_hll_sketch_union", "q129_pagerank_neardup",
+    "q130_multimodal_resize", "q131_variant_json", "q132_approx_top_k",
+    "q133_collation_group", "q134_xml_decode", "q135_timeseries_gapfill",
+    "q136_anomaly_zscore", "q137_similarity_topk_int8", "q138_scd2_orders",
+    "q139_decontaminate", "q140_repetition_score", "q141_token_shards",
+    "q142_token_pmi", "q144_data_card", "q208_train_val_test_split",
+    "q209_weighted_sample", "q210_grouping_sets_api",
+    "q211_stream_window_distinct", "q212_sql_pipe_syntax", "q213_dq_checks",
+    "q214_column_profile", "q215_binned_interval_join",
+    "q216_variant_explode", "q217_market_basket", "q218_transition_matrix",
     "q219_keyset_pagination", "q220_classifier_eval", "q221_benford_digits",
     "q222_tfidf_cosine_pairs", "q223_session_entry_exit",
     "q224_record_linkage", "q225_golden_record", "q226_rag_index_build",
@@ -122,10 +117,9 @@ _PRIORITY: list[str] = [
     "q244_welch_ttest", "q245_seasonality_profile", "q246_user_trend",
     "q247_calibration_curve", "q250_ks_test", "q251_mannwhitney_u",
     "q252_anova_f", "q253_cohens_kappa", "q254_js_divergence",
-    "q255_ewma_smooth", "q256_cusum_changepoint",
-    "q257_tokenizer_fertility", "q258_corpus_entropy",
-    "q259_quantile_normalize", "q50_dedup_exact", "q51_dedup_jaccard_exact",
-    "q52_dedup_minhash_lsh", "q53_dedup_simhash",
+    "q255_ewma_smooth", "q256_cusum_changepoint", "q257_tokenizer_fertility",
+    "q258_corpus_entropy", "q259_quantile_normalize", "q50_dedup_exact",
+    "q51_dedup_jaccard_exact", "q52_dedup_minhash_lsh", "q53_dedup_simhash",
     "q65_dedup_embedding_cosine", "q114_dedup_embedding_exact",
     "q54_similarity_topk", "q55_similarity_ann_lsh", "q56_text_stats",
     "q57_text_quality", "q58_text_langid", "q59_text_fingerprint",
@@ -135,8 +129,8 @@ _PRIORITY: list[str] = [
     "q111_label_centroids", "q70_stream_tumbling", "q71_stream_sliding",
     "q72_stream_dedup", "q75_stream_static_join",
     "q74_stream_stateful_counts", "q73_stream_stream_join",
-    "q84_stream_session_window", "q24_agg_approx_distinct",
-    "q27_agg_collect", "q69_agg_approx_percentile", "q68_scalar_extras",
+    "q84_stream_session_window", "q24_agg_approx_distinct", "q27_agg_collect",
+    "q69_agg_approx_percentile", "q68_scalar_extras",
     "q77_json_roundtrip_zip", "q102_array_set_algebra",
     "q87_stratified_sample", "q88_freq_items", "q64_similarity_ivf",
     "q09_multiset_ops", "q36_percentiles", "q121_tfidf",
@@ -146,37 +140,34 @@ _PRIORITY: list[str] = [
     "q148_embedding_gram", "q152_stream_global_topk", "q143_dataset_mixing",
     "q01_pricing_summary", "q02_filter_project", "q03_sort_limit",
     "q04_distinct", "q05_set_ops", "q06_tpch_q3_shipping",
-    "q07_tpch_q5_local_supplier", "q08_tpch_q6_forecast",
-    "q63_udtf_tokenize", "q80_tpch_q10_returns",
-    "q81_tpch_q13_order_counts", "q82_tpch_q14_promo",
-    "q83_tpch_q18_large_orders", "q93_tpch_q4_priority",
-    "q94_tpch_q7_volume", "q95_tpch_q8_market_share",
-    "q96_tpch_q12_late_lines", "q97_tpch_q15_top_supplier",
-    "q98_tpch_q17_small_qty", "q99_tpch_q19_disjunctive",
-    "q100_tpch_q22_idle_customers", "q10_join_inner", "q11_join_multiway",
-    "q12_join_left_outer", "q13_join_semi", "q14_join_anti",
-    "q15_join_theta", "q16_join_range", "q17_join_cross", "q18_join_asof",
-    "q20_agg_groupby", "q21_agg_rollup", "q22_agg_cube", "q23_agg_having",
-    "q25_agg_stats", "q67_agg_moments", "q26_agg_corr", "q28_agg_minmax_by",
-    "q29_grouping_sets", "q35_session_window_builtin", "q37_pivot",
-    "q38_scalar_subquery", "q46_map_funcs", "q47_higher_order",
-    "q48_pandas_udf", "q49_grouped_map", "q79_grouped_agg_udaf",
-    "q30_window_topk", "q31_window_ranks", "q32_window_running",
-    "q33_window_frame", "q34_session_windows", "q66_window_distribution",
-    "q90_window_range_frame", "q106_window_nth_value", "q40_string_funcs",
-    "q41_date_funcs", "q42_math_conditional", "q43_array_funcs",
-    "q44_json_funcs", "q45_explode_posexplode", "q62_from_json_struct",
-    "q91_explode_outer", "q92_unpivot", "q101_hash_encode",
-    "q103_struct_ops", "q104_date_extras", "q105_math_bitwise",
-    "q107_higher_order_predicates", "q108_regexp_extras",
+    "q07_tpch_q5_local_supplier", "q08_tpch_q6_forecast", "q63_udtf_tokenize",
+    "q80_tpch_q10_returns", "q81_tpch_q13_order_counts", "q82_tpch_q14_promo",
+    "q83_tpch_q18_large_orders", "q93_tpch_q4_priority", "q94_tpch_q7_volume",
+    "q95_tpch_q8_market_share", "q96_tpch_q12_late_lines",
+    "q97_tpch_q15_top_supplier", "q98_tpch_q17_small_qty",
+    "q99_tpch_q19_disjunctive", "q100_tpch_q22_idle_customers",
+    "q10_join_inner", "q11_join_multiway", "q12_join_left_outer",
+    "q13_join_semi", "q14_join_anti", "q15_join_theta", "q16_join_range",
+    "q17_join_cross", "q18_join_asof", "q20_agg_groupby", "q21_agg_rollup",
+    "q22_agg_cube", "q23_agg_having", "q25_agg_stats", "q67_agg_moments",
+    "q26_agg_corr", "q28_agg_minmax_by", "q29_grouping_sets",
+    "q35_session_window_builtin", "q37_pivot", "q38_scalar_subquery",
+    "q46_map_funcs", "q47_higher_order", "q48_pandas_udf", "q49_grouped_map",
+    "q79_grouped_agg_udaf", "q30_window_topk", "q31_window_ranks",
+    "q32_window_running", "q33_window_frame", "q34_session_windows",
+    "q66_window_distribution", "q90_window_range_frame",
+    "q106_window_nth_value", "q40_string_funcs", "q41_date_funcs",
+    "q42_math_conditional", "q43_array_funcs", "q44_json_funcs",
+    "q45_explode_posexplode", "q62_from_json_struct", "q91_explode_outer",
+    "q92_unpivot", "q101_hash_encode", "q103_struct_ops", "q104_date_extras",
+    "q105_math_bitwise", "q107_higher_order_predicates", "q108_regexp_extras",
     "q112_recursive_cte_spine", "q113_lateral_topk", "q183_c4_span_dedup",
     "q184_gopher_quality", "q185_containment_neardup", "q186_semdedup",
     "q187_table_checksum", "q188_snapshot_diff", "q189_mode_countif",
     "q190_window_median", "q191_bm25_search", "q192_inverted_index",
     "q193_contiguous_ids", "q194_ntile_binning", "q195_map_hof",
-    "q196_aes_roundtrip", "q197_zorder_layout",
-    "q198_window_count_distinct", "q199_corr_matrix",
-    "q200_corpus_pipeline_v2", "q201_calendar_extras",
+    "q196_aes_roundtrip", "q197_zorder_layout", "q198_window_count_distinct",
+    "q199_corr_matrix", "q200_corpus_pipeline_v2", "q201_calendar_extras",
     "q202_udtf_table_arg", "q203_incremental_dedup", "q204_string_extras",
     "q205_transpose", "q206_asof_tolerance", "q207_dynamic_session_gap",
 ]
