@@ -23,6 +23,8 @@ extensions (SURVEY.md section 2.B, LLM-data-pipeline rows).
 
 from __future__ import annotations
 
+from fractions import Fraction
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -207,9 +209,12 @@ _CONTAIN_T = 0.8
     "union term dilutes the score.  Scale path: candidates come from a "
     "LOSSLESS rarest-first prefix filter (PPJoin family): shingles are "
     "ranked per-doc by ascending global document frequency and only the "
-    f"first floor((1-{_CONTAIN_T})*|d|)+1 enter the index probe; by "
-    "pigeonhole any pair with overlap >= t*|small| must collide inside the "
-    "smaller doc's prefix, so recall is exactly 1.0 while the join touches "
+    "first n - ceil(t*n) + 1 enter the index probe, with ceil(t*n) spelled "
+    "in exact integer math as (num*n + den - 1) div den for t = num/den "
+    "(the float spelling floor((1-t)*n)+1 loses the boundary slot at every "
+    "n divisible by den); by pigeonhole any pair with overlap >= "
+    "ceil(t*|small|) must collide inside the smaller doc's prefix, so "
+    "recall is exactly 1.0 while the join touches "
     "~20% of the postings and the rarest (= smallest) buckets.  Exact "
     "verification then counts the true intersection for candidates only.  "
     "The oracle is the unfiltered all-pairs formulation -- identical "
@@ -238,15 +243,28 @@ def containment_pairs(d: DataFrame, threshold: float) -> DataFrame:
     tok = sh.select("doc_id", F.explode("sh").alias("shingle")).persist()
 
     # Rarest-first prefix: rank each doc's shingles by global df, keep the
-    # first floor((1-t)*n)+1.  Lossless for containment at threshold t.
+    # first p = n - ceil(t*n) + 1.  Lossless for containment at threshold t
+    # by pigeonhole: the smallest qualifying overlap is ceil(t*n), and any
+    # ceil(t*n) shingles out of n must intersect the first n - ceil(t*n) + 1.
+    # CRITICAL: the arithmetic must be EXACT INTEGER math.  The float
+    # spelling floor((1-t)*n)+1 silently loses a slot whenever (1-t)*n lands
+    # just under an integer -- at t=0.8, (1.0-0.8)=0.19999...96 so every n
+    # divisible by 5 floors one short and the filter drops boundary pairs
+    # (round-5 hypothesis counterexample).  Threshold as a rational num/den:
+    # ceil(t*n) = (num*n + den - 1) div den, all in BIGINT.
+    frac = Fraction(str(threshold))
+    num, den = frac.numerator, frac.denominator
     freq = tok.groupBy("shingle").agg(F.count("*").alias("df"))
     ranked = tok.join(freq, "shingle").withColumn(
         "r",
         F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "shingle")),
     ).withColumn("n", F.count("*").over(Window.partitionBy("doc_id")))
-    prefix = ranked.filter(
-        F.col("r") <= F.floor((1.0 - threshold) * F.col("n")) + 1
-    ).select("doc_id", "shingle")
+    prefix_len = (
+        F.col("n")
+        - F.expr(f"(n * CAST({num} AS BIGINT) + {den - 1}) div {den}")
+        + F.lit(1)
+    )
+    prefix = ranked.filter(F.col("r") <= prefix_len).select("doc_id", "shingle")
 
     cand = (
         prefix.alias("p")
