@@ -213,9 +213,15 @@ def q142_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             "w1",
             "w2",
             "c12",
-            F.log((F.col("c12") * F.col("n_docs")).cast("double") / (F.col("c1") * F.col("c2"))).alias(
-                "pmi"
-            ),
+            # Both products feed only the log ratio, so cast to double
+            # BEFORE multiplying: count x count at 1e11 docs exceeds BIGINT
+            # and would ANSI-abort (round-7 int-overflow audit); double is
+            # exact below 2^53 and amply precise inside a log beyond it.
+            F.log(
+                F.col("c12").cast("double")
+                * F.col("n_docs")
+                / (F.col("c1").cast("double") * F.col("c2"))
+            ).alias("pmi"),
         )
     )
     return out.orderBy(F.desc("c12"), "w1", "w2").limit(20)

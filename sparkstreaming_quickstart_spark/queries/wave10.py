@@ -209,7 +209,10 @@ def q252_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = d.groupBy("lang").agg(
         F.count("*").alias("n"),
         F.sum("n_chars").alias("sx"),
-        F.sum(F.col("n_chars") * F.col("n_chars")).alias("sxx"),
+        # Square-sum accumulates in DECIMAL(38,0): a BIGINT sum of ~1e12
+        # per-doc squares ANSI-aborts around 1e7 docs per group -- the
+        # q263 exact-accumulator pattern (round-7 int-overflow audit).
+        F.sum((F.col("n_chars") * F.col("n_chars")).cast("decimal(38,0)")).alias("sxx"),
     )
     tot = per.agg(
         F.sum("n").alias("tn"), F.sum("sx").alias("tsx"), F.count("*").alias("k")

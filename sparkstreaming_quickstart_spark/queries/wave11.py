@@ -216,7 +216,10 @@ def q263_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lead(us).over(w) - us).alias("dt_us"),
     ).filter(F.col("dt_us").isNotNull())
     s = seg.groupBy("user_id").agg(
-        F.sum((F.col("cents") * F.col("dt_us")).cast("decimal(38,0)")).alias("num"),
+        # Cast BEFORE the multiply: cents x a multi-year microsecond gap
+        # exceeds BIGINT (~3e21 for $1e6 held a year), so the product must
+        # already be decimal (round-7 int-overflow audit).
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("dt_us")).alias("num"),
         F.sum("dt_us").alias("den"),
         F.count("*").alias("n_segments"),
     )

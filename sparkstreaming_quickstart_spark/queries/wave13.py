@@ -55,9 +55,14 @@ def q273_join_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     ok = o.groupBy(F.col("o_orderkey").alias("k")).agg(F.count("*").alias("no"))
     lk = li.groupBy(F.col("l_orderkey").alias("k")).agg(F.count("*").alias("nl"))
+    # Per-key contribution in DECIMAL(38,0): the pathological key this audit
+    # exists to catch (two ~1e10-row sides) would ANSI-abort the BIGINT
+    # product -- the audit must survive exactly the input it flags
+    # (round-7 int-overflow audit).
+    contrib = F.col("no").cast("decimal(38,0)") * F.col("nl")
     pred = ok.join(lk, "k").agg(
-        F.sum(F.col("no") * F.col("nl")).alias("predicted"),
-        F.max(F.col("no") * F.col("nl")).alias("max_key_contrib"),
+        F.sum(contrib).alias("predicted"),
+        F.max(contrib).alias("max_key_contrib"),
         F.count("*").alias("n_join_keys"),
     )
     act = (

@@ -124,7 +124,10 @@ def q277_experiment_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     arms = e.groupBy((F.col("user_id") % 2 == 1).alias("treated")).agg(
         F.count("*").alias("n"),
         F.sum(cents).alias("sx"),
-        F.sum(cents * cents).alias("sxx"),
+        # Decimal square-sum: cents^2 is ~1e16 for a $1e7 value -- the
+        # BIGINT sum ANSI-aborts within a few hundred such rows
+        # (round-7 int-overflow audit; q263 accumulator pattern).
+        F.sum(cents.cast("decimal(38,0)") * cents).alias("sxx"),
     )
     v = arms.select(
         "treated",

@@ -88,7 +88,9 @@ def q286_fdr_bh_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = e.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.sum(cents).alias("s"),
-        F.sum(cents * cents).alias("ss"),
+        # Decimal square-sum: the BIGINT sum of ~1e16 squares ANSI-aborts
+        # at corpus scale (round-7 int-overflow audit; q263 pattern).
+        F.sum(cents.cast("decimal(38,0)") * cents).alias("ss"),
     )
     # Totals via window sums over the |event_types|-sized group frame -- a
     # re-aggregation would scan events a second time; this keeps the whole
@@ -438,10 +440,21 @@ def q289_token_budget_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     # in both engines -- ranking on an unrounded float mean would let
     # summation-order noise flip near-tied sources (README float rule #2
     # applied to an ordering, not just an output).
+    # The distinct-count MUST be widened to BIGINT before the x1,000,000:
+    # `F.size` is int32 and under ANSI mode (this repo's default session)
+    # `int * 1000000` throws ARITHMETIC_OVERFLOW on any document with more
+    # than 2,147 distinct tokens -- a guaranteed job abort on real corpora
+    # (regression: test_wave17_semantics.py::test_curriculum_ppm_no_overflow).
+    # BIGINT `div` (not float `/` + floor) keeps the ranking statistic
+    # engine-exact vs the oracle's `//`.
     per_doc = d.select(
         "source",
         F.size(t).alias("tok"),
-        F.floor(F.size(F.array_distinct(t)) * 1000000 / F.size(t)).alias("ppm"),
+        F.size(F.array_distinct(t)).cast("bigint").alias("ndis"),
+    ).select(
+        "source",
+        "tok",
+        F.expr("ndis * 1000000 div tok").alias("ppm"),
     )
     per_source = per_doc.groupBy("source").agg(
         F.count("*").alias("n_docs"),

@@ -1012,7 +1012,10 @@ def q217_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
             "together",
             F.round(F.col("together").cast("double") / F.col("supp1"), 6).alias("confidence"),
             F.round(
-                F.col("together").cast("double") * F.col("n") / (F.col("supp1") * F.col("supp2")),
+                # supp1 * supp2 as BIGINT ANSI-aborts at ~1e10-order counts;
+                # the product only feeds this float ratio, so multiply in
+                # double (round-7 int-overflow audit).
+                F.col("together").cast("double") * F.col("n") / (F.col("supp1").cast("double") * F.col("supp2")),
                 6,
             ).alias("lift"),
         )

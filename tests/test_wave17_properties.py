@@ -156,6 +156,33 @@ def test_fdr_all_constant_values_yield_null_not_nan(spark, tmp_path_factory):
         assert r["n"] == 20
 
 
+def test_curriculum_ppm_no_overflow_on_long_documents(spark, tmp_path_factory):
+    """Regression (round-6 verdict, high): the per-doc quality PPM multiplies
+    the distinct-token count by 1,000,000.  F.size is int32, so without the
+    BIGINT widening any document with >2,147 distinct tokens threw
+    ARITHMETIC_OVERFLOW under the session's default ANSI mode -- a
+    guaranteed job abort on the first long document of a real corpus."""
+    from sparkstreaming_quickstart_spark.queries.wave17 import (
+        q289_token_budget_curriculum,
+    )
+
+    # 3,000 distinct tokens (> 2^31 / 1e6 = 2,147), each repeated twice:
+    # tok = 6,000, ndis = 3,000 -> ppm = 3000 * 1_000_000 div 6000 = 500_000.
+    long_doc = " ".join(f"t{i}" for i in range(3000)) * 1
+    long_doc = long_doc + " " + long_doc
+    sf = _write_documents(
+        tmp_path_factory.mktemp("curlong"),
+        texts=[long_doc, "a b c d"],
+        sources=["big", "small"],
+    )
+    rows = {r["source"]: r for r in q289_token_budget_curriculum(spark, sf).collect()}
+    assert rows["big"]["tokens"] == 6000
+    # quality = sum_ppm / 1e6 / n_docs = 500000/1e6/1 = 0.5
+    assert rows["big"]["quality"] == 0.5
+    # the 4-token doc is all-distinct: ppm = 1_000_000 -> quality 1.0
+    assert rows["small"]["quality"] == 1.0
+
+
 def test_curriculum_excludes_single_source_exceeding_budget(spark, tmp_path_factory):
     from sparkstreaming_quickstart_spark.queries.wave17 import (
         q289_token_budget_curriculum,
