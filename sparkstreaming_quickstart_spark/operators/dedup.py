@@ -530,8 +530,16 @@ def md5_mod(c: Column, m: int) -> Column:
     exact multiples of `m`, so `hash % m` needs just ceil(log2(m)/8) conv
     parses instead of md5_lower64's eight -- measured 2x on q292's
     hash-dominated gram pass.  DuckDB oracles keep the full
-    `md5_number_lower(x) % m` spelling; the values are identical.  Falls
-    back to the full hash for non-power-of-two moduli."""
+    `md5_number_lower(x) % m` spelling; the values are identical.
+
+    The contract for EVERY m is DuckDB's UNSIGNED residue.  md5_lower64 is
+    the two's-complement (signed) view, and `pmod(signed, m)` equals the
+    unsigned residue only when `2^64 % m == 0` (power-of-two m).  The
+    non-power-of-two fallback therefore reconstructs the unsigned value's
+    residue exactly: u = s + 2^64*[s < 0], so
+    u % m = pmod(pmod(s, m) + [s < 0] * (2^64 % m), m)
+    (every operand < 2m, no overflow; pinned vs DuckDB at m=100 by
+    test_md5_hash_family_matches_duckdb_and_fast_path)."""
     if m > 0 and (m & (m - 1)) == 0:
         k = max(1, (m.bit_length() - 1 + 7) // 8)
         h = F.md5(c)
@@ -542,7 +550,12 @@ def md5_mod(c: Column, m: int) -> Column:
             for i in range(k)
         ]
         return F.pmod(reduce(Column.bitwiseOR, parts), F.lit(m))
-    return F.pmod(md5_lower64(c), F.lit(m))
+    s = md5_lower64(c)
+    return F.pmod(
+        F.pmod(s, F.lit(m))
+        + F.when(s < 0, F.lit((1 << 64) % m)).otherwise(F.lit(0)),
+        F.lit(m),
+    )
 
 
 def md5_bucket(c: Column, salt: str, mod: int) -> Column:

@@ -88,7 +88,7 @@ _GOF_BINS = 10
     binned AS (
         SELECT g.event_type, l.n,
                least({_GOF_BINS - 1},
-                     CAST(floor({_GOF_BINS} * (1 - exp(-l.lambda_us * g.gap_us)))
+                     CAST(floor(round({_GOF_BINS} * (1 - exp(-l.lambda_us * g.gap_us)), 9))
                           AS INT)) AS bin
         FROM g JOIN lam l ON g.event_type = l.event_type),
     obs AS (
@@ -155,10 +155,17 @@ def q262_exponential_gof(spark: SparkSession, sf_dir: str) -> DataFrame:
     binned = g.join(F.broadcast(lam), "event_type").select(
         "event_type",
         "n",
+        # ROUND(.., 9) before the bin floor: lambda and the exp argument are
+        # engine-identical doubles, but exp() itself is only ~1-ulp accurate
+        # in each engine, so an unrounded CDF value sitting within an ulp of
+        # a bin edge could floor differently across engines (the q286
+        # exp-exposure class, round-7 float-boundary audit).
         F.least(
             F.lit(_GOF_BINS - 1),
             F.floor(
-                _GOF_BINS * (1 - F.exp(-F.col("lambda_us") * F.col("gap_us")))
+                F.round(
+                    _GOF_BINS * (1 - F.exp(-F.col("lambda_us") * F.col("gap_us"))), 9
+                )
             ).cast("int"),
         ).alias("bin"),
     )

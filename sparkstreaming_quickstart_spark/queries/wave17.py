@@ -50,12 +50,13 @@ _FDR_ORACLE = f"""
         FROM g CROSS JOIN t),
     p AS (
         SELECT event_type, n, m, z,
-               LEAST(1.0, 2.0 * exp(-0.717 * abs(z) - 0.416 * z * z)) AS p
+               LEAST(1.0, 2.0 * exp(-0.717 * abs(z) - 0.416 * z * z)) AS p,
+               ROUND(LEAST(1.0, 2.0 * exp(-0.717 * abs(z) - 0.416 * z * z)), 9) AS pr
         FROM z),
     r AS (
         SELECT event_type, n, z, p,
-               p * m / (ROW_NUMBER() OVER (ORDER BY p, event_type)) AS raw,
-               ROW_NUMBER() OVER (ORDER BY p, event_type) AS i
+               pr * m / (ROW_NUMBER() OVER (ORDER BY pr, event_type)) AS raw,
+               ROW_NUMBER() OVER (ORDER BY pr, event_type) AS i
         FROM p),
     adj AS (
         SELECT event_type, n, z, p,
@@ -124,10 +125,19 @@ def q286_fdr_bh_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = F.least(
         F.lit(1.0), 2.0 * F.exp(-0.717 * F.abs(z) - 0.416 * z * z)
     )
-    zp = j.select("event_type", "n", "m", z.alias("z"), p.alias("p"))
-    w_rank = Window.orderBy("p", "event_type")
+    # The BH step-up RANKS on p and COMPARES q to alpha -- both float-order
+    # exposures (JVM Math.exp vs libm exp differ in the last ulp, so
+    # near-tied p values could rank differently across engines and flip the
+    # boolean at the alpha boundary).  Rank and adjust on ROUND(p, 9): the
+    # rounded value is engine-identical, and every quantity derived from it
+    # (raw, q, rejected) is then the same IEEE arithmetic on the same
+    # doubles in both engines (README float rule #2 applied to an ordering).
+    zp = j.select(
+        "event_type", "n", "m", z.alias("z"), p.alias("p"), F.round(p, 9).alias("pr")
+    )
+    w_rank = Window.orderBy("pr", "event_type")
     ranked = zp.withColumn("i", F.row_number().over(w_rank)).withColumn(
-        "raw", F.col("p") * F.col("m") / F.col("i")
+        "raw", F.col("pr") * F.col("m") / F.col("i")
     )
     w_tail = Window.orderBy("i").rowsBetween(Window.currentRow, Window.unboundedFollowing)
     adj = ranked.withColumn("q", F.min("raw").over(w_tail))

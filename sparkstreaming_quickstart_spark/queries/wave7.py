@@ -253,6 +253,14 @@ def containment_pairs(d: DataFrame, threshold: float) -> DataFrame:
     # (round-5 hypothesis counterexample).  Threshold as a rational num/den:
     # ceil(t*n) = (num*n + den - 1) div den, all in BIGINT.
     frac = Fraction(str(threshold))
+    if frac.denominator > 1_000_000:
+        # An arbitrary float threshold (e.g. t=1/3) decimal-expands to a
+        # ~1e16 denominator, and n*num below would silently exceed BIGINT
+        # for multi-thousand-shingle docs.  Round DOWN to the nearest
+        # millionth: t' <= t only LENGTHENS the prefix, so the filter stays
+        # lossless wrt the final `containment >= threshold` verify, and
+        # n*num is bounded by n * 1e6 (round-6 advice).
+        frac = Fraction(int(threshold * 1_000_000), 1_000_000)
     num, den = frac.numerator, frac.denominator
     freq = tok.groupBy("shingle").agg(F.count("*").alias("df"))
     ranked = tok.join(freq, "shingle").withColumn(

@@ -369,10 +369,12 @@ def test_asof_join_forward_and_nearest(spark):
 
 def test_md5_hash_family_matches_duckdb_and_fast_path(spark):
     """Pins the two cross-engine hash contracts: md5_lower64 equals DuckDB's
-    md5_number_lower byte-for-byte, and md5_mod's power-of-two low-byte fast
-    path equals pmod(md5_lower64, m) for every modulus class in use
-    (2 sign, 8 RAG dims, 64 feature/DSIR buckets, 512 CMS width) plus a
-    non-power-of-two fallback."""
+    md5_number_lower byte-for-byte, and md5_mod equals DuckDB's UNSIGNED
+    `md5_number_lower(x) % m` for every modulus class in use (2 sign, 8 RAG
+    dims, 64 feature/DSIR buckets, 512 CMS width) AND for a non-power-of-two
+    modulus (m=100), where the signed-pmod shortcut would diverge on inputs
+    with bit 63 set (round-6 advice; the fallback now reconstructs the
+    unsigned residue exactly)."""
     import duckdb
 
     from pyspark.sql import functions as F
@@ -393,11 +395,10 @@ def test_md5_hash_family_matches_duckdb_and_fast_path(spark):
     want = {s: (v - (1 << 64) if v >= (1 << 63) else v) for s, v in raw}
     assert got == want
     for m in (2, 8, 64, 512, 100):
-        bad = (
-            df.select(
-                (md5_mod(F.col("s"), m) != F.pmod(md5_lower64(F.col("s")), F.lit(m))).alias("d")
-            )
-            .filter("d")
-            .count()
-        )
-        assert bad == 0, f"md5_mod fast path diverges for m={m}"
+        got_mod = {
+            r["s"]: r["b"]
+            for r in df.select("s", md5_mod(F.col("s"), m).alias("b")).collect()
+        }
+        # DuckDB's UNSIGNED residue is THE contract for every m.
+        want_mod = {s: v % m for s, v in raw}
+        assert got_mod == want_mod, f"md5_mod diverges from DuckDB for m={m}"

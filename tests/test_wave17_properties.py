@@ -156,6 +156,31 @@ def test_fdr_all_constant_values_yield_null_not_nan(spark, tmp_path_factory):
         assert r["n"] == 20
 
 
+def test_fdr_bh_exact_p_ties_resolve_by_event_type(spark, tmp_path_factory):
+    """Round-7 hardening: BH ranks on ROUND(p, 9) with the event_type
+    tie-break (unrounded exp()-derived p is the float-ordering exposure).
+    Two groups with identical distributions produce an EXACT p tie: the
+    rank must resolve by event_type, and every p-tied group must share the
+    same adjusted q and rejection decision (BH assigns tied p's the same
+    step-up minimum regardless of which tie ranks first)."""
+    from sparkstreaming_quickstart_spark.queries.wave17 import (
+        q286_fdr_bh_correction,
+    )
+
+    # a and b identically distributed (exact z/p tie); c clearly shifted.
+    vals_ab = [float(v) for v in (1, 2, 3, 4, 5) * 8]
+    vals_c = [float(v + 50) for v in (1, 2, 3, 4, 5) * 8]
+    sf = _write_events(
+        tmp_path_factory.mktemp("bhtie"),
+        types=["a"] * 40 + ["b"] * 40 + ["c"] * 40,
+        values=vals_ab + vals_ab + vals_c,
+    )
+    rows = {r["event_type"]: r for r in q286_fdr_bh_correction(spark, sf).collect()}
+    assert rows["a"]["p_value"] == rows["b"]["p_value"]
+    assert rows["a"]["q_bh"] == rows["b"]["q_bh"]
+    assert rows["a"]["rejected"] == rows["b"]["rejected"]
+
+
 def test_curriculum_ppm_no_overflow_on_long_documents(spark, tmp_path_factory):
     """Regression (round-6 verdict, high): the per-doc quality PPM multiplies
     the distinct-token count by 1,000,000.  F.size is int32, so without the

@@ -38,6 +38,41 @@ def test_containment_catches_doc_in_doc_that_jaccard_misses(spark):
     assert jaccard < 0.1
 
 
+def test_containment_boundary_pair_at_exact_threshold(spark):
+    """Planted boundary pin for the round-6 prefix fix (round-7 advice):
+    a pair at containment EXACTLY 0.8 with a shingle count divisible by
+    den=5, whose two unshared shingles are the globally rarest.  The exact
+    integer prefix (n - ceil(t*n) + 1 = 10 - 8 + 1 = 3) reaches the first
+    SHARED shingle, so the pair survives; the float spelling
+    floor((1-t)*n)+1 = 2 keeps only the two unshared (df=1) shingles and
+    silently drops the pair.  Reverting the integer arithmetic fails here."""
+    # 12 distinct tokens -> 10 distinct 3-word shingles per doc; the docs
+    # differ only in the last two tokens, so they share 8 shingles
+    # (containment = 8/10 = 0.8) and each holds 2 private (df=1, rarest).
+    t1 = " ".join(f"w{i}" for i in range(12))
+    t2 = " ".join(f"w{i}" for i in range(10)) + " a10 a11"
+    d = spark.createDataFrame([(1, t1), (2, t2)], "doc_id long, text string")
+    from sparkstreaming_quickstart_spark.queries.wave7 import containment_pairs
+
+    pairs = containment_pairs(d, 0.8).collect()
+    assert [(p.id1, p.id2, p.containment) for p in pairs] == [(1, 2, 0.8)]
+
+
+def test_containment_arbitrary_threshold_no_bigint_blowup(spark):
+    """A threshold with a huge decimal expansion (1/3) must not feed a ~1e16
+    numerator into the BIGINT prefix arithmetic: the denominator guard
+    rounds it down to the nearest millionth, which can only lengthen the
+    (lossless) prefix.  Pin: the doc-in-doc pair still comes back and no
+    overflow surfaces at a realistic shingle count."""
+    base = " ".join(f"w{i}" for i in range(10))
+    long = base + " " + " ".join(f"x{i}" for i in range(90))
+    d = spark.createDataFrame([(1, base), (2, long)], "doc_id long, text string")
+    from sparkstreaming_quickstart_spark.queries.wave7 import containment_pairs
+
+    pairs = containment_pairs(d, 1 / 3).collect()
+    assert [(p.id1, p.id2) for p in pairs] == [(1, 2)]
+
+
 def test_semdedup_scopes_pruning_to_the_cluster(spark):
     from sparkstreaming_quickstart_spark.queries import all_queries  # noqa: F401
     import numpy as np
