@@ -52,6 +52,11 @@ HEADLINE = [
     # Wave 17 representative (two-scan hashed-gram shape of the curation
     # layer; also exercises the md5_mod low-byte fast path)
     "q292_dsir_importance",
+    # Round-7 Arrow-kernel conversions (were the two slowest registry
+    # entries at 152s/135s; now single-digit): in the headline so any
+    # regression back to interpreted folds stays visible.
+    "q53_dedup_simhash",
+    "q293_kcenter_coreset",
 ]
 # q51 (exact-jaccard brute force) is deliberately NOT headline: it is the
 # O(n^2)-ish correctness baseline; q52 is the scale path over the same data.

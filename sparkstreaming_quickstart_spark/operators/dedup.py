@@ -457,16 +457,39 @@ def simhash_pairs(
             )
         ).alias("block", "block_val"),
     )
-    cand = (
-        blocks.alias("x")
-        .join(blocks.alias("y"), ["block", "block_val"])
-        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(
-            F.col("x.doc_id").alias("d1"),
-            F.col("y.doc_id").alias("d2"),
-            F.col("x.fp").alias("fp1"),
-            F.col("y.fp").alias("fp2"),
+    # Pair expansion via groupBy + in-bucket combination (the minhash_lsh
+    # pattern), NOT a self-join: a self-join re-evaluates the whole
+    # fingerprint pipeline -- scan, token hashing, the Arrow kernel -- once
+    # per side (the plan audit showed map_in_pandas x2), and shuffles the
+    # block frame twice.  One doc appears at most once per (block, value)
+    # bucket, so sort_array gives strictly increasing doc_ids and the
+    # upper-triangle expansion yields each candidate pair exactly once per
+    # shared block (distinct() collapses multi-block agreement).  No bucket
+    # cap here: the pigeonhole cover must stay EXHAUSTIVE for the provable
+    # all-pairs equivalence -- a pathological boilerplate bucket costs k^2
+    # pairs in either spelling.
+    buckets = (
+        blocks.groupBy("block", "block_val")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "fp"))).alias("ms"))
+        .filter(F.size("ms") > 1)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            "ms",
+            lambda x, i: F.transform(
+                F.slice("ms", i + F.lit(2), F.size("ms")),
+                lambda y: F.struct(
+                    x["doc_id"].alias("d1"),
+                    y["doc_id"].alias("d2"),
+                    x["fp"].alias("fp1"),
+                    y["fp"].alias("fp2"),
+                ),
+            ),
         )
+    )
+    cand = (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.d1", "p.d2", "p.fp1", "p.fp2")
         .distinct()
     )
     hamming = F.bit_count(F.col("fp1").bitwiseXOR(F.col("fp2")))
