@@ -65,6 +65,16 @@ _LOADED = False
 # guards this: with fewer than 50 unchecked entries remaining, the head must
 # be exactly that set.
 _PRIORITY: list[str] = [
+    # Round-7 head: the two NEW wave-18 entries (never driver-checked) come
+    # first per the rotation contract, then every query whose round-7 diff
+    # changed values-relevant code (overflow/float-boundary fixes, Arrow
+    # kernels) so the next driver sample re-proves the changed spellings.
+    "q295_embedding_covariance", "q296_pca_scree",
+    "q289_token_budget_curriculum", "q286_fdr_bh_correction",
+    "q262_exponential_gof", "q185_containment_neardup", "q53_dedup_simhash",
+    "q293_kcenter_coreset", "q252_anova_f", "q263_twap",
+    "q273_join_cardinality_audit", "q277_experiment_power", "q142_token_pmi",
+    "q217_market_basket",
     "q149_funnel_steps", "q150_retention_cohorts", "q151_fuzzy_title_join",
     "q153_regr_aggregates", "q154_listagg_median", "q155_doc_perplexity",
     "q156_random_projection", "q157_countmin_heavy_hitters",
@@ -211,9 +221,14 @@ def _ensure_loaded() -> None:
     from . import wave15  # noqa: F401
     from . import wave16  # noqa: F401
     from . import wave17  # noqa: F401
+    from . import wave18  # noqa: F401
     from . import livejars  # noqa: F401
 
-    rank = {name: i for i, name in enumerate(_PRIORITY)}
+    # First occurrence wins: a rotation may promote a name to the head while
+    # its old position remains further down the list.
+    rank: dict[str, int] = {}
+    for i, name in enumerate(_PRIORITY):
+        rank.setdefault(name, i)
     ordered = sorted(
         enumerate(_REGISTRY.items()),
         key=lambda t: (rank.get(t[1][0], len(_PRIORITY) + t[0]),),
