@@ -786,29 +786,36 @@ _KCENTER_K = 6
 def _kcenter_oracle(k: int) -> str:
     """Unrolled DuckDB twin of the greedy farthest-point loop: round r picks
     the point maximizing its min squared distance to the selected set
-    (tie-break: lowest vec_id), seeded with MIN(vec_id)."""
+    (tie-break: lowest vec_id), seeded with MIN(vec_id).
+
+    Spelled as per-vector list arithmetic (list_transform over an index
+    range) rather than an unnest/position self-join: the join form blew the
+    intermediate up to |vecs|^2 x 64 rows whenever the CTE was materialized,
+    and with DuckDB's default inlined CTEs the chained sels{r} references
+    re-evaluated exponentially in k (135 s at sf=0.1 for 2,000 vectors).
+    MATERIALIZED pins each round to one evaluation; the list spelling keeps
+    each round at |vecs| x |centers| distance evaluations -- the same shape
+    as the Spark kernel's numpy scan.  Sub-second at sf=0.1."""
     parts = [
-        """WITH dims AS (
-        SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
-               CAST(unnest(embedding) AS DOUBLE) AS x
+        """WITH e AS MATERIALIZED (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x, len(embedding) AS nd
         FROM embeddings),
     sel0 AS (SELECT MIN(vec_id) AS vec_id FROM embeddings),
-    sels1 AS (SELECT vec_id FROM sel0)"""
+    sels1 AS MATERIALIZED (SELECT vec_id FROM sel0)"""
     ]
     for r in range(1, k):
         parts.append(
             f""",
-    dist{r} AS (
-        SELECT vec_id, MIN(d2) AS mind2 FROM (
-            SELECT d.vec_id, c.vec_id AS cid,
-                   SUM((d.x - c.x) * (d.x - c.x)) AS d2
-            FROM dims d JOIN dims c ON d.pos = c.pos
-            WHERE c.vec_id IN (SELECT vec_id FROM sels{r})
-            GROUP BY d.vec_id, c.vec_id)
-        GROUP BY vec_id),
-    sel{r} AS (SELECT vec_id FROM dist{r}
+    dist{r} AS MATERIALIZED (
+        SELECT d.vec_id,
+               MIN(list_sum(list_transform(range(1, d.nd + 1),
+                   i -> (d.x[i] - c.x[i]) * (d.x[i] - c.x[i])))) AS mind2
+        FROM e d CROSS JOIN (
+            SELECT x FROM e WHERE vec_id IN (SELECT vec_id FROM sels{r})) c
+        GROUP BY d.vec_id),
+    sel{r} AS MATERIALIZED (SELECT vec_id FROM dist{r}
                ORDER BY ROUND(mind2, 9) DESC, vec_id LIMIT 1),
-    sels{r + 1} AS (SELECT vec_id FROM sels{r}
+    sels{r + 1} AS MATERIALIZED (SELECT vec_id FROM sels{r}
                     UNION ALL SELECT vec_id FROM sel{r})"""
         )
     rounds = "\n    UNION ALL\n    ".join(
