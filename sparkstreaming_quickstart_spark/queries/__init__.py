@@ -65,11 +65,13 @@ _LOADED = False
 # guards this: with fewer than 50 unchecked entries remaining, the head must
 # be exactly that set.
 _PRIORITY: list[str] = [
-    # Round-7 head: the two NEW wave-18 entries (never driver-checked) come
+    # Round-7 head: the seven NEW wave-18 entries (never driver-checked) come
     # first per the rotation contract, then every query whose round-7 diff
     # changed values-relevant code (overflow/float-boundary fixes, Arrow
     # kernels) so the next driver sample re-proves the changed spellings.
-    "q295_embedding_covariance", "q296_pca_scree",
+    "q295_embedding_covariance", "q296_pca_scree", "q297_ann_recall_eval",
+    "q298_boilerplate_segments", "q299_quality_classifier_inference",
+    "q300_hard_negative_mining", "q301_embedding_whitening",
     "q289_token_budget_curriculum", "q286_fdr_bh_correction",
     "q262_exponential_gof", "q185_containment_neardup", "q53_dedup_simhash",
     "q293_kcenter_coreset", "q252_anova_f", "q263_twap",

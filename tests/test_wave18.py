@@ -112,3 +112,156 @@ def test_pca_scree_recovers_planted_direction(spark, tmp_path_factory):
     assert scree[0]["var_explained"] > 0.99
     lam0 = float(np.linalg.eigvalsh(np.cov(X.astype(np.float64).T))[-1])
     assert abs(scree[0]["eigenvalue"] - lam0) <= 1e-3
+
+
+# ---------------------------------------------------------------------------
+# q297-q301 (round-7 additions): ANN eval, extraction, classifier inference,
+# hard negatives, whitening
+# ---------------------------------------------------------------------------
+
+
+def _np_buckets(X, nbits=8, seed=42):
+    """Independent numpy replay of the LSH bucket assignment."""
+    from sparkstreaming_quickstart_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim=X.shape[1], nbits=nbits, seed=seed)
+    signs = (X @ planes.T) > 0
+    return (signs * (1 << np.arange(nbits))).sum(axis=1)
+
+
+def test_ann_recall_eval_matches_numpy_reference(spark, tmp_path_factory):
+    from sparkstreaming_quickstart_spark.queries.wave18 import q297_ann_recall_eval
+
+    rng = np.random.default_rng(11)
+    X = rng.normal(size=(200, 64))
+    sf = _write_embeddings(tmp_path_factory.mktemp("emb"), list(X))
+    rows = q297_ann_recall_eval(spark, sf).collect()
+    assert len(rows) == 4  # vec_ids 0, 50, 100, 150
+    Xd = X.astype(np.float64)
+    nrm = np.linalg.norm(Xd, axis=1)
+    cos = np.round((Xd @ Xd.T) / np.outer(nrm, nrm), 9)
+    buckets = _np_buckets(Xd)
+    for r in rows:
+        qi = r["query_id"]
+        order = sorted(
+            (i for i in range(200) if i != qi), key=lambda i: (-cos[qi, i], i)
+        )
+        exact5 = set(order[:5])
+        cand = [i for i in order if buckets[i] == buckets[qi]]
+        ann5 = set(cand[:5])
+        assert r["n_exact"] == 5
+        assert r["n_hits"] == len(exact5 & ann5)
+        assert abs(r["recall_at_5"] - round(len(exact5 & ann5) / 5, 6)) < 1e-9
+
+
+def test_boilerplate_segments_planted_doc(spark, tmp_path):
+    from sparkstreaming_quickstart_spark.queries.wave18 import (
+        q298_boilerplate_segments,
+    )
+
+    # 23 tokens -> segments of 10/10/3.  Segment 1 has stopword evidence
+    # ('the'); segment 2 has none; segment 3 is below the length floor.
+    seg1 = "the " + " ".join(["data"] * 9)
+    seg2 = " ".join(["scan"] * 10)
+    seg3 = "a b c"  # 3 tokens: has 'a' but too short -> boilerplate
+    text = f"{seg1} {seg2} {seg3}"
+    pd.DataFrame(
+        {
+            "doc_id": [0],
+            "text": [text],
+            "lang": ["en"],
+            "source": ["s0"],
+            "n_chars": [len(text)],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    rows = q298_boilerplate_segments(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_docs"] == 1
+    assert r["n_segments"] == 3
+    assert r["n_content_segments"] == 1
+    assert abs(r["retained_token_share"] - round(10 / 23, 6)) < 1e-9
+
+
+def test_quality_classifier_score_matches_hashlib(spark, tmp_path):
+    import hashlib
+
+    from sparkstreaming_quickstart_spark.queries.wave18 import (
+        _QCLS_BUCKETS,
+        _qcls_weights,
+        q299_quality_classifier_inference,
+    )
+
+    # Single-token docs: the doc score IS the bucket weight, replayed here
+    # independently via hashlib (little-endian low bytes of the md5 second
+    # half == DuckDB md5_number_lower % 256).
+    toks = ["scan", "the", "merge"]
+    texts = [t for t in toks]
+    pd.DataFrame(
+        {
+            "doc_id": range(3),
+            "text": texts,
+            "lang": ["en"] * 3,
+            "source": ["s0", "s1", "s2"],
+            "n_chars": [len(t) for t in texts],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    w = _qcls_weights()
+    rows = q299_quality_classifier_inference(spark, str(tmp_path)).collect()
+    assert len(rows) == 3  # one (source, bin) row per single-doc source
+    by_source = {r["source"]: r for r in rows}
+    for t, src in zip(toks, ["s0", "s1", "s2"]):
+        h = hashlib.md5(t.encode()).hexdigest()
+        bucket = int.from_bytes(bytes.fromhex(h[16:32]), "little") % _QCLS_BUCKETS
+        expected = round(w[bucket], 6)
+        r = by_source[src]
+        assert r["n_docs"] == 1
+        assert abs(r["avg_score"] - expected) < 1e-9
+        assert r["score_bin"] == min(int((expected + 1.0) // 0.2), 9)
+
+
+def test_hard_negatives_are_same_bucket_non_topk(spark, tmp_path_factory):
+    from sparkstreaming_quickstart_spark.queries.wave18 import q300_hard_negative_mining
+
+    rng = np.random.default_rng(23)
+    X = rng.normal(size=(200, 64))
+    sf = _write_embeddings(tmp_path_factory.mktemp("emb"), list(X))
+    rows = q300_hard_negative_mining(spark, sf).collect()
+    assert rows, "expected at least one mined negative on a 200-vector corpus"
+    Xd = X.astype(np.float64)
+    nrm = np.linalg.norm(Xd, axis=1)
+    cos = np.round((Xd @ Xd.T) / np.outer(nrm, nrm), 9)
+    buckets = _np_buckets(Xd)
+    for r in rows:
+        qi, ni = r["query_id"], r["hard_negative_id"]
+        assert buckets[qi] == buckets[ni]
+        order = sorted(
+            (i for i in range(200) if i != qi), key=lambda i: (-cos[qi, i], i)
+        )
+        exact5 = set(order[:5])
+        assert ni not in exact5
+        # hardest survivor: no same-bucket non-top-5 candidate scores higher
+        # Strictly-better only: sub-ulp dot-product reassociation between the
+        # numpy replay and Spark's fold can flip the 9th rounded digit, so a
+        # candidate within one rounding unit is a legal tie, not a violation.
+        better = [
+            i
+            for i in range(200)
+            if i not in (qi, ni)
+            and buckets[i] == buckets[qi]
+            and i not in exact5
+            and cos[qi, i] > cos[qi, ni] + 2e-9
+        ]
+        assert not better
+        assert abs(r["cos_sim"] - cos[qi, ni]) < 1e-8
+
+
+def test_whitening_produces_identity_covariance(spark, sf_dir):
+    from sparkstreaming_quickstart_spark.queries.wave18 import q301_embedding_whitening
+
+    rows = q301_embedding_whitening(spark, sf_dir).collect()
+    assert len(rows) == 64 * 65 // 2
+    for r in rows:
+        target = 1.0 if r["i"] == r["j"] else 0.0
+        assert r["identity_target"] == target
+        assert abs(r["whitened_cov"] - target) <= 0.02, (r["i"], r["j"])
