@@ -72,6 +72,7 @@ _PRIORITY: list[str] = [
     "q295_embedding_covariance", "q296_pca_scree", "q297_ann_recall_eval",
     "q298_boilerplate_segments", "q299_quality_classifier_inference",
     "q300_hard_negative_mining", "q301_embedding_whitening",
+    "q302_bloom_decontaminate", "q303_bpe_encode",
     "q289_token_budget_curriculum", "q286_fdr_bh_correction",
     "q262_exponential_gof", "q185_containment_neardup", "q53_dedup_simhash",
     "q293_kcenter_coreset", "q252_anova_f", "q263_twap",
@@ -224,6 +225,7 @@ def _ensure_loaded() -> None:
     from . import wave16  # noqa: F401
     from . import wave17  # noqa: F401
     from . import wave18  # noqa: F401
+    from . import wave19  # noqa: F401
     from . import livejars  # noqa: F401
 
     # First occurrence wins: a rotation may promote a name to the head while

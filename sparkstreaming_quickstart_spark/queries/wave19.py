@@ -1,0 +1,268 @@
+"""Wave-19 operators (round 7, continued): corpus-curation mechanisms that
+only matter at scale -- a Bloom-prefiltered decontamination pass (the
+ship-a-static-filter-to-executors shape) and the BPE ENCODE pass that
+applies learned merge rules back to the corpus (the other half of q270's
+merge training: tokenizer inference, the single hottest loop of an LLM data
+pipeline).
+
+Reference parity note: the reference (Processor.java, 172 lines) has no
+analytics surface; these are charter extensions in the SURVEY.md section-2.B
+training-data-pipeline family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import token_count, word_shingles
+from ..sources.catalog import load_table
+from . import register
+
+# ---------------------------------------------------------------------------
+# q302: Bloom-prefiltered benchmark decontamination
+# ---------------------------------------------------------------------------
+
+_BLOOM_BITS = 1 << 20  # 128 KiB bitarray
+_BLOOM_K = 4
+
+
+def _bloom_build(hashes, m: int = _BLOOM_BITS, k: int = _BLOOM_K):
+    """Bitarray Bloom filter over int64 hash values (numpy, double hashing:
+    probe_j = (h % m + j * ((h >> 32) | 1)) % m)."""
+    import numpy as np
+
+    bits = np.zeros(m // 8, dtype=np.uint8)
+    u = np.asarray(hashes, dtype=np.int64).astype(np.uint64)
+    h1 = u % m
+    delta = (u >> np.uint64(32)) | np.uint64(1)
+    for j in range(k):
+        pos = (h1 + np.uint64(j) * delta) % m
+        np.bitwise_or.at(bits, (pos // 8).astype(np.int64), (1 << (pos % 8)).astype(np.uint8))
+    return bits
+
+
+def _bloom_probe_kernel(bits, m: int = _BLOOM_BITS, k: int = _BLOOM_K):
+    """Arrow-batch kernel: (doc_id, ghs: array<long>) -> flagged doc_ids.
+    Membership test is fully vectorized numpy over the concatenated batch;
+    per-doc reduction via add.reduceat on the ragged boundaries."""
+    import numpy as np
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            lens = pdf["ghs"].map(len).to_numpy()
+            if lens.sum() == 0:
+                continue
+            flat = np.concatenate([np.asarray(v, dtype=np.int64) for v in pdf["ghs"]])
+            u = flat.astype(np.uint64)
+            h1 = u % m
+            delta = (u >> np.uint64(32)) | np.uint64(1)
+            member = np.ones(len(flat), dtype=bool)
+            for j in range(k):
+                pos = (h1 + np.uint64(j) * delta) % m
+                member &= (bits[(pos // 8).astype(np.int64)] >> (pos % 8).astype(np.uint8)) & 1 > 0
+            starts = np.zeros(len(pdf), dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            nonempty = lens > 0
+            hits = np.zeros(len(pdf), dtype=np.int64)
+            hits[nonempty] = np.add.reduceat(member.astype(np.int64), starts[nonempty])
+            flagged = pdf["doc_id"].to_numpy()[hits > 0]
+            yield pd.DataFrame({"doc_id": flagged})
+
+    return gen
+
+
+@register(
+    "q302_bloom_decontaminate",
+    sql="""
+    WITH g AS (
+        SELECT doc_id,
+               unnest(list_distinct(
+                   [array_to_string(toks[i:i+3], ' ')
+                    FOR i IN range(1, greatest(len(toks)-3, 1) + 1)])) AS gram
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+    ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+    ng AS (SELECT doc_id, COUNT(*) AS n_grams FROM g GROUP BY doc_id)
+    SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared,
+           CAST(ANY_VALUE(ng.n_grams) AS BIGINT) AS n_grams,
+           ROUND(COUNT(*) * 1.0 / ANY_VALUE(ng.n_grams), 6) AS contamination_share
+    FROM g JOIN ev USING (gram) JOIN ng ON ng.doc_id = g.doc_id
+    WHERE g.doc_id % 97 <> 0
+    GROUP BY g.doc_id
+    ORDER BY g.doc_id
+    """,
+    doc="Benchmark decontamination with a Bloom PREFILTER (q139's semantics, "
+    "the 100 TB mechanism): the eval set's 4-word shingles are xxhash64-ed "
+    "JVM-side, collected (benchmarks are small by construction), and packed "
+    "into a 128 KiB bitarray Bloom filter (m=2^20, k=4, double hashing) "
+    "that ships to every executor inside an Arrow kernel closure -- the "
+    "static-filter shape production pipelines use when even a broadcast "
+    "hash set is too large.  Scan 1 tests every document's gram hashes "
+    "against the bitarray in vectorized numpy (no shuffle, no join; output "
+    "is just flagged doc_ids).  Scan 2 runs the EXACT q139 overlap join on "
+    "flagged documents only, so Bloom false positives are eliminated and "
+    "the result is exactly the true contamination report (no false "
+    "negatives by Bloom construction; both sides hash with the same JVM "
+    "xxhash64).  Output adds per-doc gram counts and the contamination "
+    "share that drives drop-vs-keep policy.",
+)
+def q302_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    grams4 = word_shingles("text", 4)
+    ev_hashes = [
+        r["h"]
+        for r in d.filter(F.col("doc_id") % 97 == 0)
+        .select(F.explode(grams4).alias("gram"))
+        .distinct()
+        .select(F.xxhash64("gram").alias("h"))
+        .collect()
+    ]
+    bits = _bloom_build(ev_hashes)
+
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    hashed = corpus.select(
+        "doc_id", F.transform(grams4, lambda g: F.xxhash64(g)).alias("ghs")
+    )
+    flagged = hashed.mapInPandas(_bloom_probe_kernel(bits), "doc_id long")
+
+    ev_grams = (
+        d.filter(F.col("doc_id") % 97 == 0)
+        .select(F.explode(grams4).alias("gram"))
+        .distinct()
+    )
+    # Broadcast the flagged ids: contamination is rare by construction
+    # (benchmarks are tiny next to the corpus), so the candidate set is
+    # bounded and the corpus side never shuffles.  If a corpus were
+    # pathologically contaminated, the plain q139 join is the fallback.
+    #
+    # n_shared AND n_grams both come from ONE exploded pass via a LEFT join
+    # with a hit marker -- NOT a separate size(word_shingles) column next to
+    # the explode: CollapseProject duplicates the shingle expression above
+    # the generate, re-evaluating it per exploded ROW (measured 22.5s vs
+    # 3.9s at sf0.1 for this one column).
+    cand = corpus.join(F.broadcast(flagged), "doc_id").select(
+        "doc_id", F.explode(grams4).alias("gram")
+    )
+    marked = cand.join(
+        F.broadcast(ev_grams.withColumn("hit", F.lit(1))), "gram", "left"
+    )
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count("hit").alias("n_shared"),
+            F.count("*").alias("n_grams"),
+            F.round(F.count("hit") / F.count("*"), 6).alias("contamination_share"),
+        )
+        .filter(F.col("n_shared") > 0)
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q303: BPE encode -- apply learned merge rules back to the corpus
+# ---------------------------------------------------------------------------
+
+_BPE_LEVELS = 4
+
+
+def _bpe_encode_oracle(levels: int) -> str:
+    """Unrolled DuckDB twin: train the q270 greedy merges, then measure the
+    encoded corpus per source."""
+    parts = [
+        """WITH t0 AS (
+        SELECT source, ' ' || text || ' ' AS x,
+               len(string_split(text, ' ')) AS n_before
+        FROM documents WHERE length(text) > 0)"""
+    ]
+    for k in range(levels):
+        parts.append(
+            f""",
+    pairs{k} AS (
+        SELECT u.p[1] || ' ' || u.p[2] AS pair, COUNT(*) AS c
+        FROM (SELECT unnest(list_zip(tk, tk[2:])) AS p
+              FROM (SELECT string_split(trim(x), ' ') AS tk FROM t{k})) u
+        WHERE u.p[2] IS NOT NULL
+        GROUP BY 1),
+    best{k} AS (
+        SELECT pair FROM pairs{k} ORDER BY c DESC, pair ASC LIMIT 1),
+    t{k + 1} AS (
+        SELECT source, n_before,
+               replace(x, ' ' || (SELECT pair FROM best{k}) || ' ',
+                       ' ' || replace((SELECT pair FROM best{k}), ' ', '+') || ' ') AS x
+        FROM t{k})"""
+        )
+    parts.append(
+        f"""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_before) AS BIGINT) AS tokens_before,
+           CAST(SUM(len(string_split(trim(x), ' '))) AS BIGINT) AS tokens_after,
+           ROUND(SUM(len(string_split(trim(x), ' '))) * 1.0 / SUM(n_before), 6)
+               AS compression
+    FROM t{levels}
+    GROUP BY source
+    ORDER BY source"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "q303_bpe_encode",
+    sql=_bpe_encode_oracle(_BPE_LEVELS),
+    doc=f"BPE ENCODE: train {_BPE_LEVELS} greedy merge rules (the q270 loop "
+    "-- per round one pair-count hash-agg and a 1-row argmax collect; the "
+    "rules are the only driver state) and then APPLY them to the corpus, "
+    "reporting per-source token counts before/after and the compression "
+    "ratio -- tokenizer inference, the pass that actually runs over all "
+    "100 TB on every training run.  The encode itself is a chain of "
+    f"{_BPE_LEVELS} stateless whole-token string replaces -- pure "
+    "whole-stage-codegen projections, no shuffle, no Python; the only "
+    "shuffle in the query is the final per-source rollup (bounded by the "
+    "source vocabulary).  The "
+    "oracle unrolls the identical train-then-encode chain as CTEs.",
+)
+def q303_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    enc = d.select(
+        "source",
+        F.concat(F.lit(" "), F.col("text"), F.lit(" ")).alias("x"),
+        token_count("text").alias("n_before"),
+    )
+    for _ in range(_BPE_LEVELS):
+        tk = enc.select(F.split(F.trim("x"), " ").alias("tk"))
+        pairs = (
+            tk.select(
+                F.explode(
+                    F.expr(
+                        "transform(slice(tk, 1, size(tk) - 1),"
+                        " (t, i) -> concat(t, ' ', element_at(tk, i + 2)))"
+                    )
+                ).alias("pair")
+            )
+            .groupBy("pair")
+            .agg(F.count("*").alias("c"))
+        )
+        best = pairs.orderBy(F.col("c").desc(), F.col("pair").asc()).limit(1).collect()[0]
+        enc = enc.select(
+            "source",
+            F.replace(
+                "x",
+                F.lit(f" {best.pair} "),
+                F.lit(" " + best.pair.replace(" ", "+") + " "),
+            ).alias("x"),
+            "n_before",
+        )
+    return (
+        enc.select(
+            "source", "n_before", F.size(F.split(F.trim("x"), " ")).alias("n_after")
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_before").alias("tokens_before"),
+            F.sum(F.col("n_after").cast("bigint")).alias("tokens_after"),
+            F.round(F.sum("n_after") / F.sum("n_before"), 6).alias("compression"),
+        )
+        .orderBy("source")
+    )
