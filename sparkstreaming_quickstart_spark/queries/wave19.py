@@ -266,3 +266,171 @@ def q303_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q304: differentially-private histogram release (seeded Laplace mechanism)
+# ---------------------------------------------------------------------------
+
+_DP_EPS = 0.5
+_DP_SALT = "dp1|"
+
+
+@register(
+    "q304_dp_histogram",
+    sql=f"""
+    WITH c AS (
+        SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY lang, source),
+    u AS (
+        SELECT lang, source, n,
+               (CAST(CAST('0x' || substr(md5('{_DP_SALT}' || lang || '|' || source), 1, 8)
+                     AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0 AS u
+        FROM c)
+    SELECT lang, source, CAST(n AS BIGINT) AS n_true,
+           ROUND(n + (CASE WHEN u < 0.5 THEN 1.0 ELSE -1.0 END)
+                     * (1.0 / {_DP_EPS}) * ln(1.0 - 2.0 * abs(u - 0.5)), 6)
+               AS n_noisy,
+           {_DP_EPS} AS epsilon
+    FROM u
+    ORDER BY lang, source
+    """,
+    doc=f"Differentially-private histogram release (Laplace mechanism, "
+    f"eps={_DP_EPS}, count sensitivity 1): per-(lang, source) counts plus "
+    "inverse-CDF Laplace noise drawn from a DETERMINISTIC per-cell uniform "
+    "(salted md5 -> (bucket+0.5)/2^32, the q209 convention), so the "
+    "release is reproducible, auditable, and value-oracle-checkable while "
+    "keeping the mechanism's exact shape -- swap the salt per release "
+    "epoch for fresh noise.  The privacy-critical property (noise "
+    "distribution) is carried by the uniform->Laplace transform; "
+    "determinism-by-salt is the standard replayable-pipeline compromise "
+    "(a production release would tie the salt to a secret).  Plan: one "
+    "hash-agg to the cell frame, then pure projection arithmetic on "
+    "|cells| rows; ROUND(,6) absorbs the last-ulp ln() difference "
+    "between JVM and libm (the q286 discipline).  Complements q294's "
+    "k-anonymity audit as the statistical-release half of the privacy "
+    "toolkit.",
+)
+def q304_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    c = d.groupBy("lang", "source").agg(F.count("*").alias("n"))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(_DP_SALT), F.col("lang"), F.lit("|"), F.col("source"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + 0.5
+    ) / F.lit(4294967296.0)
+    sign = F.when(u < 0.5, F.lit(1.0)).otherwise(F.lit(-1.0))
+    lap = sign * F.lit(1.0 / _DP_EPS) * F.log(F.lit(1.0) - 2.0 * F.abs(u - 0.5))
+    return c.select(
+        "lang",
+        "source",
+        F.col("n").alias("n_true"),
+        F.round(F.col("n") + lap, 6).alias("n_noisy"),
+        F.lit(_DP_EPS).alias("epsilon"),
+    ).orderBy("lang", "source")
+
+
+# ---------------------------------------------------------------------------
+# q305: consistent-hash ring rebalance audit (elastic re-sharding)
+# ---------------------------------------------------------------------------
+
+_RING_VNODES = 16
+_RING_SALT = "ring|"
+
+
+def _ring_points(n_nodes: int):
+    """(position, node) ring points: md5 first-8-hex of 'ring|node|vnode',
+    sorted by position.  Driver-side literals shared with the oracle."""
+    import hashlib
+
+    pts = []
+    for i in range(n_nodes):
+        for v in range(_RING_VNODES):
+            h = int(
+                hashlib.md5(f"{_RING_SALT}n{i}|{v}".encode()).hexdigest()[:8], 16
+            )
+            pts.append((h, f"n{i}"))
+    pts.sort()
+    return pts
+
+
+def _q305_oracle_sql() -> str:
+    r8, r9 = _ring_points(8), _ring_points(9)
+
+    def lits(pts):
+        pos = "[" + ", ".join(str(p) for p, _ in pts) + "]"
+        nodes = "[" + ", ".join(f"'{n}'" for _, n in pts) + "]"
+        return pos, nodes
+
+    p8, n8 = lits(r8)
+    p9, n9 = lits(r9)
+    return f"""
+    WITH h AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5('doc|' || doc_id), 1, 8) AS BIGINT) AS hv
+        FROM documents),
+    a AS (
+        SELECT doc_id,
+               {n8}[(len(list_filter({p8}, p -> p < hv)) % 128) + 1] AS shard_before,
+               {n9}[(len(list_filter({p9}, p -> p < hv)) % 144) + 1] AS shard_after
+        FROM h)
+    SELECT shard_before, shard_after,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           (shard_before <> shard_after) AS moved
+    FROM a
+    GROUP BY shard_before, shard_after
+    ORDER BY shard_before, shard_after
+    """
+
+
+@register(
+    "q305_consistent_hash_ring",
+    sql=_q305_oracle_sql(),
+    doc=f"Consistent-hash ring rebalance audit: assign every document to a "
+    f"shard on an 8-node x {_RING_VNODES}-vnode md5 ring (successor of the "
+    "doc hash, wrapping), re-assign on the 9-node ring, and report the "
+    "movement matrix -- the elastic re-sharding contract (only ~1/9 of "
+    "keys move, all TO the new node) that naive mod-N bucketing (q141/"
+    "q208's stable-within-epoch scheme) cannot give when the shard count "
+    "changes.  Ring points are driver-computed literals shared with the "
+    "oracle.  Plan: successor lookup is a bounded 128/144-element filter-"
+    "count per row over the broadcast literal arrays (O(vnodes) constant "
+    "work inside one codegen-free projection, no shuffle); the rollup is "
+    "the only exchange.  At 100 TB the same literals ship in the task "
+    "binary -- assignment stays scan-local however many executors run.",
+)
+def q305_consistent_hash_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r8, r9 = _ring_points(8), _ring_points(9)
+    d = load_table(spark, sf_dir, "documents")
+    hv = F.conv(
+        F.substring(F.md5(F.concat(F.lit("doc|"), F.col("doc_id"))), 1, 8), 16, 10
+    ).cast("long")
+
+    def assign(pts, hcol):
+        pos = F.array(*[F.lit(p) for p, _ in pts])
+        nodes = F.array(*[F.lit(n) for _, n in pts])
+        idx = F.size(F.filter(pos, lambda p: p < hcol)) % F.lit(len(pts))
+        return F.element_at(nodes, idx + 1)
+
+    a = d.select(
+        "doc_id",
+        assign(r8, hv).alias("shard_before"),
+        assign(r9, hv).alias("shard_after"),
+    )
+    return (
+        a.groupBy("shard_before", "shard_after")
+        .agg(F.count("*").alias("n_docs"))
+        .select(
+            "shard_before",
+            "shard_after",
+            "n_docs",
+            (F.col("shard_before") != F.col("shard_after")).alias("moved"),
+        )
+        .orderBy("shard_before", "shard_after")
+    )

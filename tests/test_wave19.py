@@ -115,3 +115,81 @@ def test_bpe_encode_matches_python_reference(spark, tmp_path):
             encoded,
         )
         assert abs(r["compression"] - round(after / before, 6)) < 1e-9
+
+
+def test_dp_histogram_noise_matches_hashlib_replay(spark, tmp_path):
+    import hashlib
+    import math
+
+    from sparkstreaming_quickstart_spark.queries.wave19 import (
+        _DP_EPS,
+        _DP_SALT,
+        q304_dp_histogram,
+    )
+
+    texts = ["w1 w2", "w3 w4", "w5"]
+    pd.DataFrame(
+        {
+            "doc_id": range(3),
+            "text": texts,
+            "lang": ["en", "en", "de"],
+            "source": ["s0", "s0", "s1"],
+            "n_chars": [len(t) for t in texts],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    rows = {(r["lang"], r["source"]): r for r in q304_dp_histogram(spark, str(tmp_path)).collect()}
+    assert rows[("en", "s0")]["n_true"] == 2
+    assert rows[("de", "s1")]["n_true"] == 1
+    for (lang, src), r in rows.items():
+        h = int(hashlib.md5(f"{_DP_SALT}{lang}|{src}".encode()).hexdigest()[:8], 16)
+        u = (h + 0.5) / 4294967296.0
+        lap = (1.0 if u < 0.5 else -1.0) * (1.0 / _DP_EPS) * math.log(1.0 - 2.0 * abs(u - 0.5))
+        assert abs(r["n_noisy"] - round(r["n_true"] + lap, 6)) < 1e-9
+
+
+def test_consistent_ring_moves_only_to_new_node(spark, sf_dir):
+    from sparkstreaming_quickstart_spark.queries.wave19 import (
+        q305_consistent_hash_ring,
+    )
+
+    rows = q305_consistent_hash_ring(spark, sf_dir).collect()
+    total = sum(r["n_docs"] for r in rows)
+    moved = sum(r["n_docs"] for r in rows if r["moved"])
+    # consistent-hashing contract: keys only ever move TO the added node
+    assert all(r["shard_after"] == "n8" for r in rows if r["moved"])
+    # and roughly 1/9 of them (vnode variance allows a loose band)
+    assert 0.02 < moved / total < 0.30, moved / total
+
+
+def test_consistent_ring_assignment_matches_hashlib(spark, tmp_path):
+    import hashlib
+
+    from sparkstreaming_quickstart_spark.queries.wave19 import (
+        _ring_points,
+        q305_consistent_hash_ring,
+    )
+
+    ids = [0, 7, 12345, 999999]
+    pd.DataFrame(
+        {
+            "doc_id": ids,
+            "text": ["x"] * len(ids),
+            "lang": ["en"] * len(ids),
+            "source": ["s0"] * len(ids),
+            "n_chars": [1] * len(ids),
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    rows = q305_consistent_hash_ring(spark, str(tmp_path)).collect()
+
+    def assign(pts, hv):
+        idx = sum(1 for p, _ in pts if p < hv) % len(pts)
+        return pts[idx][1]
+
+    r8, r9 = _ring_points(8), _ring_points(9)
+    expected = {}
+    for i in ids:
+        hv = int(hashlib.md5(f"doc|{i}".encode()).hexdigest()[:8], 16)
+        key = (assign(r8, hv), assign(r9, hv))
+        expected[key] = expected.get(key, 0) + 1
+    got = {(r["shard_before"], r["shard_after"]): r["n_docs"] for r in rows}
+    assert got == expected
