@@ -57,6 +57,11 @@ HEADLINE = [
     # regression back to interpreted folds stays visible.
     "q53_dedup_simhash",
     "q293_kcenter_coreset",
+    # Wave-18/19 representatives: the one-scan Arrow Gram-partial shape
+    # (embedding spectrum family) and the Bloom-prefilter + exact-verify
+    # decontamination shape (kernel-closure static filter).
+    "q295_embedding_covariance",
+    "q302_bloom_decontaminate",
 ]
 # q51 (exact-jaccard brute force) is deliberately NOT headline: it is the
 # O(n^2)-ish correctness baseline; q52 is the scale path over the same data.
