@@ -434,3 +434,196 @@ def q305_consistent_hash_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard_before", "shard_after")
     )
+
+
+# ---------------------------------------------------------------------------
+# q306: corpus pipeline v3 -- the round-7 stages composed in production order
+# ---------------------------------------------------------------------------
+
+_V3_JACCARD_T = 0.7
+
+
+def _q306_oracle_sql() -> str:
+    from .wave18 import _QCLS_BUCKETS, _qcls_weights
+
+    w = _qcls_weights()
+    values = ", ".join(f"({b}, {w[b]!r})" for b in range(_QCLS_BUCKETS))
+    return f"""
+    WITH weights(bucket, w) AS (VALUES {values}),
+    base AS (
+        SELECT doc_id, source, text FROM documents WHERE length(text) > 0),
+    scored AS (
+        SELECT t.doc_id, AVG(w.w) AS score
+        FROM (SELECT doc_id,
+                     CAST(md5_number_lower(unnest(string_split(text, ' ')))
+                          % {_QCLS_BUCKETS} AS BIGINT) AS bucket
+              FROM base) t
+        JOIN weights w ON t.bucket = w.bucket
+        GROUP BY t.doc_id),
+    qual AS (
+        SELECT b.doc_id, b.source, b.text FROM base b
+        JOIN scored s ON s.doc_id = b.doc_id
+        WHERE s.score >= 0 AND b.doc_id % 97 <> 0),
+    evg AS (
+        SELECT DISTINCT unnest(list_distinct(
+                   [array_to_string(toks[i:i+3], ' ')
+                    FOR i IN range(1, greatest(len(toks)-3, 1) + 1)])) AS gram
+        FROM (SELECT string_split(text, ' ') AS toks FROM documents
+              WHERE doc_id % 97 = 0)),
+    contaminated AS (
+        SELECT DISTINCT g.doc_id FROM (
+            SELECT doc_id,
+                   unnest(list_distinct(
+                       [array_to_string(toks[i:i+3], ' ')
+                        FOR i IN range(1, greatest(len(toks)-3, 1) + 1)])) AS gram
+            FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM qual)) g
+        JOIN evg USING (gram)),
+    clean AS (
+        SELECT q.* FROM qual q ANTI JOIN contaminated c ON q.doc_id = c.doc_id),
+    sh AS (
+        SELECT doc_id,
+               list_distinct([array_to_string(toks[i:i+2], ' ')
+                              FOR i IN range(1, len(toks)-1)]) AS sh
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM clean)),
+    tok AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+    sizes AS (SELECT doc_id, len(sh) AS n FROM sh),
+    pairs AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common
+        FROM tok a JOIN tok b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+    dropped AS (
+        SELECT DISTINCT d2 AS doc_id
+        FROM pairs JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+        WHERE CAST(common AS DOUBLE) / (s1.n + s2.n - common) >= {_V3_JACCARD_T}),
+    final AS (SELECT c.* FROM clean c ANTI JOIN dropped d ON c.doc_id = d.doc_id)
+    SELECT b.source,
+           CAST(COUNT(*) AS BIGINT) AS n_input,
+           CAST(COUNT(q.doc_id) AS BIGINT) AS n_quality,
+           CAST(COUNT(c.doc_id) AS BIGINT) AS n_decontaminated,
+           CAST(COUNT(f.doc_id) AS BIGINT) AS n_final,
+           CAST(COALESCE(SUM(CASE WHEN f.doc_id IS NOT NULL
+                    THEN len(string_split(b.text, ' ')) END), 0) AS BIGINT)
+               AS tokens_final
+    FROM base b
+    LEFT JOIN qual q ON q.doc_id = b.doc_id
+    LEFT JOIN clean c ON c.doc_id = b.doc_id
+    LEFT JOIN final f ON f.doc_id = b.doc_id
+    GROUP BY b.source
+    ORDER BY b.source
+    """
+
+
+@register(
+    "q306_corpus_pipeline_v3",
+    sql=_q306_oracle_sql(),
+    doc="Corpus-preparation pipeline v3 (capstone composing the ROUND-7 "
+    "stages in production order): hashing-trick classifier gate (q299, "
+    "keep score >= 0) -> Bloom-prefiltered benchmark decontamination "
+    "(q302, drop any eval 4-gram overlap; eval docs themselves excluded) "
+    "-> MinHash-LSH near-dup dedup at exact-Jaccard >= 0.7 dropping the "
+    "higher-id member of each pair (q52's verify-on-candidates) -> "
+    "per-source funnel with surviving token mass.  One oracle over the "
+    "whole chain proves the COMPOSITION, not just the stages (the q200 "
+    "discipline, rebuilt from this round's operators).  Stage order is "
+    "the scale optimization: the cheap codegen classifier gate runs "
+    "first, the Bloom probe touches only quality survivors, and the "
+    "LSH shuffle sees only clean docs.  Funnel counts come from ONE "
+    "left-join rollup so every stage's survivor set is observable -- "
+    "the per-stage accounting a 100 TB curation run reports.",
+)
+def q306_corpus_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import md5_mod, minhash_lsh_pairs
+    from .wave18 import _QCLS_BUCKETS, _qcls_weights
+
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    base = d.select("doc_id", "source", "text")
+
+    # Stage 1: classifier gate (q299's broadcast-weights inference).
+    wts = _qcls_weights()
+    weights = spark.createDataFrame(
+        [(b, wts[b]) for b in range(_QCLS_BUCKETS)], "bucket long, w double"
+    )
+    scored = (
+        base.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("token")
+        )
+        .select("doc_id", md5_mod(F.col("token"), _QCLS_BUCKETS).alias("bucket"))
+        .join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(F.avg("w").alias("score"))
+    )
+    # Each stage's survivor frame feeds multiple downstream consumers (the
+    # next stage, the funnel rollup, and -- for clean -- the LSH's two
+    # scans); persist so the classifier explode / Bloom probe lineage runs
+    # once, not once per consumer.
+    qual = (
+        base.join(scored, "doc_id")
+        .filter((F.col("score") >= 0) & (F.col("doc_id") % 97 != 0))
+        .select("doc_id", "source", "text")
+        .persist()
+    )
+
+    # Stage 2: Bloom-prefiltered decontamination (q302's kernel + exact
+    # verify), dropping any doc sharing a 4-gram with the eval set.
+    grams4 = word_shingles("text", 4)
+    ev_hashes = [
+        r["h"]
+        for r in d.filter(F.col("doc_id") % 97 == 0)
+        .select(F.explode(grams4).alias("gram"))
+        .distinct()
+        .select(F.xxhash64("gram").alias("h"))
+        .collect()
+    ]
+    bits = _bloom_build(ev_hashes)
+    hashed = qual.select(
+        "doc_id", F.transform(grams4, lambda g: F.xxhash64(g)).alias("ghs")
+    )
+    flagged = hashed.mapInPandas(_bloom_probe_kernel(bits), "doc_id long")
+    ev_grams = (
+        d.filter(F.col("doc_id") % 97 == 0)
+        .select(F.explode(grams4).alias("gram"))
+        .distinct()
+    )
+    confirmed = (
+        qual.join(F.broadcast(flagged), "doc_id")
+        .select("doc_id", F.explode(grams4).alias("gram"))
+        .join(F.broadcast(ev_grams), "gram")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = qual.join(confirmed, "doc_id", "anti").persist()
+
+    # Stage 3: near-dup dedup among clean docs (keep-lowest-id).
+    pairs = minhash_lsh_pairs(
+        clean, "text", "doc_id", n=3, threshold=_V3_JACCARD_T
+    )
+    dropped = pairs.select(F.col("d2").alias("doc_id")).distinct()
+    final = clean.join(dropped, "doc_id", "anti")
+
+    # Funnel rollup: one left-join accounting pass per stage survivor set.
+    q_ids = qual.select("doc_id", F.lit(1).alias("in_q"))
+    c_ids = clean.select("doc_id", F.lit(1).alias("in_c"))
+    f_ids = final.select("doc_id", F.lit(1).alias("in_f"))
+    acct = (
+        base.join(q_ids, "doc_id", "left")
+        .join(c_ids, "doc_id", "left")
+        .join(f_ids, "doc_id", "left")
+    )
+    return (
+        acct.groupBy("source")
+        .agg(
+            F.count("*").alias("n_input"),
+            F.count("in_q").alias("n_quality"),
+            F.count("in_c").alias("n_decontaminated"),
+            F.count("in_f").alias("n_final"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("in_f").isNotNull(), F.size(F.split("text", " "))
+                    ).cast("bigint")
+                ),
+                F.lit(0),
+            ).alias("tokens_final"),
+        )
+        .orderBy("source")
+    )

@@ -193,3 +193,22 @@ def test_consistent_ring_assignment_matches_hashlib(spark, tmp_path):
         expected[key] = expected.get(key, 0) + 1
     got = {(r["shard_before"], r["shard_after"]): r["n_docs"] for r in rows}
     assert got == expected
+
+
+def test_pipeline_v3_funnel_is_monotone_and_consistent(spark, sf_dir):
+    from sparkstreaming_quickstart_spark.queries.wave19 import (
+        q306_corpus_pipeline_v3,
+    )
+
+    rows = q306_corpus_pipeline_v3(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_input"] >= r["n_quality"] >= r["n_decontaminated"] >= r["n_final"]
+        assert r["n_final"] >= 0
+        # token mass only counts final survivors
+        if r["n_final"] == 0:
+            assert r["tokens_final"] == 0
+        else:
+            assert r["tokens_final"] > 0
+    # at least one stage must actually filter something on the fixture
+    assert sum(r["n_input"] for r in rows) > sum(r["n_final"] for r in rows)
