@@ -74,6 +74,7 @@ _PRIORITY: list[str] = [
     "q300_hard_negative_mining", "q301_embedding_whitening",
     "q302_bloom_decontaminate", "q303_bpe_encode", "q304_dp_histogram",
     "q305_consistent_hash_ring", "q306_corpus_pipeline_v3",
+    "q307_matryoshka_eval",
     "q289_token_budget_curriculum", "q286_fdr_bh_correction",
     "q262_exponential_gof", "q185_containment_neardup", "q53_dedup_simhash",
     "q293_kcenter_coreset", "q252_anova_f", "q263_twap",

@@ -627,3 +627,111 @@ def q306_corpus_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q307: Matryoshka truncation evaluation (cosine fidelity vs kept dims)
+# ---------------------------------------------------------------------------
+
+_MRL_DIMS = (8, 16, 32, 64)
+
+
+def _q307_oracle_sql() -> str:
+    per_dim = []
+    for nd in _MRL_DIMS:
+        per_dim.append(
+            f"""
+    SELECT {nd} AS kept_dims, s.query_id, s.neighbor_id, s.cos_full,
+           ROUND(list_dot_product(q.v[1:{nd}], c.v[1:{nd}])
+                 / (sqrt(list_dot_product(q.v[1:{nd}], q.v[1:{nd}]))
+                    * sqrt(list_dot_product(c.v[1:{nd}], c.v[1:{nd}]))), 9)
+               AS cos_trunc
+    FROM s JOIN e q ON q.vec_id = s.query_id
+           JOIN e c ON c.vec_id = s.neighbor_id"""
+        )
+    union = "\n    UNION ALL\n".join(per_dim)
+    return f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s AS (
+        SELECT query_id, neighbor_id, cos_sim AS cos_full, rank FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   ROUND(list_dot_product(q.v, c.v)
+                         / (sqrt(list_dot_product(q.v, q.v))
+                            * sqrt(list_dot_product(c.v, c.v))), 9) AS cos_sim,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                       ORDER BY ROUND(list_dot_product(q.v, c.v)
+                                / (sqrt(list_dot_product(q.v, q.v))
+                                   * sqrt(list_dot_product(c.v, c.v))), 9) DESC,
+                                c.vec_id ASC) AS rank
+            FROM (SELECT * FROM e WHERE vec_id % 50 = 0) q
+            JOIN e c ON c.vec_id <> q.vec_id)
+        WHERE rank <= 5)
+    SELECT kept_dims,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(AVG(ABS(cos_trunc - cos_full)), 6) AS mean_abs_delta,
+           ROUND(AVG(cos_trunc), 6) AS mean_cos_trunc,
+           ROUND(AVG(cos_full), 6) AS mean_cos_full
+    FROM ({union})
+    GROUP BY kept_dims
+    ORDER BY kept_dims
+    """
+
+
+@register(
+    "q307_matryoshka_eval",
+    sql=_q307_oracle_sql(),
+    doc="Matryoshka/truncation evaluation: for the exact top-5 neighbor "
+    "pairs of the sampled query set (q54's ground truth), re-score cosine "
+    "keeping only the first 8/16/32/64 dimensions and report the fidelity "
+    "profile (mean |delta| vs the full-dim score) -- the measurement that "
+    "decides how many dims a cheap ANN prefilter or a truncated index "
+    "keeps (MRL-style deployments).  Plan: ground truth is the broadcast-"
+    "sample brute-force pass (bounded by the sample, not the corpus); the "
+    "truncated re-scores touch only the sample-sized top-5 pair list "
+    "joined back to the two vector rows -- per pair the four truncations "
+    "are one projection of array slices, no extra scan, no shuffle beyond "
+    "the 4-row rollup.  At 100 TB the eval cost is the ground-truth "
+    "sample pass, identical to q297's.",
+)
+def q307_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import dot, topk_cosine
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = e.filter(F.col("vec_id") % 50 == 0)
+    top = topk_cosine(q, e, "vec_id", "v", "vec_id", "v", k=5).select(
+        "query_id", "neighbor_id", F.col("cos_sim").alias("cos_full")
+    )
+    qv = e.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    cv = e.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"))
+    # Broadcast the sample-sized pair list; the corpus vector frames stream.
+    pairs = F.broadcast(top).join(qv, "query_id").join(cv, "neighbor_id")
+
+    def trunc_cos(nd: int):
+        a, b = F.slice("qv", 1, nd), F.slice("cv", 1, nd)
+        return F.round(
+            F.try_divide(dot(a, b), F.sqrt(dot(a, a)) * F.sqrt(dot(b, b))), 9
+        )
+
+    per_dim = None
+    for nd in _MRL_DIMS:
+        part = pairs.select(
+            F.lit(nd).alias("kept_dims"),
+            "cos_full",
+            trunc_cos(nd).alias("cos_trunc"),
+        )
+        per_dim = part if per_dim is None else per_dim.unionByName(part)
+    return (
+        per_dim.groupBy("kept_dims")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(F.avg(F.abs(F.col("cos_trunc") - F.col("cos_full"))), 6).alias(
+                "mean_abs_delta"
+            ),
+            F.round(F.avg("cos_trunc"), 6).alias("mean_cos_trunc"),
+            F.round(F.avg("cos_full"), 6).alias("mean_cos_full"),
+        )
+        .orderBy("kept_dims")
+    )

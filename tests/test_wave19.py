@@ -212,3 +212,45 @@ def test_pipeline_v3_funnel_is_monotone_and_consistent(spark, sf_dir):
             assert r["tokens_final"] > 0
     # at least one stage must actually filter something on the fixture
     assert sum(r["n_input"] for r in rows) > sum(r["n_final"] for r in rows)
+
+
+def test_matryoshka_eval_matches_numpy(spark, tmp_path_factory):
+    import numpy as np
+
+    from sparkstreaming_quickstart_spark.queries.wave19 import (
+        _MRL_DIMS,
+        q307_matryoshka_eval,
+    )
+
+    rng = np.random.default_rng(31)
+    X = rng.normal(size=(150, 64))
+    pdf = pd.DataFrame(
+        {
+            "vec_id": range(150),
+            "embedding": [np.asarray(v, dtype="float32") for v in X],
+            "label": [0] * 150,
+        }
+    )
+    d = tmp_path_factory.mktemp("emb")
+    pdf.to_parquet(d / "embeddings.parquet")
+    rows = {r["kept_dims"]: r for r in q307_matryoshka_eval(spark, str(d)).collect()}
+    assert set(rows) == set(_MRL_DIMS)
+
+    Xd = X.astype(np.float32).astype(np.float64)
+    nrm = np.linalg.norm(Xd, axis=1)
+    cos = np.round((Xd @ Xd.T) / np.outer(nrm, nrm), 9)
+    pairs = []
+    for qi in range(0, 150, 50):
+        order = sorted((i for i in range(150) if i != qi), key=lambda i: (-cos[qi, i], i))
+        pairs += [(qi, ni) for ni in order[:5]]
+    for nd in _MRL_DIMS:
+        T = Xd[:, :nd]
+        tn = np.linalg.norm(T, axis=1)
+        tcos = np.round((T @ T.T) / np.outer(tn, tn), 9)
+        deltas = [abs(tcos[a, b] - cos[a, b]) for a, b in pairs]
+        r = rows[nd]
+        assert r["n_pairs"] == len(pairs)
+        assert abs(r["mean_abs_delta"] - round(float(np.mean(deltas)), 6)) < 2e-6
+        # full-dim truncation is the identity: delta exactly 0
+        if nd == 64:
+            assert r["mean_abs_delta"] == 0.0
