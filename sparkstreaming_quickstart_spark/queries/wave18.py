@@ -73,7 +73,15 @@ def covariance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").cast("array<double>").alias("x")
     )
     parts = e.mapInPandas(_gram_partials(_DIMS), "i int, j int, v double")
-    tot = parts.groupBy("i", "j").agg(F.sum("v").alias("v"))
+    # Materialize the d^2-sized totals ONCE: gram / si / sj / n are four
+    # consumers, and the broadcast builds would otherwise each re-run the
+    # corpus scan + kernel (the plan audit showed 4 scans where the design
+    # promises one).  The checkpointed frame is ~d^2/2 + d + 1 rows.
+    tot = (
+        parts.groupBy("i", "j")
+        .agg(F.sum("v").alias("v"))
+        .localCheckpoint(eager=True)
+    )
     gram = tot.filter((F.col("i") >= 0) & (F.col("j") >= 0)).select(
         "i", "j", F.col("v").alias("sxy")
     )
@@ -571,7 +579,13 @@ def q301_embedding_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     parts = e.mapInPandas(_whitened_gram, "i int, j int, v double")
-    tot = parts.groupBy("i", "j").agg(F.sum("v").alias("v"))
+    # Same one-scan materialization as covariance_stats: the four consumers
+    # below must read the d^2-sized totals, not re-run the whitened scan.
+    tot = (
+        parts.groupBy("i", "j")
+        .agg(F.sum("v").alias("v"))
+        .localCheckpoint(eager=True)
+    )
     gram = tot.filter((F.col("i") >= 0) & (F.col("j") >= 0)).select(
         "i", "j", F.col("v").alias("szz")
     )
