@@ -208,11 +208,20 @@ def q169_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # otherwise materializes at spark.sql.shuffle.partitions width and AQE
     # does not re-coalesce through the cache -- measured 42s -> ~2s under a
     # vanilla 200-partition session).
+    # localCheckpoint EAGER, not lazy .cache(): the triangle query builds
+    # its two broadcast sides in parallel threads, and a lazy cache lets
+    # both (plus the nodes/edges branches) race past the unpopulated cache
+    # and re-run the whole LSH subtree -- the plan audit showed the pair
+    # computation inlined 5x (measured 15s; ~4s once materialized eagerly).
+    # NO coalesce(1) before the materialization: coalesce pushes the 1-task
+    # width down through the whole LSH pipeline (signature kernel, bucket
+    # joins, verify) and serializes it onto one core.  Checkpoint at natural
+    # parallelism; the checkpointed edge set is tiny, so the downstream
+    # broadcasts and single-partition aggregations stay cheap.
     pairs = (
         minhash_lsh_pairs(d, "text", "doc_id", n=3, threshold=0.7)
         .select("d1", "d2")
-        .coalesce(1)
-        .cache()
+        .localCheckpoint(eager=True)
     )
     e1, e2, e3 = pairs.alias("e1"), pairs.alias("e2"), pairs.alias("e3")
     tri = (
