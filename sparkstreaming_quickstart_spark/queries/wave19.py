@@ -554,13 +554,15 @@ def q306_corpus_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Each stage's survivor frame feeds multiple downstream consumers (the
     # next stage, the funnel rollup, and -- for clean -- the LSH's two
-    # scans); persist so the classifier explode / Bloom probe lineage runs
-    # once, not once per consumer.
+    # scans).  EAGER localCheckpoint, not lazy persist: lazy caches race
+    # parallel broadcast builds (the q169 lesson) and leave the full
+    # classifier lineage inlined per consumer in the plan; a production
+    # curation run checkpoints between stages for exactly this reason.
     qual = (
         base.join(scored, "doc_id")
         .filter((F.col("score") >= 0) & (F.col("doc_id") % 97 != 0))
         .select("doc_id", "source", "text")
-        .persist()
+        .localCheckpoint(eager=True)
     )
 
     # Stage 2: Bloom-prefiltered decontamination (q302's kernel + exact
@@ -591,7 +593,7 @@ def q306_corpus_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .distinct()
     )
-    clean = qual.join(confirmed, "doc_id", "anti").persist()
+    clean = qual.join(confirmed, "doc_id", "anti").localCheckpoint(eager=True)
 
     # Stage 3: near-dup dedup among clean docs (keep-lowest-id).
     pairs = minhash_lsh_pairs(
