@@ -116,3 +116,35 @@ def test_ring_growth_moves_keys_only_to_new_node(n_before, keys):
         a, b = assign(before, hv), assign(after, hv)
         if a != b:
             assert b == f"n{n_before}", (hv, a, b)
+
+
+@_SETTINGS
+@given(
+    docs=st.lists(st.lists(_i64, min_size=0, max_size=15), min_size=1, max_size=40),
+)
+def test_simhash_kernel_matches_scalar_majority_vote(docs):
+    """The Arrow SimHash kernel (unpackbits/reduceat/packbits, round-7 q53
+    rewrite) equals the definitional per-bit majority vote for arbitrary
+    64-bit token hashes, empty docs included, across the kernel's 256-row
+    sub-batch boundary."""
+    from sparkstreaming_quickstart_spark.operators.dedup import _simhash_fp_batches
+
+    kernel = _simhash_fp_batches()
+    pdf = pd.DataFrame(
+        {
+            "doc_id": np.arange(len(docs), dtype=np.int64),
+            "th": [np.asarray(d, dtype=np.int64) for d in docs],
+        }
+    )
+    got = pd.concat(list(kernel(iter([pdf])))).set_index("doc_id")["fp"].to_dict()
+
+    def scalar_fp(hashes):
+        fp = 0
+        for b in range(64):
+            s = sum(1 if (np.uint64(np.int64(h).astype(np.uint64)) >> np.uint64(b)) & np.uint64(1) else -1 for h in hashes)
+            if s > 0:
+                fp |= 1 << b
+        # two's-complement view: bit 63 set -> negative int64
+        return int(np.uint64(fp).astype(np.int64))
+    for i, d in enumerate(docs):
+        assert got[i] == scalar_fp(d), (i, d)
