@@ -653,9 +653,9 @@ def _q307_oracle_sql() -> str:
         )
     union = "\n    UNION ALL\n".join(per_dim)
     return f"""
-    WITH e AS (
+    WITH e AS MATERIALIZED (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    s AS (
+    s AS MATERIALIZED (
         SELECT query_id, neighbor_id, cos_sim AS cos_full, rank FROM (
             SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                    ROUND(list_dot_product(q.v, c.v)
@@ -709,7 +709,16 @@ def q307_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = e.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
     cv = e.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"))
     # Broadcast the sample-sized pair list; the corpus vector frames stream.
-    pairs = F.broadcast(top).join(qv, "query_id").join(cv, "neighbor_id")
+    # Eager checkpoint: the four truncation branches below would otherwise
+    # each inline the whole ground-truth + join subtree (4x the corpus
+    # scans); the materialized frame is sample-sized (top-5 rows x two
+    # 64-dim vectors).
+    pairs = (
+        F.broadcast(top)
+        .join(qv, "query_id")
+        .join(cv, "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
 
     def trunc_cos(nd: int):
         a, b = F.slice("qv", 1, nd), F.slice("cv", 1, nd)
