@@ -74,7 +74,8 @@ _PRIORITY: list[str] = [
     "q300_hard_negative_mining", "q301_embedding_whitening",
     "q302_bloom_decontaminate", "q303_bpe_encode", "q304_dp_histogram",
     "q305_consistent_hash_ring", "q306_corpus_pipeline_v3",
-    "q307_matryoshka_eval",
+    "q307_matryoshka_eval", "q308_dup_span_islands",
+    "q309_adaptive_quality_gate", "q310_dedup_saturation",
     "q289_token_budget_curriculum", "q286_fdr_bh_correction",
     "q262_exponential_gof", "q185_containment_neardup", "q53_dedup_simhash",
     "q293_kcenter_coreset", "q252_anova_f", "q263_twap",
@@ -228,6 +229,7 @@ def _ensure_loaded() -> None:
     from . import wave17  # noqa: F401
     from . import wave18  # noqa: F401
     from . import wave19  # noqa: F401
+    from . import wave20  # noqa: F401
     from . import livejars  # noqa: F401
 
     # First occurrence wins: a rotation may promote a name to the head while

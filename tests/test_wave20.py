@@ -1,0 +1,169 @@
+"""Wave-20 pins: each query is re-derived by an independent scalar Python
+implementation over the full sf0.001 corpus (500 docs), plus the structural
+invariants that make the designs correct.
+
+- q308: islands re-derived by a dict-based 5-gram scan + interval merge;
+  every island covers >= 5 tokens, islands are disjoint (covered <=
+  n_tokens), and the doc set equals q158's docs with n_dup > 0 (the two
+  queries share the cross-doc duplicate-5-gram semantics).
+- q309: the cut is exactly the lowest 3n//10 per source under the total
+  order (ppm, doc_id), re-derived scalar-side.
+- q310: first-occurrence flags re-derived with hashlib.md5; the curve's
+  totals reconcile with the corpus (sum n_docs = corpus size, final
+  cum_novel = distinct-text count).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from sparkstreaming_quickstart_spark.queries.wave20 import (
+    q308_dup_span_islands,
+    q309_adaptive_quality_gate,
+    q310_dedup_saturation,
+)
+
+
+def _docs(spark, sf_dir):
+    from sparkstreaming_quickstart_spark.sources.catalog import load_table
+
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    ).collect()
+
+
+def _scalar_islands(rows):
+    """Pure-Python re-derivation of q308 over the full corpus."""
+    grams: dict[str, set[int]] = {}
+    per_doc: dict[int, list[tuple[int, str]]] = {}
+    n_tokens: dict[int, int] = {}
+    for r in rows:
+        if not r["text"]:
+            continue
+        t = r["text"].split(" ")
+        n_tokens[r["doc_id"]] = len(t)
+        if len(t) < 5:
+            per_doc[r["doc_id"]] = []
+            continue
+        inst = [(i + 1, " ".join(t[i : i + 5])) for i in range(len(t) - 4)]
+        per_doc[r["doc_id"]] = inst
+        for _, g in inst:
+            grams.setdefault(g, set()).add(r["doc_id"])
+    dup = {g for g, ds in grams.items() if len(ds) >= 2}
+    out = {}
+    for doc_id, inst in per_doc.items():
+        positions = sorted(p for p, g in inst if g in dup)
+        if not positions:
+            continue
+        islands = []
+        s = e = None
+        for p in positions:
+            if s is None:
+                s, e = p, p + 4
+            elif p <= e + 1:
+                e = max(e, p + 4)
+            else:
+                islands.append((s, e))
+                s, e = p, p + 4
+        islands.append((s, e))
+        spans = [hi - lo + 1 for lo, hi in islands]
+        out[doc_id] = {
+            "n_tokens": n_tokens[doc_id],
+            "n_islands": len(islands),
+            "longest_span": max(spans),
+            "covered_tokens": sum(spans),
+        }
+    return out
+
+
+def test_q308_matches_scalar_reimplementation(spark, sf_dir):
+    expected = _scalar_islands(_docs(spark, sf_dir))
+    got = {r["doc_id"]: r for r in q308_dup_span_islands(spark, sf_dir).collect()}
+    assert set(got) == set(expected)
+    for doc_id, exp in expected.items():
+        g = got[doc_id]
+        assert g["n_tokens"] == exp["n_tokens"]
+        assert g["n_islands"] == exp["n_islands"]
+        assert g["longest_span"] == exp["longest_span"]
+        assert g["covered_tokens"] == exp["covered_tokens"]
+        assert g["covered_ppm"] == exp["covered_tokens"] * 1000000 // exp["n_tokens"]
+
+
+def test_q308_island_structure_invariants(spark, sf_dir):
+    rows = q308_dup_span_islands(spark, sf_dir).collect()
+    assert rows, "sf fixtures contain cross-doc duplicate 5-grams"
+    for r in rows:
+        # One 5-gram covers 5 tokens, so every island spans >= 5; disjoint
+        # islands can never cover more than the document.
+        assert r["longest_span"] >= 5
+        assert r["covered_tokens"] >= 5 * r["n_islands"]
+        assert r["covered_tokens"] <= r["n_tokens"]
+        assert r["longest_span"] <= r["covered_tokens"]
+        assert 0 < r["covered_ppm"] <= 1000000
+
+
+def test_q308_doc_set_agrees_with_q158(spark, sf_dir):
+    """q158's per-doc dup-5-gram census and q308's span read-out must agree
+    on WHICH documents contain cross-doc duplicated 5-grams."""
+    from sparkstreaming_quickstart_spark.queries.corpus_quality import (
+        q158_corpus_dup_ngrams,
+    )
+
+    span_docs = {r["doc_id"] for r in q308_dup_span_islands(spark, sf_dir).collect()}
+    census = {
+        r["doc_id"] for r in q158_corpus_dup_ngrams(spark, sf_dir).collect() if r["n_dup"] > 0
+    }
+    assert span_docs == census
+
+
+def test_q309_cut_is_exact_rank_threshold(spark, sf_dir):
+    rows = _docs(spark, sf_dir)
+    per_source: dict[str, list[tuple[int, int, int]]] = {}
+    for r in rows:
+        if not r["text"]:
+            continue
+        t = r["text"].split(" ")
+        ppm = len(set(t)) * 1000000 // len(t)
+        per_source.setdefault(r["source"], []).append((ppm, r["doc_id"], len(t)))
+    got = {r["source"]: r for r in q309_adaptive_quality_gate(spark, sf_dir).collect()}
+    assert set(got) == set(per_source)
+    for source, docs in per_source.items():
+        docs.sort()
+        n = len(docs)
+        drop = n * 3 // 10
+        kept = docs[drop:]
+        g = got[source]
+        assert g["n_docs"] == n
+        assert g["n_kept"] == n - drop
+        assert g["threshold_ppm"] == min(p for p, _, _ in kept)
+        assert g["kept_tokens"] == sum(tok for _, _, tok in kept)
+        total = sum(tok for _, _, tok in docs)
+        assert g["kept_token_ppm"] == g["kept_tokens"] * 1000000 // total
+
+
+def test_q310_matches_scalar_md5_scan(spark, sf_dir):
+    rows = _docs(spark, sf_dir)
+    lo = min(r["doc_id"] for r in rows)
+    hi = max(r["doc_id"] for r in rows)
+    seen: set[str] = set()
+    buckets: dict[int, list[int]] = {}
+    for r in sorted(rows, key=lambda r: r["doc_id"]):
+        h = hashlib.md5(r["text"].encode()).hexdigest()
+        novel = h not in seen
+        seen.add(h)
+        b = min(9, (r["doc_id"] - lo) * 10 // (hi - lo + 1))
+        buckets.setdefault(b, []).append(novel)
+    got = {r["bucket"]: r for r in q310_dedup_saturation(spark, sf_dir).collect()}
+    assert set(got) == set(buckets)
+    cum = 0
+    for b in sorted(buckets):
+        n_docs = len(buckets[b])
+        n_novel = sum(buckets[b])
+        cum += n_novel
+        g = got[b]
+        assert g["n_docs"] == n_docs
+        assert g["n_novel"] == n_novel
+        assert g["novel_ppm"] == n_novel * 1000000 // n_docs
+        assert g["cum_novel"] == cum
+    assert sum(g["n_docs"] for g in got.values()) == len(rows)
+    assert max(g["cum_novel"] for g in got.values()) == len(seen)
