@@ -76,6 +76,7 @@ _PRIORITY: list[str] = [
     "q305_consistent_hash_ring", "q306_corpus_pipeline_v3",
     "q307_matryoshka_eval", "q308_dup_span_islands",
     "q309_adaptive_quality_gate", "q310_dedup_saturation",
+    "q311_stream_asof_enrich", "q312_corpus_pipeline_v4",
     "q289_token_budget_curriculum", "q286_fdr_bh_correction",
     "q262_exponential_gof", "q185_containment_neardup", "q53_dedup_simhash",
     "q293_kcenter_coreset", "q252_anova_f", "q263_twap",

@@ -167,3 +167,94 @@ def test_q310_matches_scalar_md5_scan(spark, sf_dir):
         assert g["cum_novel"] == cum
     assert sum(g["n_docs"] for g in got.values()) == len(rows)
     assert max(g["cum_novel"] for g in got.values()) == len(seen)
+
+
+def test_q311_matches_scalar_asof(spark, sf_dir):
+    """Stream-static as-of enrichment re-derived scalar-side: for every
+    non-purchase event, the reference purchase is the max-(ts, event_id)
+    purchase of the same user with ts <= event ts (same-ts ties collapse to
+    the highest event_id -- the empty-interval rule)."""
+    from sparkstreaming_quickstart_spark.queries.wave20 import q311_stream_asof_enrich
+    from sparkstreaming_quickstart_spark.sources.catalog import load_table
+
+    rows = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    ).collect()
+    purchases: dict[int, list] = {}
+    for r in rows:
+        if r["event_type"] == "purchase":
+            purchases.setdefault(r["user_id"], []).append(r)
+    for plist in purchases.values():
+        plist.sort(key=lambda r: (r["ts"], r["event_id"]))
+    expected = {}
+    for r in rows:
+        if r["event_type"] == "purchase":
+            continue
+        cands = [p for p in purchases.get(r["user_id"], []) if p["ts"] <= r["ts"]]
+        ref = cands[-1] if cands else None
+        expected[r["event_id"]] = (
+            (ref["event_id"], ref["value"]) if ref else (None, None)
+        )
+    got = q311_stream_asof_enrich(spark, sf_dir).collect()
+    assert len(got) == len(expected)
+    for g in got:
+        exp_id, exp_val = expected[g["event_id"]]
+        assert g["ref_event_id"] == exp_id
+        assert g["ref_value"] == exp_val
+
+
+def test_q312_matches_scalar_pipeline(spark, sf_dir):
+    """The v4 funnel re-derived scalar-side: span cut at 60% covered_ppm,
+    then drop the lowest 3n//10 by (ppm, doc_id) per source AMONG SURVIVORS,
+    then md5 first-occurrence dedup among the gated set."""
+    from sparkstreaming_quickstart_spark.queries.wave20 import q312_corpus_pipeline_v4
+
+    rows = [r for r in _docs(spark, sf_dir) if r["text"]]
+    covered = _scalar_islands(rows)
+    per_source: dict[str, list] = {}
+    for r in rows:
+        t = r["text"].split(" ")
+        ppm = len(set(t)) * 1000000 // len(t)
+        cov = covered.get(r["doc_id"])
+        cov_ppm = cov["covered_tokens"] * 1000000 // cov["n_tokens"] if cov else 0
+        per_source.setdefault(r["source"], []).append(
+            {
+                "doc_id": r["doc_id"],
+                "tok": len(t),
+                "ppm": ppm,
+                "text": r["text"],
+                "pass1": cov_ppm <= 600000,
+            }
+        )
+    got = {r["source"]: r for r in q312_corpus_pipeline_v4(spark, sf_dir).collect()}
+    assert set(got) == set(per_source)
+    gated_all = []
+    for source, docs in per_source.items():
+        surv = sorted(
+            (d for d in docs if d["pass1"]), key=lambda d: (d["ppm"], d["doc_id"])
+        )
+        drop = len(surv) * 3 // 10
+        gated = surv[drop:]
+        gated_all.extend(gated)
+        g = got[source]
+        assert g["n_raw"] == len(docs)
+        assert g["n_span_kept"] == len(surv)
+        assert g["n_gate_kept"] == len(gated)
+    # dedup runs across sources (md5 is a corpus-global key)
+    import hashlib as _h
+
+    seen: set[str] = set()
+    novel_ids = set()
+    for d in sorted(gated_all, key=lambda d: d["doc_id"]):
+        hh = _h.md5(d["text"].encode()).hexdigest()
+        if hh not in seen:
+            seen.add(hh)
+            novel_ids.add(d["doc_id"])
+    for source, docs in per_source.items():
+        novel = [d for d in docs if d["doc_id"] in novel_ids]
+        g = got[source]
+        assert g["n_final"] == len(novel)
+        assert g["final_tokens"] == sum(d["tok"] for d in novel)
+        raw_tokens = sum(d["tok"] for d in docs)
+        assert g["final_token_ppm"] == g["final_tokens"] * 1000000 // raw_tokens
+        assert g["n_final"] <= g["n_gate_kept"] <= g["n_span_kept"] <= g["n_raw"]
