@@ -62,6 +62,11 @@ HEADLINE = [
     # decontamination shape (kernel-closure static filter).
     "q295_embedding_covariance",
     "q302_bloom_decontaminate",
+    # Wave-20 representatives: the gram-position join-back + islands shape
+    # (the widest new shuffle path) and the v4 capstone composing span cut,
+    # adaptive gate, and dedup in one single-pass flag chain.
+    "q308_dup_span_islands",
+    "q312_corpus_pipeline_v4",
 ]
 # q51 (exact-jaccard brute force) is deliberately NOT headline: it is the
 # O(n^2)-ish correctness baseline; q52 is the scale path over the same data.
