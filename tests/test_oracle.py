@@ -32,3 +32,85 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() > 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+# ---------------------------------------------------------------------------
+# Negative controls: the comparator itself must FAIL on planted defects.
+# 305 green oracles prove nothing if compare() rots into always-pass, so
+# each failure mode the driver gate relies on is exercised with a
+# deliberately wrong "query" against a known oracle.
+# ---------------------------------------------------------------------------
+
+
+def _const_query(*cols):
+    """A (spark, sf_dir) -> DataFrame builder returning literal rows."""
+
+    def fn(spark, sf_dir):
+        names = [c[0] for c in cols]
+        rows = list(zip(*[c[1] for c in cols]))
+        return spark.createDataFrame(rows, names)
+
+    return fn
+
+
+def test_compare_passes_on_identical_results(spark, sf_dir):
+    res = compare(
+        spark, sf_dir, _const_query(("x", [1, 2]), ("y", ["a", "b"])),
+        "SELECT 1 AS x, 'a' AS y UNION ALL SELECT 2, 'b'",
+    )
+    assert res["ok"], res
+
+
+def test_compare_fails_on_value_mismatch(spark, sf_dir):
+    res = compare(
+        spark, sf_dir, _const_query(("x", [1, 2])),
+        "SELECT 1 AS x UNION ALL SELECT 3",
+    )
+    assert not res["ok"]
+    assert "value mismatch" in res["why"]
+
+
+def test_compare_fails_on_row_count_mismatch(spark, sf_dir):
+    res = compare(
+        spark, sf_dir, _const_query(("x", [1, 2])), "SELECT 1 AS x"
+    )
+    assert not res["ok"]
+    assert res["why"] == "row count mismatch"
+
+
+def test_compare_fails_on_column_rename(spark, sf_dir):
+    """The README rule-1 failure mode: same values, different alias."""
+    res = compare(
+        spark, sf_dir, _const_query(("sum_qty", [7])), "SELECT 7 AS total_qty"
+    )
+    assert not res["ok"]
+    assert res["why"] == "column mismatch"
+
+
+def test_compare_is_order_insensitive_but_multiset_exact(spark, sf_dir):
+    """Row order must not matter; duplicate multiplicity must."""
+    ok = compare(
+        spark, sf_dir, _const_query(("x", [2, 1])),
+        "SELECT 1 AS x UNION ALL SELECT 2",
+    )
+    assert ok["ok"], ok
+    dup = compare(
+        spark, sf_dir, _const_query(("x", [1, 2, 2])),
+        "SELECT 1 AS x UNION ALL SELECT 1 UNION ALL SELECT 2",
+    )
+    assert not dup["ok"]
+
+
+def test_compare_float_normalization_catches_real_drift(spark, sf_dir):
+    """12-significant-digit normalization: sub-ulp noise passes, a real
+    value difference fails."""
+    ok = compare(
+        spark, sf_dir,
+        _const_query(("v", [0.1 + 0.2])),
+        "SELECT 0.30000000000000004 AS v",  # same double after 12g rounding
+    )
+    assert ok["ok"], ok
+    bad = compare(
+        spark, sf_dir, _const_query(("v", [0.3000001])), "SELECT 0.3 AS v"
+    )
+    assert not bad["ok"]
