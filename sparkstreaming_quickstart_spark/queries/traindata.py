@@ -230,7 +230,11 @@ def q142_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q145_sequence_packing",
     sql="""
-    WITH RECURSIVE d AS (
+    WITH RECURSIVE d AS MATERIALIZED (
+        -- MATERIALIZED is load-bearing (README rule 9, oracle-side): the
+        -- recursive step joins d once per iteration, and DuckDB re-tokenizes
+        -- the whole corpus each step when d is inlined -- measured 73.7s ->
+        -- 2.8s at sf0.1.
         SELECT lang, doc_id, len(string_split(text, ' ')) AS n_tok,
                ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
         FROM documents),
