@@ -369,8 +369,8 @@ def _q129_oracle_sql() -> str:
             GROUP BY 1, 2) p
         JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
         WHERE CAST(common AS DOUBLE) / (s1.n + s2.n - common) >= 0.7),
-    edges AS (SELECT d1 AS u, d2 AS v FROM prs UNION ALL SELECT d2, d1 FROM prs),
-    deg AS (SELECT u, COUNT(*) AS d FROM edges GROUP BY u),
+    edges AS MATERIALIZED (SELECT d1 AS u, d2 AS v FROM prs UNION ALL SELECT d2, d1 FROM prs),
+    deg AS MATERIALIZED (SELECT u, COUNT(*) AS d FROM edges GROUP BY u),
     nn AS (SELECT CAST(COUNT(DISTINCT u) AS DOUBLE) AS n FROM edges),
     p0 AS (SELECT u AS node, 1.0 / nn.n AS p FROM deg, nn)
     """

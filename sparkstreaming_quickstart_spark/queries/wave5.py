@@ -177,7 +177,7 @@ def q168_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q169_neardup_triangles",
     sql=f"""
-    WITH pairs AS ({_jaccard_oracle(0.7)}),
+    WITH pairs AS MATERIALIZED ({_jaccard_oracle(0.7)}),
     tri AS (
         SELECT COUNT(*) AS n_triangles
         FROM pairs e1
