@@ -77,6 +77,8 @@ _PRIORITY: list[str] = [
     "q307_matryoshka_eval", "q308_dup_span_islands",
     "q309_adaptive_quality_gate", "q310_dedup_saturation",
     "q311_stream_asof_enrich", "q312_corpus_pipeline_v4",
+    "q313_truncation_loss", "q314_source_semantic_matrix",
+    "q315_neardup_source_matrix", "q316_embedding_coverage",
     "q289_token_budget_curriculum", "q286_fdr_bh_correction",
     "q262_exponential_gof", "q185_containment_neardup", "q53_dedup_simhash",
     "q293_kcenter_coreset", "q252_anova_f", "q263_twap",
@@ -231,6 +233,7 @@ def _ensure_loaded() -> None:
     from . import wave18  # noqa: F401
     from . import wave19  # noqa: F401
     from . import wave20  # noqa: F401
+    from . import wave21  # noqa: F401
     from . import livejars  # noqa: F401
 
     # First occurrence wins: a rotation may promote a name to the head while

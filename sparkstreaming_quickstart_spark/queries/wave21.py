@@ -1,0 +1,252 @@
+"""Wave-21 operators (round 7, continued): the capacity/meta reports a
+100 TB corpus org runs around its pipeline -- context-length truncation
+loss (how many training tokens each context budget discards), the
+inter-source semantic-redundancy matrix (centroid cosines that guide
+mixture weights), the near-dup source contamination matrix (WHO copies
+from WHOM, the source-granular view of q52's pair stream), and the
+embedding-coverage audit (which sources are missing vectors before any
+ANN/semantic stage runs).
+
+Reference parity note: the reference (Processor.java, 172 lines) has no
+analytics surface; these are charter extensions in the SURVEY.md
+section-2.B training-data-pipeline family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import token_count
+from ..sources.catalog import load_table, spread
+from . import register
+
+# ---------------------------------------------------------------------------
+# q313: context-length truncation-loss report
+# ---------------------------------------------------------------------------
+
+_TRUNCATION_ORACLE = """
+    WITH d AS (SELECT len(string_split(text, ' ')) AS tok
+               FROM documents WHERE length(text) > 0),
+    g AS (SELECT tok, ctx FROM d, unnest([128, 512, 2048]) AS u(ctx))
+    SELECT CAST(ctx AS INT) AS ctx,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN tok > ctx THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_truncated,
+           CAST(SUM(LEAST(tok, ctx)) AS BIGINT) AS kept_tokens,
+           (CAST(SUM(tok) AS BIGINT) - CAST(SUM(LEAST(tok, ctx)) AS BIGINT))
+               * 1000000 // CAST(SUM(tok) AS BIGINT) AS loss_ppm
+    FROM g GROUP BY ctx ORDER BY ctx
+"""
+
+
+@register(
+    "q313_truncation_loss",
+    sql=_TRUNCATION_ORACLE,
+    doc="Context-length truncation loss: for each candidate context budget "
+    "(128/512/2048 tokens), how many documents overflow it and what share "
+    "of corpus tokens a hard truncation discards -- the capacity-planning "
+    "twin of q145's packing (packing wastes bin tails; truncation wastes "
+    "document tails; this report prices the second).  Loss is exact "
+    "integer ppm.  "
+    "Plan: one narrow projection, one 3-way literal-array explode (no "
+    "join), one 3-group hash-agg -- a single map-side-combinable pass; "
+    "at 100 TB this is a pure scan-bound report.",
+)
+def q313_truncation_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    g = d.select(
+        token_count("text").alias("tok"),
+        F.explode(F.array(F.lit(128), F.lit(512), F.lit(2048))).alias("ctx"),
+    )
+    kept = F.sum(F.least(F.col("tok"), F.col("ctx"))).cast("bigint")
+    return (
+        g.groupBy("ctx")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("tok") > F.col("ctx"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_truncated"),
+            kept.alias("kept_tokens"),
+            F.sum("tok").cast("bigint").alias("total_tokens"),
+        )
+        .select(
+            F.col("ctx").cast("int").alias("ctx"),
+            "n_docs",
+            "n_truncated",
+            "kept_tokens",
+            F.expr("(total_tokens - kept_tokens) * 1000000 div total_tokens").alias(
+                "loss_ppm"
+            ),
+        )
+        .orderBy("ctx")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q314: inter-source semantic-redundancy matrix (centroid cosines)
+# ---------------------------------------------------------------------------
+
+_SOURCE_SEMANTIC_ORACLE = """
+    WITH e AS (
+        SELECT d.source, generate_subscripts(em.embedding, 1) - 1 AS pos,
+               CAST(unnest(em.embedding) AS DOUBLE) AS x
+        FROM embeddings em JOIN documents d ON em.vec_id = d.doc_id),
+    cent AS MATERIALIZED (
+        SELECT source, pos, SUM(x) / COUNT(*) AS m FROM e GROUP BY 1, 2)
+    SELECT a.source AS s1, b.source AS s2,
+           ROUND(SUM(a.m * b.m)
+                 / SQRT(SUM(a.m * a.m) * SUM(b.m * b.m)), 6) + 0.0 AS cosine
+    FROM cent a JOIN cent b ON a.pos = b.pos AND a.source <= b.source
+    GROUP BY 1, 2 ORDER BY s1, s2
+"""
+
+
+@register(
+    "q314_source_semantic_matrix",
+    sql=_SOURCE_SEMANTIC_ORACLE,
+    doc="Inter-source semantic-redundancy matrix: per-source embedding "
+    "centroids, then pairwise centroid cosine (upper triangle incl. "
+    "diagonal = 1) -- two sources with near-identical centroids contribute "
+    "redundant coverage, the signal that shifts mixture weight toward the "
+    "distinct ones (the aggregate-level complement of q186's per-pair "
+    "SemDeDup).  ROUND(,6)+0.0 is the established reduce-order tolerance "
+    "on float sums (q295 convention).  "
+    "Plan: the corpus reduces to |sources| x d centroid rows in ONE "
+    "map-side-combinable hash-agg on (source, dim); the pair join runs on "
+    "that dimension-sized frame -- at 100 TB nothing but centroids moves.",
+)
+def q314_source_semantic_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = load_table(spark, sf_dir, "embeddings")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    e = em.join(d, em["vec_id"] == d["doc_id"]).select(
+        "source", F.posexplode(F.col("embedding")).alias("pos", "x")
+    )
+    cent = (
+        e.groupBy("source", "pos")
+        .agg((F.sum(F.col("x").cast("double")) / F.count("*")).alias("m"))
+    )
+    a = cent.alias("a")
+    b = cent.alias("b")
+    cos = F.sum(F.col("a.m") * F.col("b.m")) / F.sqrt(
+        F.sum(F.col("a.m") * F.col("a.m")) * F.sum(F.col("b.m") * F.col("b.m"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.pos") == F.col("b.pos")) & (F.col("a.source") <= F.col("b.source")),
+        )
+        .groupBy(F.col("a.source").alias("s1"), F.col("b.source").alias("s2"))
+        .agg((F.round(cos, 6) + F.lit(0.0)).alias("cosine"))
+        .orderBy("s1", "s2")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q315: near-dup source contamination matrix
+# ---------------------------------------------------------------------------
+
+
+def _source_matrix_oracle() -> str:
+    from .llm import _jaccard_oracle
+
+    pairs = _jaccard_oracle(0.7).strip().rstrip()
+    # strip the trailing ORDER BY of the pair query; we aggregate it
+    pairs = pairs[: pairs.rindex("ORDER BY")]
+    return f"""
+    WITH pairs AS MATERIALIZED ({pairs}),
+    src AS (SELECT doc_id, source FROM documents)
+    SELECT LEAST(a.source, b.source) AS s1,
+           GREATEST(a.source, b.source) AS s2,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(MAX(jaccard), 6) AS max_jaccard
+    FROM pairs JOIN src a ON pairs.d1 = a.doc_id
+               JOIN src b ON pairs.d2 = b.doc_id
+    GROUP BY 1, 2 ORDER BY s1, s2
+"""
+
+
+@register(
+    "q315_neardup_source_matrix",
+    sql=_source_matrix_oracle(),
+    doc="Near-dup source contamination matrix: q52's MinHash-LSH pair "
+    "stream aggregated to (source, source) cells -- which sources copy "
+    "from which, the report that turns per-pair dedup output into a "
+    "mixture-level decision (drop the mirrored source, not a million "
+    "individual docs).  Source pairs are normalized least/greatest so the "
+    "matrix is upper-triangular regardless of pair orientation.  The LSH "
+    "candidate set equals the exact formulation at threshold 0.7 (q52's "
+    "banding-knee argument), so the exact-Jaccard oracle aggregates "
+    "identically.  "
+    "Plan: the q52 pipeline (bucketed, capped, verify-on-candidates) plus "
+    "two broadcast source lookups and a |sources|^2-bounded hash-agg.",
+)
+def q315_neardup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import minhash_lsh_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, "text", "doc_id", n=3, threshold=0.7)
+    src = d.select("doc_id", "source")
+    a = src.select(F.col("doc_id").alias("d1"), F.col("source").alias("src1"))
+    b = src.select(F.col("doc_id").alias("d2"), F.col("source").alias("src2"))
+    return (
+        pairs.join(F.broadcast(a), "d1")
+        .join(F.broadcast(b), "d2")
+        .groupBy(
+            F.least("src1", "src2").alias("s1"),
+            F.greatest("src1", "src2").alias("s2"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.round(F.max("jaccard"), 6).alias("max_jaccard"),
+        )
+        .orderBy("s1", "s2")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q316: embedding-coverage audit
+# ---------------------------------------------------------------------------
+
+_COVERAGE_ORACLE = """
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(e.vec_id) AS BIGINT) AS n_embedded,
+           CAST(COUNT(e.vec_id) AS BIGINT) * 1000000
+               // CAST(COUNT(*) AS BIGINT) AS coverage_ppm
+    FROM documents d LEFT JOIN embeddings e ON d.doc_id = e.vec_id
+    GROUP BY d.source ORDER BY d.source
+"""
+
+
+@register(
+    "q316_embedding_coverage",
+    sql=_COVERAGE_ORACLE,
+    doc="Embedding-coverage audit: per source, how many documents have a "
+    "vector -- the data-completeness gate every ANN/semantic stage "
+    "(q54/q65/q186/q314) silently depends on; a source at 40% coverage "
+    "makes its semantic-dedup results unrepresentative, and this report "
+    "is how that's caught BEFORE the downstream stage runs.  Coverage is "
+    "exact integer ppm.  "
+    "Plan: one left join on the id key (sort-merge or broadcast per AQE "
+    "stats) and a |sources|-group hash-agg; the embedding side projects "
+    "to the key column only.",
+)
+def q316_embedding_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load_table(spark, sf_dir, "documents")).select("doc_id", "source")
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    return (
+        d.join(e, d["doc_id"] == e["vec_id"], "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.count("vec_id").cast("bigint").alias("n_embedded"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_embedded",
+            F.expr("n_embedded * 1000000 div n_docs").alias("coverage_ppm"),
+        )
+        .orderBy("source")
+    )
