@@ -55,10 +55,13 @@ _TRUNCATION_ORACLE = """
 )
 def q313_truncation_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
-    g = d.select(
-        token_count("text").alias("tok"),
-        F.explode(F.array(F.lit(128), F.lit(512), F.lit(2048))).alias("ctx"),
-    )
+    # README rule 8: `explode(array(128,512,2048))` NEXT TO token_count would
+    # collapse into one projection with the generate and re-tokenize the
+    # corpus once per exploded ctx row (verified in the physical plan).  A
+    # 3-row broadcast dimension keeps size(split(text)) BELOW the join, so
+    # the corpus tokenizes exactly once.
+    ctxs = spark.createDataFrame([(128,), (512,), (2048,)], "ctx int")
+    g = d.select(token_count("text").alias("tok")).crossJoin(F.broadcast(ctxs))
     kept = F.sum(F.least(F.col("tok"), F.col("ctx"))).cast("bigint")
     return (
         g.groupBy("ctx")

@@ -654,3 +654,14 @@ def test_stream_asof_static_side_broadcasts(spark, sf_dir):
     # each event matched at most once: guaranteed by the interval partition,
     # pinned value-side by tests/test_wave20.py::test_q311_matches_scalar_asof
     assert df.count() > 0
+
+
+def test_truncation_loss_tokenizes_once(spark, sf_dir):
+    """q313 (README rule 8): the ctx budgets join as a 3-row broadcast
+    dimension so size(split(text)) evaluates once per document, BELOW the
+    join -- the explode spelling re-tokenized the corpus per ctx row."""
+    from sparkstreaming_quickstart_spark.queries.wave21 import q313_truncation_loss
+
+    simple = explain_str(q313_truncation_loss(spark, sf_dir), "simple")
+    assert "Generate" not in simple, simple
+    assert simple.count("split(") == 1, simple
