@@ -253,3 +253,78 @@ def q316_embedding_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q317: Pareto front (skyline) of quality vs length
+# ---------------------------------------------------------------------------
+
+_PARETO_ORACLE = """
+    WITH per_doc AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS tok,
+               len(list_distinct(string_split(text, ' '))) * 1000000
+                   // len(string_split(text, ' ')) AS ppm
+        FROM documents WHERE length(text) > 0),
+    by_ppm AS (SELECT ppm, MAX(tok) AS max_tok FROM per_doc GROUP BY ppm),
+    front_ppm AS (
+        SELECT ppm, max_tok,
+               COALESCE(MAX(max_tok) OVER (ORDER BY ppm DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        -1) AS better_q_tok
+        FROM by_ppm)
+    SELECT d.doc_id, CAST(d.ppm AS BIGINT) AS ppm, CAST(d.tok AS BIGINT) AS tok
+    FROM per_doc d JOIN front_ppm f ON d.ppm = f.ppm AND d.tok = f.max_tok
+    WHERE f.max_tok > f.better_q_tok
+    ORDER BY d.doc_id
+"""
+
+
+@register(
+    "q317_pareto_front",
+    sql=_PARETO_ORACLE,
+    doc="Pareto front (skyline) over (quality ppm, token length): the "
+    "documents no other document dominates on BOTH axes -- the classic "
+    "preference-query operator, here as 'longest document at every "
+    "achievable quality level', the set a curation loop inspects when "
+    "trading quality against context coverage.  A doc is on the front iff "
+    "its tok equals its ppm-group max AND strictly exceeds every max at "
+    "higher ppm (running max over the ppm-sorted group frame); ties on "
+    "both axes all qualify (none dominates another -- domination requires "
+    "one strict axis).  All statistics integer-exact.  "
+    "Plan: the corpus reduces to one hash-agg keyed by ppm (domain-bounded "
+    "at 1e6+1 values, so the ordered window runs over a vocabulary-sized "
+    "frame, NOT the corpus -- no global data window), then one join back "
+    "on (ppm, tok).  The naive skyline spelling is an all-pairs anti-join; "
+    "this is the 2-D sort-based reduction of it.",
+)
+def q317_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    from ..functions.text import tokens
+
+    t = tokens("text")
+    per_doc = d.select(
+        "doc_id",
+        F.size(t).cast("bigint").alias("tok"),
+        F.size(F.array_distinct(t)).cast("bigint").alias("ndis"),
+    ).select("doc_id", "tok", F.expr("ndis * 1000000 div tok").alias("ppm"))
+    by_ppm = per_doc.groupBy("ppm").agg(F.max("tok").alias("max_tok"))
+    # window over the ppm-aggregated frame only: <= 1e6+1 rows by domain
+    w = Window.orderBy(F.col("ppm").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    front_ppm = by_ppm.select(
+        "ppm",
+        "max_tok",
+        F.coalesce(F.max("max_tok").over(w), F.lit(-1)).alias("better_q_tok"),
+    ).filter(F.col("max_tok") > F.col("better_q_tok"))
+    return (
+        per_doc.join(
+            F.broadcast(front_ppm.select("ppm", F.col("max_tok").alias("tok"))),
+            ["ppm", "tok"],
+        )
+        .select("doc_id", "ppm", "tok")
+        .orderBy("doc_id")
+    )

@@ -105,3 +105,31 @@ def test_q316_matches_raw_id_sets(spark, sf_dir):
         assert g["n_docs"] == len(flags)
         assert g["n_embedded"] == sum(flags)
         assert g["coverage_ppm"] == sum(flags) * 1000000 // len(flags)
+
+
+def test_q317_matches_naive_dominance_scan(spark, sf_dir):
+    """Skyline re-derived by the O(n^2) definition: doc i is on the front
+    iff no doc j has ppm_j >= ppm_i AND tok_j >= tok_i with one strict."""
+    from sparkstreaming_quickstart_spark.queries.wave21 import q317_pareto_front
+
+    rows = [
+        r
+        for r in load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+        if r["text"]
+    ]
+    stats = []
+    for r in rows:
+        t = r["text"].split(" ")
+        stats.append((r["doc_id"], len(set(t)) * 1000000 // len(t), len(t)))
+    front = set()
+    for i, (di, pi, ti) in enumerate(stats):
+        dominated = any(
+            (pj >= pi and tj >= ti and (pj > pi or tj > ti))
+            for j, (dj, pj, tj) in enumerate(stats)
+            if j != i
+        )
+        if not dominated:
+            front.add((di, pi, ti))
+    got = {(r["doc_id"], r["ppm"], r["tok"]) for r in q317_pareto_front(spark, sf_dir).collect()}
+    assert got == front
+    assert front, "fixture has a non-empty skyline"
