@@ -258,3 +258,43 @@ def test_q312_matches_scalar_pipeline(spark, sf_dir):
         raw_tokens = sum(d["tok"] for d in docs)
         assert g["final_token_ppm"] == g["final_tokens"] * 1000000 // raw_tokens
         assert g["n_final"] <= g["n_gate_kept"] <= g["n_span_kept"] <= g["n_raw"]
+
+
+def test_q311_validity_interval_tie_rule_planted(spark):
+    """The empty-interval tie rule, exercised with PLANTED same-timestamp
+    purchases (the fixture's microsecond timestamps never collide, so the
+    corpus test can't reach this branch): two purchases of one user at the
+    identical ts must collapse to the higher event_id, and an event at
+    exactly that ts must match it (at-or-before includes equality)."""
+    import datetime
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ts0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    before = ts0 - datetime.timedelta(hours=1)
+    after = ts0 + datetime.timedelta(hours=1)
+    purchases_raw = spark.createDataFrame(
+        [(1, ts0, 101, 10.0), (1, ts0, 102, 20.0), (1, after, 103, 30.0)],
+        "p_user long, v_start timestamp, ref_event_id long, ref_value double",
+    )
+    w = Window.partitionBy("p_user").orderBy("v_start", "ref_event_id")
+    purchases = purchases_raw.withColumn("v_end", F.lead("v_start").over(w))
+    events = spark.createDataFrame(
+        [(1, 1, before), (2, 1, ts0), (3, 1, ts0 + datetime.timedelta(minutes=30)), (4, 1, after)],
+        "event_id long, user_id long, ts timestamp",
+    )
+    joined = events.join(
+        F.broadcast(purchases),
+        (events["user_id"] == purchases["p_user"])
+        & (events["ts"] >= purchases["v_start"])
+        & (purchases["v_end"].isNull() | (events["ts"] < purchases["v_end"])),
+        "left_outer",
+    ).select("event_id", "ref_event_id", "ref_value")
+    got = {r["event_id"]: (r["ref_event_id"], r["ref_value"]) for r in joined.collect()}
+    # one output row per event (the intervals partition time)
+    assert joined.count() == 4
+    assert got[1] == (None, None)  # before any purchase
+    assert got[2] == (102, 20.0)  # tie at ts0 -> higher event_id wins
+    assert got[3] == (102, 20.0)  # between ts0 and the next purchase
+    assert got[4] == (103, 30.0)  # at the later purchase exactly
