@@ -328,3 +328,79 @@ def q317_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "ppm", "tok")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q318: out-of-vocabulary rate per source (top-K corpus vocabulary)
+# ---------------------------------------------------------------------------
+
+_OOV_ORACLE = """
+    WITH st AS MATERIALIZED (
+        SELECT source, tok, COUNT(*) AS cnt
+        FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+              FROM documents WHERE length(text) > 0)
+        GROUP BY source, tok),
+    vocab AS (
+        SELECT tok FROM (SELECT tok, SUM(cnt) AS total FROM st GROUP BY tok)
+        ORDER BY total DESC, tok LIMIT 10)
+    SELECT st.source,
+           CAST(SUM(st.cnt) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.tok IS NULL THEN st.cnt ELSE 0 END) AS BIGINT)
+               AS n_oov,
+           CAST(SUM(CASE WHEN v.tok IS NULL THEN st.cnt ELSE 0 END) AS BIGINT)
+               * 1000000 // CAST(SUM(st.cnt) AS BIGINT) AS oov_ppm
+    FROM st LEFT JOIN vocab v ON st.tok = v.tok
+    GROUP BY st.source ORDER BY st.source
+"""
+
+
+@register(
+    "q318_oov_rate",
+    sql=_OOV_ORACLE,
+    doc="Out-of-vocabulary rate per source: token instances falling outside "
+    "the corpus-global top-K vocabulary (K=10 against this fixture's "
+    "~31-word vocabulary; production uses the tokenizer's actual vocab) -- "
+    "the per-source signal that a source's distribution will fragment "
+    "into rare tokens under a frequency-trained tokenizer, complementing "
+    "q257's chars-per-token fertility.  The vocabulary cut is "
+    "deterministic (count desc, token asc) and the rate exact integer "
+    "ppm.  "
+    "Plan: ONE token explode feeding a (source, token) hash-agg; the "
+    "global vocabulary re-aggregates that frame by token (map-side "
+    "combinable, vocabulary-bounded) and broadcasts back as a top-K "
+    "frame; nothing corpus-sized shuffles twice.",
+)
+def q318_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens
+
+    d = spread(load_table(spark, sf_dir, "documents")).filter(F.length("text") > 0)
+    st = (
+        d.select("source", F.explode(tokens("text")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    st = st.localCheckpoint(eager=True)  # two consumers: vocab build + oov agg
+    vocab = (
+        st.groupBy("tok")
+        .agg(F.sum("cnt").alias("total"))
+        .orderBy(F.col("total").desc(), "tok")
+        .limit(10)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        st.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("source")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), F.col("cnt")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("n_oov"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_oov",
+            F.expr("n_oov * 1000000 div n_tokens").alias("oov_ppm"),
+        )
+        .orderBy("source")
+    )

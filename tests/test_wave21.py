@@ -133,3 +133,34 @@ def test_q317_matches_naive_dominance_scan(spark, sf_dir):
     got = {(r["doc_id"], r["ppm"], r["tok"]) for r in q317_pareto_front(spark, sf_dir).collect()}
     assert got == front
     assert front, "fixture has a non-empty skyline"
+
+
+def test_q318_matches_scalar_vocab_cut(spark, sf_dir):
+    """OOV re-derived scalar-side: top-10 vocabulary by (count desc, token
+    asc) over the corpus, then per-source instance counts outside it."""
+    from collections import Counter
+
+    from sparkstreaming_quickstart_spark.queries.wave21 import q318_oov_rate
+
+    rows = [
+        r
+        for r in load_table(spark, sf_dir, "documents").select("source", "text").collect()
+        if r["text"]
+    ]
+    corpus = Counter()
+    per_source: dict[str, Counter] = {}
+    for r in rows:
+        toks = r["text"].split(" ")
+        corpus.update(toks)
+        per_source.setdefault(r["source"], Counter()).update(toks)
+    vocab = {t for t, _ in sorted(corpus.items(), key=lambda kv: (-kv[1], kv[0]))[:10]}
+    got = {r["source"]: r for r in q318_oov_rate(spark, sf_dir).collect()}
+    assert set(got) == set(per_source)
+    for s, cnts in per_source.items():
+        n = sum(cnts.values())
+        oov = sum(c for t, c in cnts.items() if t not in vocab)
+        g = got[s]
+        assert g["n_tokens"] == n
+        assert g["n_oov"] == oov
+        assert g["oov_ppm"] == oov * 1000000 // n
+        assert 0 < g["oov_ppm"] < 1000000, "fixture OOV is non-degenerate"
