@@ -298,3 +298,37 @@ def test_q311_validity_interval_tie_rule_planted(spark):
     assert got[2] == (102, 20.0)  # tie at ts0 -> higher event_id wins
     assert got[3] == (102, 20.0)  # between ts0 and the next purchase
     assert got[4] == (103, 30.0)  # at the later purchase exactly
+
+
+def test_q312_dedup_flag_selects_first_gated_occurrence_planted(spark):
+    """The running-sum dedup spelling, exercised with PLANTED duplicates
+    (sf0.001/sf0.01 fixtures contain zero exact-dup texts, so the corpus
+    tests never reach this branch): when the FIRST occurrence of a hash is
+    NOT gated, `novel` must select the first GATED occurrence -- a naive
+    row_number()==1 over the hash partition would wrongly keep nothing."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rows = [
+        # (doc_id, h, keep2): doc 1 is the first occurrence of 'A' but was
+        # dropped by the gate; docs 2 and 3 are gated duplicates of it.
+        (1, "A", 0),
+        (2, "A", 1),
+        (3, "A", 1),
+        (4, "B", 1),
+        (5, "B", 0),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, h string, keep2 int")
+    w_h = (
+        Window.partitionBy("h")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df.select(
+        "doc_id",
+        F.when((F.col("keep2") == 1) & (F.sum("keep2").over(w_h) == 1), 1)
+        .otherwise(0)
+        .alias("novel"),
+    )
+    got = {r["doc_id"]: r["novel"] for r in out.collect()}
+    assert got == {1: 0, 2: 1, 3: 0, 4: 1, 5: 0}
