@@ -240,3 +240,28 @@ def test_python_datasource_custom_writer_two_phase_commit(spark, sf_dir, tmp_pat
         for line in open(os.path.join(out_dir, f))
     )
     assert got == sorted(r.event_id for r in e.collect())
+
+
+def test_xml_source_roundtrip_exact(spark, sf_dir, tmp_path):
+    """Spark 4 native XML file source (no spark-xml jar): write a typed
+    slice of `orders` as XML, read it back under rowTag, and compare values
+    exactly.  XML is the one self-describing text format whose reader must
+    re-infer types; pinning the roundtrip catches schema-inference drift
+    (long vs int, timestamp parsing) that parquet/ORC never exercise."""
+    src = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+        .orderBy("o_orderkey")
+        .limit(50)
+    )
+    path = str(tmp_path / "orders_xml")
+    src.write.format("xml").option("rowTag", "order").mode("overwrite").save(path)
+    back = spark.read.format("xml").option("rowTag", "order").load(path)
+    a = sorted(src.collect(), key=lambda r: r["o_orderkey"])
+    b = sorted(back.collect(), key=lambda r: r["o_orderkey"])
+    assert len(a) == len(b) == 50
+    for ra, rb in zip(a, b):
+        assert ra["o_orderkey"] == rb["o_orderkey"]
+        assert ra["o_custkey"] == rb["o_custkey"]
+        assert abs(ra["o_totalprice"] - rb["o_totalprice"]) < 1e-9
+        assert ra["o_orderstatus"] == rb["o_orderstatus"]
