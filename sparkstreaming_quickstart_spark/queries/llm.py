@@ -24,7 +24,11 @@ from . import register
 
 # Shared oracle for the exact and LSH near-dup formulations (DuckDB list
 # comprehension builds the same 3-word shingles as functions/text.py).
-def _jaccard_oracle(threshold: float) -> str:
+def _jaccard_oracle(threshold: float, order_by: bool = True) -> str:
+    """Exact 3-shingle Jaccard pair SQL.  order_by=False omits the trailing
+    sort for callers that embed this as a CTE and aggregate it (q315) --
+    an explicit flag, not string surgery on the returned SQL."""
+    tail = "ORDER BY d1, d2" if order_by else ""
     return f"""
     WITH docs AS (
         SELECT doc_id,
@@ -39,7 +43,7 @@ def _jaccard_oracle(threshold: float) -> str:
     SELECT d1, d2, CAST(common AS DOUBLE) / (s1.n + s2.n - common) AS jaccard
     FROM pairs JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
     WHERE CAST(common AS DOUBLE) / (s1.n + s2.n - common) >= {threshold}
-    ORDER BY d1, d2
+    {tail}
 """
 
 

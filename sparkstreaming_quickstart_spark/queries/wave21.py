@@ -129,6 +129,10 @@ def q314_source_semantic_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy("source", "pos")
         .agg((F.sum(F.col("x").cast("double")) / F.count("*")).alias("m"))
     )
+    # Rule 9: both self-join sides consume cent; without eager
+    # materialization the corpus-sized join+explode+agg runs once per side
+    # (plan audit showed scans:4).  The frame is |sources| x d rows.
+    cent = cent.localCheckpoint(eager=True)
     a = cent.alias("a")
     b = cent.alias("b")
     cos = F.sum(F.col("a.m") * F.col("b.m")) / F.sqrt(
@@ -153,9 +157,7 @@ def q314_source_semantic_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _source_matrix_oracle() -> str:
     from .llm import _jaccard_oracle
 
-    pairs = _jaccard_oracle(0.7).strip().rstrip()
-    # strip the trailing ORDER BY of the pair query; we aggregate it
-    pairs = pairs[: pairs.rindex("ORDER BY")]
+    pairs = _jaccard_oracle(0.7, order_by=False).strip()
     return f"""
     WITH pairs AS MATERIALIZED ({pairs}),
     src AS (SELECT doc_id, source FROM documents)

@@ -36,7 +36,7 @@ def test_entry_smoke(spark):
 
 # ---------------------------------------------------------------------------
 # Negative controls: the comparator itself must FAIL on planted defects.
-# 305 green oracles prove nothing if compare() rots into always-pass, so
+# A registry of green oracles proves nothing if compare() rots into always-pass, so
 # each failure mode the driver gate relies on is exercised with a
 # deliberately wrong "query" against a known oracle.
 # ---------------------------------------------------------------------------
