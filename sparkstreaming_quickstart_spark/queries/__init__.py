@@ -82,7 +82,13 @@ _PRIORITY: list[str] = [
     "q317_pareto_front", "q318_oov_rate",
     "q289_token_budget_curriculum", "q286_fdr_bh_correction",
     "q262_exponential_gof", "q185_containment_neardup", "q53_dedup_simhash",
-    "q293_kcenter_coreset", "q252_anova_f", "q263_twap",
+    "q293_kcenter_coreset",
+    # Session-2 oracle-side MATERIALIZED edits (values identical; rotated
+    # into the 50-sample window so the edited oracle spellings get a fresh
+    # driver-hash proof):
+    "q89_dedup_clusters", "q129_pagerank_neardup", "q145_sequence_packing",
+    "q169_neardup_triangles",
+    "q252_anova_f", "q263_twap",
     "q273_join_cardinality_audit", "q277_experiment_power", "q142_token_pmi",
     "q217_market_basket",
     "q149_funnel_steps", "q150_retention_cohorts", "q151_fuzzy_title_join",
