@@ -92,3 +92,48 @@ def test_island_sql_spelling_equals_scalar_merge(docs, width):
         flat = sorted(islands)
         for (s1, e1), (s2, _) in zip(flat, flat[1:]):
             assert s2 > e1 + 1
+
+
+_PARETO_SQL = """
+    WITH by_ppm AS (SELECT ppm, MAX(tok) AS max_tok FROM pts GROUP BY ppm),
+    front_ppm AS (
+        SELECT ppm, max_tok,
+               COALESCE(MAX(max_tok) OVER (ORDER BY ppm DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        -1) AS better_q_tok
+        FROM by_ppm)
+    SELECT p.id FROM pts p JOIN front_ppm f
+      ON p.ppm = f.ppm AND p.tok = f.max_tok
+    WHERE f.max_tok > f.better_q_tok
+"""
+
+
+@_SETTINGS
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 8), st.integers(1, 8)), min_size=1, max_size=40
+    )
+)
+def test_pareto_sql_spelling_equals_naive_dominance(pts):
+    """q317's 2-D reduction (group-max per quality level + running max over
+    descending quality) must equal the O(n^2) dominance definition on
+    adversarial point sets -- in particular when several points tie on BOTH
+    axes (all of them qualify: domination needs one strict axis) and when a
+    strictly-better point shares one axis value."""
+    con = duckdb.connect()
+    con.execute("CREATE TABLE pts (id INT, ppm INT, tok INT)")
+    con.executemany(
+        "INSERT INTO pts VALUES (?, ?, ?)", [(i, p, t) for i, (p, t) in enumerate(pts)]
+    )
+    got = {r[0] for r in con.execute(_PARETO_SQL).fetchall()}
+    con.close()
+    expected = set()
+    for i, (pi, ti) in enumerate(pts):
+        dominated = any(
+            pj >= pi and tj >= ti and (pj > pi or tj > ti)
+            for j, (pj, tj) in enumerate(pts)
+            if j != i
+        )
+        if not dominated:
+            expected.add(i)
+    assert got == expected
