@@ -79,7 +79,7 @@ _PRIORITY: list[str] = [
     "q311_stream_asof_enrich", "q312_corpus_pipeline_v4",
     "q313_truncation_loss", "q314_source_semantic_matrix",
     "q315_neardup_source_matrix", "q316_embedding_coverage",
-    "q317_pareto_front", "q318_oov_rate",
+    "q317_pareto_front", "q318_oov_rate", "q319_lpa_communities",
     "q289_token_budget_curriculum", "q286_fdr_bh_correction",
     "q262_exponential_gof", "q185_containment_neardup", "q53_dedup_simhash",
     "q293_kcenter_coreset",
@@ -241,6 +241,7 @@ def _ensure_loaded() -> None:
     from . import wave19  # noqa: F401
     from . import wave20  # noqa: F401
     from . import wave21  # noqa: F401
+    from . import wave22  # noqa: F401
     from . import livejars  # noqa: F401
 
     # First occurrence wins: a rotation may promote a name to the head while

@@ -1,0 +1,85 @@
+"""Wave-22 pins: LPA re-derived by a pure-Python synchronous implementation
+over the full sf0.001 near-dup graph, plus the structural invariants."""
+
+from __future__ import annotations
+
+from sparkstreaming_quickstart_spark.queries.wave22 import (
+    _LPA_ROUNDS,
+    q319_lpa_communities,
+)
+from sparkstreaming_quickstart_spark.sources.catalog import load_table
+
+
+def _exact_pairs(rows, threshold=0.7):
+    sh = {}
+    for r in rows:
+        t = r["text"].split(" ")
+        sh[r["doc_id"]] = {" ".join(t[i : i + 3]) for i in range(max(len(t) - 2, 1))}
+    ids = sorted(sh)
+    pairs = []
+    for i, d1 in enumerate(ids):
+        for d2 in ids[i + 1 :]:
+            inter = len(sh[d1] & sh[d2])
+            if inter and inter / (len(sh[d1]) + len(sh[d2]) - inter) >= threshold:
+                pairs.append((d1, d2))
+    return pairs
+
+
+def _scalar_lpa(pairs, rounds):
+    nbrs: dict[int, list[int]] = {}
+    for u, v in pairs:
+        nbrs.setdefault(u, []).append(v)
+        nbrs.setdefault(v, []).append(u)
+    labels = {n: n for n in nbrs}
+    for _ in range(rounds):
+        new = {}
+        for n, ns in nbrs.items():
+            counts: dict[int, int] = {}
+            for m in ns:
+                counts[labels[m]] = counts.get(labels[m], 0) + 1
+            new[n] = min(counts, key=lambda lb: (-counts[lb], lb))
+        labels = new
+    return labels
+
+
+def test_q319_matches_scalar_lpa(spark, sf_dir):
+    rows = [
+        r
+        for r in load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+        if r["text"]
+    ]
+    pairs = _exact_pairs(rows)
+    expected = _scalar_lpa(pairs, _LPA_ROUNDS)
+    got = {r["doc_id"]: r["community"] for r in q319_lpa_communities(spark, sf_dir).collect()}
+    assert got == expected
+    assert expected, "fixture near-dup graph is non-empty"
+
+
+def test_q319_communities_refine_connected_components(spark, sf_dir):
+    """Every LPA community lives inside one connected component: two nodes
+    sharing a community label must be reachable from each other (LPA labels
+    only ever travel along edges)."""
+    rows = [
+        r
+        for r in load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+        if r["text"]
+    ]
+    pairs = _exact_pairs(rows)
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in pairs:
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        parent[find(u)] = find(v)
+    got = {r["doc_id"]: r["community"] for r in q319_lpa_communities(spark, sf_dir).collect()}
+    by_community: dict[int, set] = {}
+    for node, c in got.items():
+        by_community.setdefault(c, set()).add(find(node))
+    for c, comps in by_community.items():
+        assert len(comps) == 1, f"community {c} spans {len(comps)} components"
