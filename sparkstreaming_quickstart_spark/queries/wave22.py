@@ -59,19 +59,25 @@ def _lpa_oracle() -> str:
     "q89's connected components (CC answers 'reachable at all'; LPA's "
     "majority dynamics split a component along its dense cores, the "
     "template-family view of a dup cluster).  Fixed round count + total "
-    "tie order keep the iteration engine-exact; the oracle unrolls the "
-    "same three rounds as MATERIALIZED CTEs (README rule 9 -- each round "
-    "joins the edge set once).  "
+    "tie order keep the iteration engine-exact; the Spark graph comes "
+    "from the bucketed LSH pipeline (output-equal to exact Jaccard at "
+    "0.7, the q52/q315 banding-knee contract) while the oracle unrolls "
+    "the same three rounds over the exact pair graph as MATERIALIZED "
+    "CTEs (README rule 9 -- each round joins the edge set once).  "
     "Plan: the edge set materializes once (eager localCheckpoint, rule 9) "
     "and each round is one join + one (node, label) hash-agg + one "
     "node-partitioned window -- shuffles on node only, round state is one "
     "row per node; the q233 connected-components lineage discipline.",
 )
 def q319_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import ngram_jaccard_pairs
+    from ..operators.dedup import minhash_lsh_pairs
 
     d = load_table(spark, sf_dir, "documents")
-    prs = ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.7).select("d1", "d2")
+    # Scale path: the LSH pair stream, not the exact all-pairs builder --
+    # output-equal to the exact formulation at threshold 0.7 (q52's
+    # banding-knee argument, same contract as q315), so the exact-Jaccard
+    # oracle graph is identical while the Spark side stays bucketed.
+    prs = minhash_lsh_pairs(d, "text", "doc_id", n=3, threshold=0.7).select("d1", "d2")
     edges = prs.union(
         prs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
     ).select(F.col("d1").alias("u"), F.col("d2").alias("v"))
