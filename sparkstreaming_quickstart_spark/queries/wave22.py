@@ -102,3 +102,96 @@ def q319_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("community")
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q320: modularity of the LPA partition
+# ---------------------------------------------------------------------------
+
+
+def _modularity_oracle() -> str:
+    # the q319 oracle's CTE chain, extended with the modularity arithmetic
+    lpa = _lpa_oracle()
+    head = lpa[: lpa.rindex("SELECT node AS doc_id")]
+    return (
+        head
+        + f""", lab AS MATERIALIZED (
+        SELECT node, label AS community FROM l{_LPA_ROUNDS}),
+    m AS (SELECT COUNT(*) AS m FROM prs),
+    intra AS (
+        SELECT a.community, COUNT(*) AS l_c
+        FROM prs JOIN lab a ON prs.d1 = a.node JOIN lab b ON prs.d2 = b.node
+        WHERE a.community = b.community GROUP BY a.community),
+    deg AS (
+        SELECT lab.community, COUNT(*) AS d_c
+        FROM edges JOIN lab ON edges.u = lab.node GROUP BY lab.community),
+    parts AS (
+        SELECT deg.community,
+               COALESCE(intra.l_c, 0) AS l_c, deg.d_c
+        FROM deg LEFT JOIN intra ON deg.community = intra.community)
+    SELECT CAST(m.m AS BIGINT) AS n_edges,
+           CAST(COUNT(*) AS BIGINT) AS n_communities,
+           ROUND(SUM(l_c / CAST(m.m AS DOUBLE)
+                     - (d_c * d_c) / (4.0 * m.m * m.m)), 6) AS modularity
+    FROM parts, m GROUP BY m.m
+"""
+    )
+
+
+@register(
+    "q320_lpa_modularity",
+    sql=_modularity_oracle(),
+    doc="Newman modularity of the q319 LPA partition: Q = sum_c (L_c/m - "
+    "(D_c/2m)^2) over communities, the single scalar that says whether the "
+    "label-propagation split actually found dense cores (Q near 0 = no "
+    "better than random).  L_c (intra-community edges) and D_c (degree "
+    "sums) are exact integers in both engines; the one float combination "
+    "rounds at 6 (the established tolerance).  "
+    "Plan: re-runs the q319 chain (bucketed LSH graph + 3 checkpointed "
+    "rounds), then three community-keyed hash-aggs over the "
+    "|communities|-sized frames and a single-row combine -- the graph "
+    "never re-shuffles beyond the q319 shapes.",
+)
+def q320_lpa_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import minhash_lsh_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    prs = minhash_lsh_pairs(d, "text", "doc_id", n=3, threshold=0.7).select("d1", "d2")
+    prs = prs.localCheckpoint(eager=True)  # consumed by m, intra, and degrees
+    lab = q319_lpa_communities(spark, sf_dir).select(
+        F.col("doc_id").alias("node"), "community"
+    )
+    lab = lab.localCheckpoint(eager=True)  # consumed by intra and degrees
+    m = prs.agg(F.count("*").alias("m"))
+    a = lab.select(F.col("node").alias("d1"), F.col("community").alias("c1"))
+    b = lab.select(F.col("node").alias("d2"), F.col("community").alias("c2"))
+    intra = (
+        prs.join(F.broadcast(a), "d1")
+        .join(F.broadcast(b), "d2")
+        .filter(F.col("c1") == F.col("c2"))
+        .groupBy(F.col("c1").alias("community"))
+        .agg(F.count("*").alias("l_c"))
+    )
+    edges = prs.union(prs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2")))
+    deg = (
+        edges.join(F.broadcast(a), "d1")
+        .groupBy(F.col("c1").alias("community"))
+        .agg(F.count("*").alias("d_c"))
+    )
+    parts = deg.join(intra, "community", "left").select(
+        "community", F.coalesce("l_c", F.lit(0)).alias("l_c"), "d_c"
+    )
+    q = F.col("l_c") / F.col("m").cast("double") - (
+        F.col("d_c") * F.col("d_c")
+    ) / (4.0 * F.col("m") * F.col("m"))
+    return (
+        parts.crossJoin(F.broadcast(m))
+        .groupBy("m")
+        .agg(
+            F.count("*").cast("bigint").alias("n_communities"),
+            F.round(F.sum(q), 6).alias("modularity"),
+        )
+        .select(
+            F.col("m").cast("bigint").alias("n_edges"), "n_communities", "modularity"
+        )
+    )

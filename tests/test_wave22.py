@@ -83,3 +83,36 @@ def test_q319_communities_refine_connected_components(spark, sf_dir):
         by_community.setdefault(c, set()).add(find(node))
     for c, comps in by_community.items():
         assert len(comps) == 1, f"community {c} spans {len(comps)} components"
+
+
+def test_q320_matches_scalar_modularity(spark, sf_dir):
+    """Modularity re-derived scalar-side from the exact graph + scalar LPA."""
+    rows = [
+        r
+        for r in load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+        if r["text"]
+    ]
+    pairs = _exact_pairs(rows)
+    labels = _scalar_lpa(pairs, _LPA_ROUNDS)
+    m = len(pairs)
+    l_c: dict[int, int] = {}
+    d_c: dict[int, int] = {}
+    for u, v in pairs:
+        if labels[u] == labels[v]:
+            l_c[labels[u]] = l_c.get(labels[u], 0) + 1
+        d_c[labels[u]] = d_c.get(labels[u], 0) + 1
+        d_c[labels[v]] = d_c.get(labels[v], 0) + 1
+    communities = set(labels.values())
+    q = sum(
+        l_c.get(c, 0) / m - (d_c.get(c, 0) ** 2) / (4.0 * m * m) for c in communities
+    )
+    from sparkstreaming_quickstart_spark.queries.wave22 import q320_lpa_modularity
+
+    got = q320_lpa_modularity(spark, sf_dir).collect()
+    assert len(got) == 1
+    g = got[0]
+    assert g["n_edges"] == m
+    assert g["n_communities"] == len(communities)
+    assert abs(g["modularity"] - round(q, 6)) <= 2e-6
+    # a partition of real dup clusters should beat random
+    assert g["modularity"] > 0
