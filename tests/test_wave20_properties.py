@@ -137,3 +137,59 @@ def test_pareto_sql_spelling_equals_naive_dominance(pts):
         if not dominated:
             expected.add(i)
     assert got == expected
+
+
+def _lpa_rounds_sql(rounds):
+    sql = """
+    WITH edges AS MATERIALIZED (
+        SELECT u, v FROM g UNION ALL SELECT v, u FROM g),
+    l0 AS (SELECT DISTINCT u AS node, u AS label FROM edges)"""
+    prev = "l0"
+    for r in range(1, rounds + 1):
+        sql += f""",
+    l{r} AS MATERIALIZED (
+        SELECT node, label FROM (
+            SELECT e.u AS node, l.label AS label, COUNT(*) AS c,
+                   ROW_NUMBER() OVER (PARTITION BY e.u
+                                      ORDER BY COUNT(*) DESC, l.label) AS rn
+            FROM edges e JOIN {prev} l ON e.v = l.node
+            GROUP BY e.u, l.label)
+        WHERE rn = 1)"""
+        prev = f"l{r}"
+    return sql + f"\n    SELECT node, label FROM {prev} ORDER BY node"
+
+
+@_SETTINGS
+@given(
+    edges=st.sets(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=40,
+    ),
+    rounds=st.integers(1, 4),
+)
+def test_lpa_sql_spelling_equals_scalar_rounds(edges, rounds):
+    """q319's unrolled-round spelling must equal a scalar synchronous LPA
+    on arbitrary graphs -- especially where a node's neighbor labels tie in
+    count (min label must win) and where parallel edges collapse (the set
+    strategy guarantees simple edges; u-v and v-u both present still count
+    each direction once per round, same as the UNION ALL doubling)."""
+    con = duckdb.connect()
+    con.execute("CREATE TABLE g (u INT, v INT)")
+    con.executemany("INSERT INTO g VALUES (?, ?)", sorted(edges))
+    got = dict(con.execute(_lpa_rounds_sql(rounds)).fetchall())
+    con.close()
+    nbrs = {}
+    for u, v in edges:
+        nbrs.setdefault(u, []).append(v)
+        nbrs.setdefault(v, []).append(u)
+    labels = {n: n for n in nbrs}
+    for _ in range(rounds):
+        new = {}
+        for n, ns in nbrs.items():
+            counts = {}
+            for m in ns:
+                counts[labels[m]] = counts.get(labels[m], 0) + 1
+            new[n] = min(counts, key=lambda lb: (-counts[lb], lb))
+        labels = new
+    assert got == labels
