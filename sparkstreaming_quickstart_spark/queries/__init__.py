@@ -80,7 +80,7 @@ _PRIORITY: list[str] = [
     "q313_truncation_loss", "q314_source_semantic_matrix",
     "q315_neardup_source_matrix", "q316_embedding_coverage",
     "q317_pareto_front", "q318_oov_rate", "q319_lpa_communities",
-    "q320_lpa_modularity",
+    "q320_lpa_modularity", "q321_dup_graph_2core",
     "q289_token_budget_curriculum", "q286_fdr_bh_correction",
     "q262_exponential_gof", "q185_containment_neardup", "q53_dedup_simhash",
     "q293_kcenter_coreset",

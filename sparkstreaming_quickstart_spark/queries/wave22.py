@@ -195,3 +195,80 @@ def q320_lpa_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("m").cast("bigint").alias("n_edges"), "n_communities", "modularity"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q321: 2-core peel of the near-dup graph
+# ---------------------------------------------------------------------------
+
+_PEEL_ROUNDS = 4
+
+
+def _core_oracle() -> str:
+    from .llm import _jaccard_oracle
+
+    pairs = _jaccard_oracle(0.7, order_by=False).strip()
+    sql = f"""
+    WITH prs AS MATERIALIZED ({pairs}),
+    e0 AS MATERIALIZED (
+        SELECT d1 AS u, d2 AS v FROM prs UNION ALL SELECT d2, d1 FROM prs)"""
+    prev = "e0"
+    for r in range(1, _PEEL_ROUNDS + 1):
+        sql += f""",
+    k{r} AS (SELECT u FROM {prev} GROUP BY u HAVING COUNT(*) >= 2),
+    e{r} AS MATERIALIZED (
+        SELECT e.u, e.v FROM {prev} e
+        JOIN k{r} a ON e.u = a.u JOIN k{r} b ON e.v = b.u)"""
+        prev = f"e{r}"
+    sql += f"""
+    SELECT u AS doc_id, CAST(COUNT(*) AS BIGINT) AS core_degree
+    FROM {prev} GROUP BY u ORDER BY doc_id
+"""
+    return sql
+
+
+@register(
+    "q321_dup_graph_2core",
+    sql=_core_oracle(),
+    doc="2-core of the near-dup graph: iteratively peel nodes with fewer "
+    "than 2 surviving neighbors (4 unrolled synchronous rounds -- the "
+    "fixture graphs converge earlier, which the reference test asserts), "
+    "leaving the dense template-farm families and discarding incidental "
+    "pairwise matches and chain tails -- the standard triage between "
+    "'this source mirrors a template' and 'two docs happen to collide'.  "
+    "Degree counts are exact integers; fixed round count keeps the "
+    "iteration engine-exact (a convergence loop would be "
+    "engine-schedule-dependent).  "
+    "Plan: the bucketed LSH graph (q319's contract), then per round one "
+    "degree hash-agg and one semi-join-shaped filter, each materialized "
+    "(rule 9) -- shuffles on node only, edge set shrinks monotonically.",
+)
+def q321_dup_graph_2core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import minhash_lsh_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    prs = minhash_lsh_pairs(d, "text", "doc_id", n=3, threshold=0.7).select("d1", "d2")
+    edges = prs.union(
+        prs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
+    ).select(F.col("d1").alias("u"), F.col("d2").alias("v"))
+    edges = edges.localCheckpoint(eager=True)
+    for _ in range(_PEEL_ROUNDS):
+        keep = (
+            edges.groupBy("u")
+            .agg(F.count("*").alias("deg"))
+            .filter(F.col("deg") >= 2)
+            .select("u")
+        )
+        keep = keep.localCheckpoint(eager=True)  # both join sides consume it
+        edges = (
+            edges.join(keep, "u")
+            .join(keep.select(F.col("u").alias("v")), "v")
+            .select("u", "v")
+        )
+        edges = edges.localCheckpoint(eager=True)
+    return (
+        edges.groupBy("u")
+        .agg(F.count("*").cast("bigint").alias("core_degree"))
+        .select(F.col("u").alias("doc_id"), "core_degree")
+        .orderBy("doc_id")
+    )

@@ -116,3 +116,44 @@ def test_q320_matches_scalar_modularity(spark, sf_dir):
     assert abs(g["modularity"] - round(q, 6)) <= 2e-6
     # a partition of real dup clusters should beat random
     assert g["modularity"] > 0
+
+
+def test_q321_matches_scalar_peel_and_converges(spark, sf_dir):
+    """2-core re-derived by scalar peeling; also assert the fixture graph
+    CONVERGES within the unrolled round budget (round R == round R-1), so
+    the fixed-round output IS the true 2-core here, and every survivor has
+    core degree >= 2."""
+    from sparkstreaming_quickstart_spark.queries.wave22 import (
+        _PEEL_ROUNDS,
+        q321_dup_graph_2core,
+    )
+
+    rows = [
+        r
+        for r in load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+        if r["text"]
+    ]
+    pairs = _exact_pairs(rows)
+    edges = set()
+    for u, v in pairs:
+        edges.add((u, v))
+        edges.add((v, u))
+    prev_nodes = None
+    for rnd in range(_PEEL_ROUNDS):
+        deg: dict[int, int] = {}
+        for u, _ in edges:
+            deg[u] = deg.get(u, 0) + 1
+        keep = {u for u, d in deg.items() if d >= 2}
+        edges = {(u, v) for u, v in edges if u in keep and v in keep}
+        nodes = {u for u, _ in edges}
+        if prev_nodes == nodes and rnd < _PEEL_ROUNDS - 1:
+            pass  # already converged; remaining rounds are no-ops
+        prev_nodes = nodes
+    # convergence within budget: one more peel changes nothing
+    deg = {}
+    for u, _ in edges:
+        deg[u] = deg.get(u, 0) + 1
+    assert all(d >= 2 for d in deg.values()), "fixture converges within budget"
+    got = {r["doc_id"]: r["core_degree"] for r in q321_dup_graph_2core(spark, sf_dir).collect()}
+    assert got == deg
+    assert all(v >= 2 for v in got.values())
