@@ -193,3 +193,51 @@ def test_lpa_sql_spelling_equals_scalar_rounds(edges, rounds):
             new[n] = min(counts, key=lambda lb: (-counts[lb], lb))
         labels = new
     assert got == labels
+
+
+def _peel_rounds_sql(rounds):
+    sql = """
+    WITH e0 AS MATERIALIZED (SELECT u, v FROM g UNION ALL SELECT v, u FROM g)"""
+    prev = "e0"
+    for r in range(1, rounds + 1):
+        sql += f""",
+    k{r} AS (SELECT u FROM {prev} GROUP BY u HAVING COUNT(*) >= 2),
+    e{r} AS MATERIALIZED (
+        SELECT e.u, e.v FROM {prev} e
+        JOIN k{r} a ON e.u = a.u JOIN k{r} b ON e.v = b.u)"""
+        prev = f"e{r}"
+    return sql + f"\n    SELECT u, COUNT(*) FROM {prev} GROUP BY u ORDER BY u"
+
+
+@_SETTINGS
+@given(
+    edges=st.sets(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=40,
+    ),
+    rounds=st.integers(1, 5),
+)
+def test_peel_sql_spelling_equals_scalar_peel(edges, rounds):
+    """q321's unrolled degree-prune rounds must equal scalar synchronous
+    peeling on arbitrary graphs for ANY fixed round count -- including
+    graphs that have not converged yet (chains) and ones that empty out."""
+    con = duckdb.connect()
+    con.execute("CREATE TABLE g (u INT, v INT)")
+    con.executemany("INSERT INTO g VALUES (?, ?)", sorted(edges))
+    got = dict(con.execute(_peel_rounds_sql(rounds)).fetchall())
+    con.close()
+    es = set()
+    for u, v in edges:
+        es.add((u, v))
+        es.add((v, u))
+    for _ in range(rounds):
+        deg = {}
+        for u, _ in es:
+            deg[u] = deg.get(u, 0) + 1
+        keep = {u for u, d in deg.items() if d >= 2}
+        es = {(u, v) for u, v in es if u in keep and v in keep}
+    expected = {}
+    for u, _ in es:
+        expected[u] = expected.get(u, 0) + 1
+    assert got == expected
