@@ -188,8 +188,10 @@ def _bpe_encode_oracle(levels: int) -> str:
         SELECT pair FROM pairs{k} ORDER BY c DESC, pair ASC LIMIT 1),
     t{k + 1} AS (
         SELECT source, n_before,
-               replace(x, ' ' || (SELECT pair FROM best{k}) || ' ',
-                       ' ' || replace((SELECT pair FROM best{k}), ' ', '+') || ' ') AS x
+               CASE WHEN (SELECT COUNT(*) FROM best{k}) = 0 THEN x
+                    ELSE replace(x, ' ' || (SELECT pair FROM best{k}) || ' ',
+                            ' ' || replace((SELECT pair FROM best{k}), ' ', '+') || ' ')
+               END AS x
         FROM t{k})"""
         )
     parts.append(
@@ -243,7 +245,15 @@ def q303_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("pair")
             .agg(F.count("*").alias("c"))
         )
-        best = pairs.orderBy(F.col("c").desc(), F.col("pair").asc()).limit(1).collect()[0]
+        rows = pairs.orderBy(F.col("c").desc(), F.col("pair").asc()).limit(1).collect()
+        if not rows:
+            # Degenerate corpus: every non-empty doc is a single token, so
+            # no adjacent pair exists and no merge can ever apply -- the
+            # encode is the identity from this level on (later levels can't
+            # create pairs either).  The oracle's CASE guard on an empty
+            # best{k} encodes the same rule, so both engines agree.
+            break
+        best = rows[0]
         enc = enc.select(
             "source",
             F.replace(
@@ -463,7 +473,7 @@ def _q306_oracle_sql() -> str:
     qual AS (
         SELECT b.doc_id, b.source, b.text FROM base b
         JOIN scored s ON s.doc_id = b.doc_id
-        WHERE s.score >= 0 AND b.doc_id % 97 <> 0),
+        WHERE round(s.score, 9) >= 0 AND b.doc_id % 97 <> 0),
     evg AS (
         SELECT DISTINCT unnest(list_distinct(
                    [array_to_string(toks[i:i+3], ' ')
@@ -558,9 +568,13 @@ def q306_corpus_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     # parallel broadcast builds (the q169 lesson) and leave the full
     # classifier lineage inlined per consumer in the plan; a production
     # curation run checkpoints between stages for exactly this reason.
+    # Round BEFORE the gate threshold (the q299/_pair_cosine discipline):
+    # Spark partial aggregation and DuckDB sum the token weights in
+    # different orders, so an unrounded `score >= 0` can flip membership
+    # for a doc whose weight sum sits exactly at the zero boundary.
     qual = (
         base.join(scored, "doc_id")
-        .filter((F.col("score") >= 0) & (F.col("doc_id") % 97 != 0))
+        .filter((F.round(F.col("score"), 9) >= 0) & (F.col("doc_id") % 97 != 0))
         .select("doc_id", "source", "text")
         .localCheckpoint(eager=True)
     )

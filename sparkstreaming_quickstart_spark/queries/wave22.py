@@ -132,7 +132,7 @@ def _modularity_oracle() -> str:
     SELECT CAST(m.m AS BIGINT) AS n_edges,
            CAST(COUNT(*) AS BIGINT) AS n_communities,
            ROUND(SUM(l_c / CAST(m.m AS DOUBLE)
-                     - (d_c * d_c) / (4.0 * m.m * m.m)), 6) AS modularity
+                     - (d_c * d_c) / (4.0 * m.m * m.m)), 6) + 0.0 AS modularity
     FROM parts, m GROUP BY m.m
 """
     )
@@ -189,7 +189,10 @@ def q320_lpa_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("m")
         .agg(
             F.count("*").cast("bigint").alias("n_communities"),
-            F.round(F.sum(q), 6).alias("modularity"),
+            # + 0.0 normalizes -0.0 (a partition with all-negative rounded
+            # terms summing to zero) so both engines hash "0", not "-0" --
+            # the q295/q314 convention.
+            (F.round(F.sum(q), 6) + F.lit(0.0)).alias("modularity"),
         )
         .select(
             F.col("m").cast("bigint").alias("n_edges"), "n_communities", "modularity"

@@ -117,6 +117,27 @@ def test_bpe_encode_matches_python_reference(spark, tmp_path):
         assert abs(r["compression"] - round(after / before, 6)) < 1e-9
 
 
+def test_bpe_encode_degenerate_single_token_corpus(spark, tmp_path):
+    """Every non-empty doc is a single token: no adjacent pair exists, so
+    training finds nothing to merge and the encode must be the identity in
+    BOTH engines (Spark guards the empty argmax collect; the oracle's CASE
+    guard makes the no-pairs level a no-op).  Regression for the round-7
+    advice finding: the unguarded collect()[0] raised IndexError while the
+    oracle's scalar subquery nulled the text."""
+    from sparkstreaming_quickstart_spark.oracle import compare
+    from sparkstreaming_quickstart_spark.queries import oracle_sql
+    from sparkstreaming_quickstart_spark.queries.wave19 import q303_bpe_encode
+
+    sf = _write_docs(tmp_path, ["alpha", "beta", "gamma", "alpha"])
+    rows = q303_bpe_encode(spark, sf).collect()
+    assert rows, "degenerate corpus must still produce per-source rows"
+    for r in rows:
+        assert r["tokens_after"] == r["tokens_before"]
+        assert r["compression"] == 1.0
+    res = compare(spark, sf, q303_bpe_encode, oracle_sql()["q303_bpe_encode"])
+    assert res["ok"], res
+
+
 def test_dp_histogram_noise_matches_hashlib_replay(spark, tmp_path):
     import hashlib
     import math
