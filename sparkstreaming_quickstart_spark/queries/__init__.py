@@ -65,10 +65,16 @@ _LOADED = False
 # guards this: with fewer than 50 unchecked entries remaining, the head must
 # be exactly that set.
 _PRIORITY: list[str] = [
-    # Round-7 head: the seven NEW wave-18 entries (never driver-checked) come
-    # first per the rotation contract, then every query whose round-7 diff
-    # changed values-relevant code (overflow/float-boundary fixes, Arrow
-    # kernels) so the next driver sample re-proves the changed spellings.
+    # Round-8 head: the nine NEW wave-23 entries (never driver-checked) come
+    # first per the rotation contract, then the three advice-fix queries
+    # whose round-8 diff changed values-relevant code (q303 no-pairs guard,
+    # q306 rounded gate, q320 -0.0 normalization), then the round-7 order.
+    "q322_dup_graph_clustering", "q323_degree_assortativity",
+    "q324_cramers_v", "q325_cohens_d", "q326_theil_index",
+    "q327_perplexity_tertiles", "q328_subsample_ci",
+    "q329_mutual_knn_graph", "q330_weighted_reservoir_sample",
+    "q303_bpe_encode", "q306_corpus_pipeline_v3", "q320_lpa_modularity",
+    # Round-7 head follows.
     "q295_embedding_covariance", "q296_pca_scree", "q297_ann_recall_eval",
     "q298_boilerplate_segments", "q299_quality_classifier_inference",
     "q300_hard_negative_mining", "q301_embedding_whitening",
@@ -243,6 +249,7 @@ def _ensure_loaded() -> None:
     from . import wave20  # noqa: F401
     from . import wave21  # noqa: F401
     from . import wave22  # noqa: F401
+    from . import wave23  # noqa: F401
     from . import livejars  # noqa: F401
 
     # First occurrence wins: a rotation may promote a name to the head while
