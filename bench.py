@@ -67,6 +67,12 @@ HEADLINE = [
     # adaptive gate, and dedup in one single-pass flag chain.
     "q308_dup_span_islands",
     "q312_corpus_pipeline_v4",
+    # Wave-23 representatives: the graph-only-shuffle triangle shape over
+    # the LSH pair stream, and the broadcast-matrix Arrow kNN kernel (the
+    # dense-block pattern whose regression to interpreted folds or an
+    # accidental n^2 join would otherwise be invisible).
+    "q322_dup_graph_clustering",
+    "q329_mutual_knn_graph",
 ]
 # q51 (exact-jaccard brute force) is deliberately NOT headline: it is the
 # O(n^2)-ish correctness baseline; q52 is the scale path over the same data.

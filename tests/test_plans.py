@@ -665,3 +665,39 @@ def test_truncation_loss_tokenizes_once(spark, sf_dir):
     simple = explain_str(q313_truncation_loss(spark, sf_dir), "simple")
     assert "Generate" not in simple, simple
     assert simple.count("split(") == 1, simple
+
+
+def test_dup_graph_clustering_no_cartesian(spark, sf_dir):
+    """q322: triangle enumeration must be equi-joins on the pair list --
+    a CartesianProduct would mean the corpus (or the full node set) is
+    being paired instead of the bounded near-dup edge list."""
+    from sparkstreaming_quickstart_spark.queries.wave23 import (
+        q322_dup_graph_clustering,
+    )
+
+    simple = explain_str(q322_dup_graph_clustering(spark, sf_dir), "simple")
+    assert "CartesianProduct" not in simple, simple
+
+
+def test_mutual_knn_no_allpairs_join(spark, sf_dir):
+    """q329: neighbor scoring happens inside the Arrow kernel against the
+    broadcast matrix -- the PLAN must contain no n^2 join (cartesian or
+    non-equi nested loop); the only joins are the (i, j) equi-join for the
+    mutual filter and the left join onto the node list."""
+    from sparkstreaming_quickstart_spark.queries.wave23 import (
+        q329_mutual_knn_graph,
+    )
+
+    simple = explain_str(q329_mutual_knn_graph(spark, sf_dir), "simple")
+    assert "CartesianProduct" not in simple, simple
+    assert "MapInPandas" in simple, simple
+
+
+def test_subsample_ci_single_scan(spark, sf_dir):
+    """q328: all 16 replicates must fuse into ONE events scan as
+    conditional aggregates -- a second scan means the replicate loop
+    regressed to per-replicate passes."""
+    from sparkstreaming_quickstart_spark.queries.wave23 import q328_subsample_ci
+
+    simple = explain_str(q328_subsample_ci(spark, sf_dir), "simple")
+    assert simple.count("Scan parquet") == 1, simple
