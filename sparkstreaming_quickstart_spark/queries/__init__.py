@@ -76,6 +76,7 @@ _PRIORITY: list[str] = [
     "q331_cross_lang_neardups", "q332_vocab_overlap_matrix",
     "q333_reciprocal_rank_fusion", "q334_brown_forsythe",
     "q335_kruskal_wallis", "q336_mmr_rerank",
+    "q337_wasserstein_1d", "q338_rfm_segmentation", "q339_cumulative_gains",
     "q303_bpe_encode", "q306_corpus_pipeline_v3", "q320_lpa_modularity",
     # Round-7 head follows.
     "q295_embedding_covariance", "q296_pca_scree", "q297_ann_recall_eval",
@@ -254,6 +255,7 @@ def _ensure_loaded() -> None:
     from . import wave22  # noqa: F401
     from . import wave23  # noqa: F401
     from . import wave24  # noqa: F401
+    from . import wave25  # noqa: F401
     from . import livejars  # noqa: F401
 
     # First occurrence wins: a rotation may promote a name to the head while
