@@ -78,6 +78,8 @@ _PRIORITY: list[str] = [
     "q335_kruskal_wallis", "q336_mmr_rerank",
     "q337_wasserstein_1d", "q338_rfm_segmentation", "q339_cumulative_gains",
     "q340_stream_weighted_reservoir", "q341_dedup_keep_longest",
+    "q342_auc_roc", "q343_precision_recall_curve",
+    "q344_aggregation_reversal",
     "q303_bpe_encode", "q306_corpus_pipeline_v3", "q320_lpa_modularity",
     # Round-7 head follows.
     "q295_embedding_covariance", "q296_pca_scree", "q297_ann_recall_eval",
@@ -258,6 +260,7 @@ def _ensure_loaded() -> None:
     from . import wave24  # noqa: F401
     from . import wave25  # noqa: F401
     from . import wave26  # noqa: F401
+    from . import wave27  # noqa: F401
     from . import livejars  # noqa: F401
 
     # First occurrence wins: a rotation may promote a name to the head while
