@@ -79,7 +79,7 @@ _PRIORITY: list[str] = [
     "q337_wasserstein_1d", "q338_rfm_segmentation", "q339_cumulative_gains",
     "q340_stream_weighted_reservoir", "q341_dedup_keep_longest",
     "q342_auc_roc", "q343_precision_recall_curve",
-    "q344_aggregation_reversal",
+    "q344_aggregation_reversal", "q345_forecast_mase",
     "q303_bpe_encode", "q306_corpus_pipeline_v3", "q320_lpa_modularity",
     # Round-7 head follows.
     "q295_embedding_covariance", "q296_pca_scree", "q297_ann_recall_eval",

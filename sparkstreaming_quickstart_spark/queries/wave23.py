@@ -146,14 +146,20 @@ def q322_dup_graph_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT du.d AS x, dv.d AS y
         FROM edges e JOIN deg du ON e.u = du.n JOIN deg dv ON e.v = dv.n),
     s AS (
-        SELECT COUNT(*) AS nn, SUM(x) AS sx, SUM(y) AS sy,
-               SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+        -- sums promote to DOUBLE before the moment products: nn*sxy-style
+        -- BIGINT*BIGINT products overflow ANSI engines at ~1e9-edge graphs
+        -- (the q289 class); fixture-scale values are exact in double.
+        SELECT CAST(COUNT(*) AS DOUBLE) AS nn,
+               CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+               CAST(SUM(x * y) AS DOUBLE) AS sxy,
+               CAST(SUM(x * x) AS DOUBLE) AS sxx,
+               CAST(SUM(y * y) AS DOUBLE) AS syy
         FROM xy)
     SELECT CAST((SELECT COUNT(*) FROM prs) AS BIGINT) AS n_edges,
            CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
            ROUND((nn * sxy - sx * sy) /
-                 NULLIF(sqrt(CAST(nn * sxx - sx * sx AS DOUBLE))
-                        * sqrt(CAST(nn * syy - sy * sy AS DOUBLE)), 0), 6) + 0.0
+                 NULLIF(sqrt(nn * sxx - sx * sx)
+                        * sqrt(nn * syy - sy * sy), 0), 6) + 0.0
                AS assortativity
     FROM s
     """,
@@ -181,19 +187,22 @@ def q323_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(deg.select(F.col("n").alias("v"), F.col("d").alias("y"))), "v")
         .select("x", "y")
     )
+    # Sums promote to double BEFORE the moment products: nn*sxy-style
+    # bigint*bigint products hit ANSI ARITHMETIC_OVERFLOW at ~1e9-edge
+    # graphs (the q289 class); fixture-scale values stay exact in double.
     s = xy.agg(
-        F.count("*").alias("nn"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.count("*").cast("double").alias("nn"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
     )
     n_edges = prs.agg(F.count("*").alias("n_edges"))
     n_nodes = deg.agg(F.count("*").alias("n_nodes"))
     r = (F.col("nn") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.nullif(
-        F.sqrt((F.col("nn") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
-        * F.sqrt((F.col("nn") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")),
+        F.sqrt(F.col("nn") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(F.col("nn") * F.col("syy") - F.col("sy") * F.col("sy")),
         F.lit(0.0),
     )
     return (

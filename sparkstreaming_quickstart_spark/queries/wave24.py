@@ -430,9 +430,9 @@ def q334_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ties AS (
         SELECT SUM(CAST(m AS DOUBLE) * m * m - m) AS tsum FROM m)
     SELECT CAST(nn AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
-           ROUND(12.0 / (nn * (nn + 1.0)) * s - 3.0 * (nn + 1.0), 6) AS h,
+           ROUND(12.0 / (nn * (nn + 1.0)) * s - 3.0 * (nn + 1.0), 6) + 0.0 AS h,
            ROUND((12.0 / (nn * (nn + 1.0)) * s - 3.0 * (nn + 1.0))
-                 / (1.0 - tsum / (CAST(nn AS DOUBLE) * nn * nn - nn)), 6)
+                 / (1.0 - tsum / (CAST(nn AS DOUBLE) * nn * nn - nn)), 6) + 0.0
                AS h_tie_corrected
     FROM tot, ties
     """,
@@ -475,18 +475,26 @@ def q335_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = 12.0 / (F.col("nn") * (F.col("nn") + 1.0)) * F.col("s") - 3.0 * (
         F.col("nn") + 1.0
     )
+    # + 0.0: on a degenerate corpus (all values tied) H floats at the zero
+    # boundary and could round to -0.0 in one engine only.
     return tot.crossJoin(F.broadcast(ties)).select(
         F.col("nn").cast("bigint").alias("n"),
         F.col("k").cast("bigint").alias("k"),
-        F.round(h, 6).alias("h"),
-        F.round(
-            h
-            / (
-                1.0
-                - F.col("tsum")
-                / (F.col("nn").cast("double") * F.col("nn") * F.col("nn") - F.col("nn"))
-            ),
-            6,
+        (F.round(h, 6) + F.lit(0.0)).alias("h"),
+        (
+            F.round(
+                h
+                / (
+                    1.0
+                    - F.col("tsum")
+                    / (
+                        F.col("nn").cast("double") * F.col("nn") * F.col("nn")
+                        - F.col("nn")
+                    )
+                ),
+                6,
+            )
+            + F.lit(0.0)
         ).alias("h_tie_corrected"),
     )
 

@@ -40,7 +40,9 @@ from . import register
                SUM(cp * (before + (m + 1) / 2.0)) AS rp
         FROM r)
     SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
-           ROUND((rp - np * (np + 1) / 2.0)
+           -- CAST(np AS DOUBLE) BEFORE the (np+1) product: the bigint
+           -- product overflows ANSI engines past ~3e9 positives (q289 class)
+           ROUND((rp - CAST(np AS DOUBLE) * (np + 1) / 2.0)
                  / (CAST(np AS DOUBLE) * nn), 6) AS auc
     FROM s
     """,
@@ -70,11 +72,13 @@ def q342_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("m") - F.col("cp")).alias("nn"),
         F.sum(F.col("cp") * (F.col("before") + (F.col("m") + 1) / 2.0)).alias("rp"),
     )
+    # np cast to double BEFORE the (np+1) product: the bigint product hits
+    # ANSI ARITHMETIC_OVERFLOW past ~3e9 positives (the q289 class).
     return s.select(
         F.col("np").cast("bigint").alias("n_pos"),
         F.col("nn").cast("bigint").alias("n_neg"),
         F.round(
-            (F.col("rp") - F.col("np") * (F.col("np") + 1) / 2.0)
+            (F.col("rp") - F.col("np").cast("double") * (F.col("np") + 1) / 2.0)
             / (F.col("np").cast("double") * F.col("nn")),
             6,
         ).alias("auc"),
@@ -270,4 +274,72 @@ def q344_aggregation_reversal(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.signum(corr) != F.signum(pcorr)).alias("sign_reversed"),
         )
         .orderBy("grp")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q345: naive-forecast error profile (MAE of lag-1 vs lag-7, MASE-style)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q345_forecast_mase",
+    sql="""
+    WITH d AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c
+        FROM events GROUP BY 1, 2),
+    l AS (
+        SELECT event_type, day, c,
+               LAG(c, 1) OVER (PARTITION BY event_type ORDER BY day) AS c1,
+               LAG(c, 7) OVER (PARTITION BY event_type ORDER BY day) AS c7
+        FROM d)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           ROUND(AVG(CASE WHEN c1 IS NOT NULL THEN abs(c - c1) END), 6)
+               AS mae_naive1,
+           ROUND(AVG(CASE WHEN c7 IS NOT NULL THEN abs(c - c7) END), 6)
+               AS mae_naive7,
+           ROUND(AVG(CASE WHEN c7 IS NOT NULL THEN abs(c - c7) END)
+                 / NULLIF(AVG(CASE WHEN c1 IS NOT NULL THEN abs(c - c1) END), 0), 6)
+               AS mase_7v1
+    FROM l
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="Naive-forecast error profile per event_type: MAE of the lag-1 "
+    "(yesterday-predicts-today) and lag-7 (same-weekday) naive forecasts "
+    "over daily counts, and their ratio -- the MASE-style scale-free "
+    "baseline every forecasting deployment must beat before a model "
+    "earns compute (ratio < 1 means weekly seasonality dominates, the "
+    "q245 profile made decision-ready).  Daily counts and their "
+    "differences are exact integers; only the final averages/ratio are "
+    "floats, rounded at 6 (non-negative by construction, no -0 "
+    "exposure).  Plan: one corpus scan to the (type, day) hash-agg "
+    "(30 x |types| rows), lag windows partitioned by type over that "
+    "bounded frame, per-type rollup -- at 100 TB the day grid is the "
+    "only windowed object.",
+)
+def q345_forecast_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    d = e.groupBy("event_type", F.col("ts").cast("date").alias("day")).agg(
+        F.count("*").alias("c")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    l = d.select(
+        "event_type",
+        "c",
+        F.lag("c", 1).over(w).alias("c1"),
+        F.lag("c", 7).over(w).alias("c7"),
+    )
+    mae1 = F.avg(F.when(F.col("c1").isNotNull(), F.abs(F.col("c") - F.col("c1"))))
+    mae7 = F.avg(F.when(F.col("c7").isNotNull(), F.abs(F.col("c") - F.col("c7"))))
+    return (
+        l.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_days"),
+            F.round(mae1, 6).alias("mae_naive1"),
+            F.round(mae7, 6).alias("mae_naive7"),
+            F.round(mae7 / F.nullif(mae1, F.lit(0.0)), 6).alias("mase_7v1"),
+        )
+        .orderBy("event_type")
     )

@@ -100,3 +100,20 @@ def test_aggregation_reversal_matches_numpy(spark, sf_dir):
         assert r["n"] == len(sub)
         assert r["corr"] == pytest.approx(c, abs=2e-6)
         assert r["sign_reversed"] == (np.sign(r["corr"]) != np.sign(rows["ALL"]["corr"]))
+
+
+def test_forecast_mase_matches_pandas_reference(spark, sf_dir):
+    from sparkstreaming_quickstart_spark.queries.wave27 import q345_forecast_mase
+
+    e = pd.read_parquet(f"{sf_dir}/events.parquet")
+    e["day"] = e["ts"].dt.normalize()
+    rows = {r["event_type"]: r for r in q345_forecast_mase(spark, sf_dir).collect()}
+    for et, grp in e.groupby("event_type"):
+        c = grp.groupby("day").size().sort_index()
+        d1 = (c - c.shift(1)).abs().dropna()
+        d7 = (c - c.shift(7)).abs().dropna()
+        r = rows[et]
+        assert r["n_days"] == len(c)
+        assert r["mae_naive1"] == pytest.approx(d1.mean(), abs=2e-6)
+        assert r["mae_naive7"] == pytest.approx(d7.mean(), abs=2e-6)
+        assert r["mase_7v1"] == pytest.approx(d7.mean() / d1.mean(), abs=2e-6)
