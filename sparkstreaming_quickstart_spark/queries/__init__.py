@@ -80,6 +80,7 @@ _PRIORITY: list[str] = [
     "q340_stream_weighted_reservoir", "q341_dedup_keep_longest",
     "q342_auc_roc", "q343_precision_recall_curve",
     "q344_aggregation_reversal", "q345_forecast_mase",
+    "q346_greedy_mixture_budget", "q347_srm_check",
     "q303_bpe_encode", "q306_corpus_pipeline_v3", "q320_lpa_modularity",
     # Round-7 head follows.
     "q295_embedding_covariance", "q296_pca_scree", "q297_ann_recall_eval",
@@ -261,6 +262,7 @@ def _ensure_loaded() -> None:
     from . import wave25  # noqa: F401
     from . import wave26  # noqa: F401
     from . import wave27  # noqa: F401
+    from . import wave28  # noqa: F401
     from . import livejars  # noqa: F401
 
     # First occurrence wins: a rotation may promote a name to the head while
