@@ -65,10 +65,13 @@ _LOADED = False
 # guards this: with fewer than 50 unchecked entries remaining, the head must
 # be exactly that set.
 _PRIORITY: list[str] = [
-    # Round-8 head: the nine NEW wave-23 entries (never driver-checked) come
-    # first per the rotation contract, then the three advice-fix queries
-    # whose round-8 diff changed values-relevant code (q303 no-pairs guard,
-    # q306 rounded gate, q320 -0.0 normalization), then the round-7 order.
+    # Round-8 head: ALL 27 never-driver-checked wave-23..29 entries come
+    # first per the rotation contract (with <50 unchecked the head must be
+    # EXACTLY that set), THEN the three advice-fix queries whose round-8
+    # diff changed values-relevant code (q303 no-pairs guard, q306 rounded
+    # gate, q320 -0.0 normalization) -- already driver-proven, but kept
+    # inside the 50-sample window so the edited spellings get a fresh hash
+    # proof.  Round-7 order follows.
     "q322_dup_graph_clustering", "q323_degree_assortativity",
     "q324_cramers_v", "q325_cohens_d", "q326_theil_index",
     "q327_perplexity_tertiles", "q328_subsample_ci",
@@ -81,6 +84,7 @@ _PRIORITY: list[str] = [
     "q342_auc_roc", "q343_precision_recall_curve",
     "q344_aggregation_reversal", "q345_forecast_mase",
     "q346_greedy_mixture_budget", "q347_srm_check",
+    "q348_mergeable_moments",
     "q303_bpe_encode", "q306_corpus_pipeline_v3", "q320_lpa_modularity",
     # Round-7 head follows.
     "q295_embedding_covariance", "q296_pca_scree", "q297_ann_recall_eval",
@@ -263,6 +267,7 @@ def _ensure_loaded() -> None:
     from . import wave26  # noqa: F401
     from . import wave27  # noqa: F401
     from . import wave28  # noqa: F401
+    from . import wave29  # noqa: F401
     from . import livejars  # noqa: F401
 
     # First occurrence wins: a rotation may promote a name to the head while

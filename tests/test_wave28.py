@@ -70,3 +70,32 @@ def test_srm_check_matches_hashlib_replay(spark, sf_dir):
     assert r["z"] == pytest.approx(z, abs=2e-6)
     assert r["chi2"] == pytest.approx(2 * (na - (na + nb) / 2) ** 2 / ((na + nb) / 2), abs=2e-5)
     assert r["srm_alarm"] == (abs(z) > 3.0)
+
+
+def test_mergeable_moments_identity_and_numpy(spark, sf_dir):
+    """The MERGED row (Chan combine of per-group summaries) must equal the
+    DIRECT row, and both must equal numpy's single-pass moments."""
+    import numpy as np
+
+    from sparkstreaming_quickstart_spark.queries.wave29 import (
+        q348_mergeable_moments,
+    )
+
+    e = pd.read_parquet(f"{sf_dir}/events.parquet")
+    rows = {r["grp"]: r for r in q348_mergeable_moments(spark, sf_dir).collect()}
+    v = e["value"].to_numpy()
+    for grp in ("MERGED", "DIRECT"):
+        r = rows[grp]
+        assert r["n"] == len(v)
+        assert r["mean"] == pytest.approx(v.mean(), abs=2e-6)
+        assert r["variance"] == pytest.approx(v.var(ddof=1), abs=2e-5)
+    assert rows["MERGED"]["mean"] == rows["DIRECT"]["mean"]
+    assert rows["MERGED"]["variance"] == pytest.approx(
+        rows["DIRECT"]["variance"], abs=2e-6
+    )
+    for et, grp in e.groupby("event_type"):
+        g = grp["value"].to_numpy()
+        r = rows[et]
+        assert r["n"] == len(g)
+        assert r["mean"] == pytest.approx(g.mean(), abs=2e-6)
+        assert r["variance"] == pytest.approx(g.var(ddof=1), abs=2e-5)
