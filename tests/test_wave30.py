@@ -65,3 +65,50 @@ def test_embedding_outliers_matches_numpy(spark, sf_dir):
         assert r["n_outliers"] == int((z > _OUT_Z).sum())
         assert r["max_dist"] == pytest.approx(dist.max(), abs=2e-6)
         assert r["mean_dist"] == pytest.approx(mu, abs=2e-6)
+
+
+def test_minhash_union_matches_hashlib_replay(spark, sf_dir):
+    """Signatures, estimates, and exact Jaccards recomputed independently
+    via hashlib + python sets; also pins the MERGE law the query is about:
+    the signature of a union equals the elementwise min of signatures."""
+    import hashlib
+
+    from sparkstreaming_quickstart_spark.queries.wave31 import (
+        _MH_K,
+        _MH_SALT,
+        q351_minhash_union_estimate,
+    )
+
+    d = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    d = d[d["text"].str.len() > 0]
+    vocab: dict[str, set[str]] = {}
+    for r in d.itertuples():
+        vocab.setdefault(r.source, set()).update(r.text.split(" "))
+
+    def h(i, token):
+        return int(hashlib.md5(f"{_MH_SALT}{i}|{token}".encode()).hexdigest()[:15], 16)
+
+    sig = {
+        s: [min(h(i, t) for t in toks) for i in range(_MH_K)]
+        for s, toks in vocab.items()
+    }
+    rows = q351_minhash_union_estimate(spark, sf_dir).collect()
+    srcs = sorted(vocab)
+    assert len(rows) == len(srcs) * (len(srcs) - 1) // 2
+    for r in rows:
+        a, b = vocab[r["s1"]], vocab[r["s2"]]
+        exact = len(a & b) / len(a | b)
+        est = sum(
+            1 for x, y in zip(sig[r["s1"]], sig[r["s2"]]) if x == y
+        ) / _MH_K
+        assert r["jaccard_exact"] == pytest.approx(round(exact, 6), abs=1e-9)
+        assert r["jaccard_est"] == pytest.approx(round(est, 6), abs=1e-9)
+        assert r["abs_error"] == pytest.approx(
+            round(abs(round(est, 6) - exact), 6), abs=1e-9
+        )
+    # merge law: sig(A | B) == elementwise min(sig(A), sig(B))
+    s1, s2 = srcs[0], srcs[1]
+    union_sig = [
+        min(h(i, t) for t in (vocab[s1] | vocab[s2])) for i in range(_MH_K)
+    ]
+    assert union_sig == [min(x, y) for x, y in zip(sig[s1], sig[s2])]
