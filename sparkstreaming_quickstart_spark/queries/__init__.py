@@ -85,7 +85,7 @@ _PRIORITY: list[str] = [
     "q344_aggregation_reversal", "q345_forecast_mase",
     "q346_greedy_mixture_budget", "q347_srm_check",
     "q348_mergeable_moments", "q349_adamic_adar", "q350_embedding_outliers",
-    "q351_minhash_union_estimate",
+    "q351_minhash_union_estimate", "q352_dup_cluster_purity",
     "q303_bpe_encode", "q306_corpus_pipeline_v3", "q320_lpa_modularity",
     # Round-7 head follows.
     "q295_embedding_covariance", "q296_pca_scree", "q297_ann_recall_eval",
@@ -271,6 +271,7 @@ def _ensure_loaded() -> None:
     from . import wave29  # noqa: F401
     from . import wave30  # noqa: F401
     from . import wave31  # noqa: F401
+    from . import wave32  # noqa: F401
     from . import livejars  # noqa: F401
 
     # First occurrence wins: a rotation may promote a name to the head while

@@ -112,3 +112,43 @@ def test_minhash_union_matches_hashlib_replay(spark, sf_dir):
         min(h(i, t) for t in (vocab[s1] | vocab[s2])) for i in range(_MH_K)
     ]
     assert union_sig == [min(x, y) for x, y in zip(sig[s1], sig[s2])]
+
+
+def test_dup_cluster_purity_matches_python_reference(spark, sf_dir):
+    from sparkstreaming_quickstart_spark.queries.wave32 import (
+        q352_dup_cluster_purity,
+    )
+
+    d = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    src = dict(zip(d["doc_id"], d["source"]))
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in _exact_dup_pairs(sf_dir):
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    clusters: dict[int, list[int]] = {}
+    for n in parent:
+        clusters.setdefault(find(n), []).append(n)
+    rows = {r["cluster_id"]: r for r in q352_dup_cluster_purity(spark, sf_dir).collect()}
+    assert set(rows) == {min(m) for m in clusters.values()}
+    for members in clusters.values():
+        counts: dict[str, int] = {}
+        for m in members:
+            counts[src[m]] = counts.get(src[m], 0) + 1
+        n = len(members)
+        purity = max(counts.values()) / n
+        ent = sum(-(c / n) * math.log(c / n) for c in counts.values())
+        r = rows[min(members)]
+        assert r["n_members"] == n
+        assert r["n_sources"] == len(counts)
+        assert r["purity"] == pytest.approx(round(purity, 6), abs=1e-9)
+        assert r["source_entropy"] == pytest.approx(round(ent, 6) + 0.0, abs=1e-9)
