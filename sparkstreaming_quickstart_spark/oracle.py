@@ -22,12 +22,22 @@ from .sources.catalog import TABLES
 
 def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
+    registered = 0
     for t in TABLES:
         # Tests point compare() at partial fixture dirs (e.g. a tmp_path with
         # only documents.parquet); register views only for tables present so
         # an oracle over the planted table still binds.
         if os.path.exists(os.path.join(sf_dir, f"{t}.parquet")):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+            registered += 1
+    if registered == 0:
+        # A mistyped or empty sf_dir must fail fast here, not as a confusing
+        # 'Table does not exist' deep inside the first oracle query.
+        con.close()
+        raise FileNotFoundError(
+            f"no known table parquet found in {sf_dir!r}: expected at least one "
+            f"of {[f'{t}.parquet' for t in TABLES]}"
+        )
     return con
 
 

@@ -138,23 +138,12 @@ def q295_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q296_pca_scree",
-    sql=None,  # iterative eigendecomposition: not SQL-expressible; rows-only
-    # driver check + the spectral property tests in test_wave18.py
-    # (eigenvalue sum == covariance trace, descending order, PSD, projection
-    # variance == eigenvalue) carry the correctness weight.
-    doc="PCA scree over the embedding corpus: eigenvalues of the covariance "
-    "matrix with per-component and cumulative variance-explained -- the "
-    "intrinsic-dimensionality report that decides how many PQ/IVF/whitening "
-    "components an embedding pipeline keeps.  Plan: the q295 one-scan "
-    "sufficient statistics, then numpy eigh on the collected 64x64 matrix "
-    "(bounded driver state, the q270/q293 scripting pattern -- the "
-    "decomposition cost is O(d^3), independent of corpus size).  Not "
-    "SQL-expressible (iterative eigensolver), so registered rows-only; "
-    "spectral invariants are pinned by property tests instead.",
-)
-def q296_pca_scree(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pca_scree_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full per-component PCA scree (eigenvalue, variance-explained,
+    cumulative) -- the user-facing report q296 summarizes.  Kept as a
+    library function because per-component eigenvalues are not
+    SQL-expressible; its correctness rides on the same eigh call q296's
+    value oracle moment-checks, plus the spectral property tests."""
     import numpy as np
 
     rows = q295_embedding_covariance(spark, sf_dir).collect()
@@ -177,6 +166,86 @@ def q296_pca_scree(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "component int, eigenvalue double, var_explained double, cum_var_explained double"
     ).orderBy("component")
+
+
+_SCREE_ORACLE = """
+    WITH dims AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings),
+    cells AS (
+        SELECT a.pos AS i, b.pos AS j,
+               ROUND((SUM(a.x * b.x) - SUM(a.x) * SUM(b.x) / COUNT(*))
+                     / (COUNT(*) - 1), 6) + 0.0 AS cov
+        FROM dims a JOIN dims b ON a.vec_id = b.vec_id AND a.pos <= b.pos
+        GROUP BY 1, 2),
+    full_m AS (
+        SELECT i, j, cov FROM cells
+        UNION ALL SELECT j, i, cov FROM cells WHERE i < j),
+    m2 AS (
+        SELECT COUNT(*) FILTER (WHERE i = j) AS d,
+               SUM(CASE WHEN i = j THEN cov ELSE 0 END) AS tr,
+               SUM(cov * cov) AS frob
+        FROM full_m),
+    m3 AS (
+        SELECT SUM(a.cov * b.cov * c.cov) AS m3
+        FROM full_m a JOIN full_m b ON a.j = b.i
+        JOIN full_m c ON b.j = c.i AND c.j = a.i)
+    SELECT CAST(d AS BIGINT) AS n_components,
+           ROUND(tr, 6) + 0.0 AS trace,
+           ROUND(frob, 6) + 0.0 AS frobenius_sq,
+           ROUND(m3, 9) + 0.0 AS spectral_moment3,
+           ROUND(tr * tr / NULLIF(frob, 0), 6) + 0.0 AS effective_rank
+    FROM m2, m3
+"""
+
+
+@register(
+    "q296_pca_scree",
+    sql=_SCREE_ORACLE,
+    doc="PCA spectrum summary with a full VALUE oracle (round-9 upgrade "
+    "from rows-only): the Spark side eigendecomposes the q295 covariance "
+    "(numpy eigh on the collected 64x64 matrix -- bounded driver state, "
+    "O(d^3) independent of corpus size) and reports the spectrum through "
+    "its first three moments computed FROM THE EIGENVALUES -- trace "
+    "= sum(lambda), frobenius_sq = sum(lambda^2), spectral_moment3 = "
+    "sum(lambda^3) -- plus the effective rank (sum l)^2 / sum l^2 "
+    "(participation ratio, the intrinsic-dimensionality scalar).  The "
+    "oracle computes the SAME invariants from the covariance matrix "
+    "itself without any eigensolver (trace(C), sum C_ij^2, trace(C^3) "
+    "via a three-way join over the d^2 cells), so a wrong spectrum "
+    "hash-mismatches: matching three moments pins the eigensolver "
+    "output, and the per-component scree (pca_scree_components) shares "
+    "the same eigh call.  Descending order / PSD / projection-variance "
+    "stay pinned by the test_wave18 property tests.  Plan: one corpus "
+    "scan (q295 sufficient statistics); everything after is d^2-sized.",
+)
+def q296_pca_scree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    rows = q295_embedding_covariance(spark, sf_dir).collect()
+    d = _DIMS
+    C = np.zeros((d, d))
+    for r in rows:
+        C[r["i"], r["j"]] = C[r["j"], r["i"]] = r["cov"]
+    lam = np.linalg.eigh(C)[0]
+    tr = float(lam.sum())
+    frob = float((lam * lam).sum())
+    m3 = float((lam * lam * lam).sum())
+    eff = round(tr * tr / frob, 6) + 0.0 if frob != 0 else None
+    return spark.createDataFrame(
+        [
+            (
+                d,
+                round(tr, 6) + 0.0,
+                round(frob, 6) + 0.0,
+                round(m3, 9) + 0.0,
+                eff,
+            )
+        ],
+        "n_components bigint, trace double, frobenius_sq double, "
+        "spectral_moment3 double, effective_rank double",
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -529,35 +598,59 @@ def q300_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WHITEN_EPS = 1e-6
 
 
+_WHITEN_ORACLE = """
+    WITH d AS (
+        SELECT MAX(len(CAST(embedding AS DOUBLE[]))) AS d FROM embeddings),
+    idx AS (
+        SELECT unnest(generate_series(0, d - 1)) AS i FROM d),
+    grid AS (
+        SELECT a.i, b.i AS j FROM idx a JOIN idx b ON a.i <= b.i)
+    SELECT i, j,
+           CASE WHEN i = j THEN 1.0 ELSE 0.0 END AS whitened_cov,
+           CASE WHEN i = j THEN 1.0 ELSE 0.0 END AS identity_target
+    FROM grid ORDER BY i, j
+"""
+
+
 @register(
     "q301_embedding_whitening",
-    sql=None,  # the transform matrix comes from a driver-side
-    # eigendecomposition of the data (not expressible as a static SQL
-    # string); rows-only driver check + test_wave18.py property tests
-    # (whitened covariance == identity within rounding, symmetry of the
-    # ZCA map) carry the correctness weight.
-    doc="ZCA whitening of the embedding corpus: W = V diag(1/sqrt(l+eps)) "
-    "V' from the q295 covariance spectrum, applied back to every vector, "
-    "verified by re-measuring the whitened covariance -- the decorrelation "
-    "step that makes cosine thresholds isotropic before SemDeDup-style "
-    "pruning (q186) and stabilizes PQ codebook training (q161).  Plan: two "
-    "corpus scans total -- scan 1 is the q295 one-scan sufficient "
-    "statistics (only d^2 partials move), the 64x64 eigh runs driver-side "
-    "(O(d^3), corpus-independent), and scan 2 applies the broadcast W "
-    "inside the same Arrow Gram kernel (numpy matmul per batch) to emit "
-    "the whitened upper triangle.  Output is d(d+1)/2 rows asserting the "
-    "contract: whitened covariance == identity.",
+    sql=_WHITEN_ORACLE,
+    doc="ZCA whitening of the embedding corpus with a full VALUE oracle "
+    "(round-9 upgrade from rows-only): W = V diag(1/sqrt(l)) V' from the "
+    "UNROUNDED covariance sufficient statistics (eigenvalues clipped at "
+    f"{_WHITEN_EPS} only as a degenerate-spectrum guard; the fixture "
+    "spectrum bottoms out ~7e-3, so the clip is inert and the whitening "
+    "is exact), applied back to every vector, verified by re-measuring "
+    "the whitened covariance -- the decorrelation step that makes cosine "
+    "thresholds isotropic before SemDeDup-style pruning (q186) and "
+    "stabilizes PQ codebook training (q161).  Because W inverts the "
+    "exact covariance, cov(XW') == I to float precision (~1e-12 "
+    "residual), so ROUND(,6) lands EXACTLY on the identity -- which a "
+    "static SQL oracle CAN state: the oracle emits the d x d upper-"
+    "triangle identity grid (d derived from the data).  Any eigh / "
+    "kernel / aggregation error >= 5e-7 in any cell hash-mismatches; "
+    "sub-rounding residuals stay pinned by the test_wave18 property "
+    "test at 1e-9.  Plan: two corpus scans total -- scan 1 is the q295 "
+    "one-scan sufficient statistics (only d^2 partials move), the 64x64 "
+    "eigh runs driver-side (O(d^3), corpus-independent), and scan 2 "
+    "applies the broadcast W inside the same Arrow Gram kernel (numpy "
+    "matmul per batch) to emit the whitened upper triangle.",
 )
 def q301_embedding_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    rows = q295_embedding_covariance(spark, sf_dir).collect()
+    # UNROUNDED sufficient statistics: W must invert the true covariance,
+    # not the display-rounded q295 output -- whitening against the rounded
+    # matrix leaves a W*(C_true - C_rounded)*W' residual up to ~7e-4 that
+    # would straddle any output rounding (round-9 redesign note).
+    stats = covariance_stats(spark, sf_dir).collect()
     C = np.zeros((_DIMS, _DIMS))
-    for r in rows:
-        C[r["i"], r["j"]] = C[r["j"], r["i"]] = r["cov"]
+    for r in stats:
+        c = (r["sxy"] - r["si"] * r["sj"] / r["n"]) / (r["n"] - 1)
+        C[r["i"], r["j"]] = C[r["j"], r["i"]] = c
     lam, V = np.linalg.eigh(C)
-    W = V @ np.diag(1.0 / np.sqrt(np.maximum(lam, 0.0) + _WHITEN_EPS)) @ V.T
+    W = V @ np.diag(1.0 / np.sqrt(np.maximum(lam, _WHITEN_EPS))) @ V.T
 
     e = load_table(spark, sf_dir, "embeddings").select(
         F.col("embedding").cast("array<double>").alias("x")
@@ -603,7 +696,7 @@ def q301_embedding_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "i",
             "j",
-            (F.round(cov, 4) + F.lit(0.0)).alias("whitened_cov"),
+            (F.round(cov, 6) + F.lit(0.0)).alias("whitened_cov"),
             F.when(F.col("i") == F.col("j"), 1.0).otherwise(0.0).alias("identity_target"),
         )
         .orderBy("i", "j")

@@ -226,10 +226,18 @@ _V_BAND = 50.0  # fixed-width value bands: 0-50, 50-100, 100-150, 150+
 @register(
     "q324_cramers_v",
     sql=f"""
-    WITH obs AS (
+    WITH obs0 AS (
         SELECT event_type, LEAST(CAST(floor(value / {_V_BAND}) AS BIGINT), 3) AS band,
                COUNT(*) AS o
         FROM events GROUP BY 1, 2),
+    obs AS (
+        -- Full grid: an empty (type, band) cell still contributes
+        -- (0-E)^2/E to chi2; without it V is underestimated whenever a
+        -- cell is empty (round-9 advice fix).
+        SELECT t.event_type, b.band, COALESCE(o.o, 0) AS o
+        FROM (SELECT DISTINCT event_type FROM obs0) t
+        CROSS JOIN (SELECT DISTINCT band FROM obs0) b
+        LEFT JOIN obs0 o ON o.event_type = t.event_type AND o.band = b.band),
     margins AS (
         SELECT event_type, band, o,
                SUM(o) OVER (PARTITION BY event_type) AS rt,
@@ -255,14 +263,16 @@ _V_BAND = 50.0  # fixed-width value bands: 0-50, 50-100, 100-150, 150+
     "association', comparable across tables of different size).  Bands "
     "are exact integer arithmetic (floor of a double division -- "
     "bit-identical across engines), the contingency table is exact "
-    "counts, and chi2/V are the only floats, rounded at 6.  Plan: one "
-    "hash-agg to the (types x bands) cell table (bounded at tens of "
-    "rows), window margins over that tiny frame, single-row combine -- "
-    "one corpus scan regardless of scale.",
+    "counts densified to the FULL types x bands grid (an empty cell "
+    "still contributes (0-E)^2/E), and chi2/V are the only floats, "
+    "rounded at 6.  Plan: one hash-agg to the (types x bands) cell "
+    "table (bounded at tens of rows), a broadcast grid densify plus "
+    "window margins over that tiny frame, single-row combine -- one "
+    "corpus scan regardless of scale.",
 )
 def q324_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
-    obs = (
+    obs0 = (
         e.select(
             "event_type",
             F.least(F.floor(F.col("value") / _V_BAND).cast("bigint"), F.lit(3)).alias(
@@ -271,6 +281,17 @@ def q324_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("event_type", "band")
         .agg(F.count("*").alias("o"))
+    ).localCheckpoint(eager=True)  # feeds grid + left join (README rule 9)
+    # Densify to the full grid so empty cells contribute (0-E)^2/E.  Both
+    # distinct frames are bounded (types x 4 bands = tens of rows), so the
+    # grid is a broadcast nested-loop over tiny inputs, never corpus-sized.
+    grid = (
+        obs0.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(obs0.select("band").distinct()))
+    )
+    obs = grid.join(obs0, ["event_type", "band"], "left").select(
+        "event_type", "band", F.coalesce(F.col("o"), F.lit(0)).alias("o")
     )
     m = obs.select(
         "event_type",
@@ -652,7 +673,11 @@ _KNN_K = 5
     "histogram (0..k), the one-screen summary of how clustered the "
     "embedding space is.  Neighbor ranking uses ROUND(cos, 9) with a "
     "vec_id tie-break (rank-before-round discipline) so top-k sets are "
-    "engine-exact; zero-norm vectors are excluded.  Plan: the Spark side "
+    "engine-exact; zero-norm vectors are excluded.  The kernel computes "
+    "cosine as dot/(na*nb) on raw vectors -- the oracle's float "
+    "association order -- so only the dot-reduce order itself can differ "
+    "(matmul vs list_dot_product; accepted boundary risk, the q350 float-"
+    "note class).  Plan: the Spark side "
     "is one Arrow mapInPandas kernel computing each partition's rows "
     "against the broadcast (n x d) matrix in a single numpy matmul -- "
     "the q186/q54 dense-block pattern; the matrix broadcast is the "
@@ -679,18 +704,21 @@ def q329_mutual_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids, mat, nrm = ids[keep], mat[keep], nrm[keep]
     order = np.argsort(ids)
     ids, mat, nrm = ids[order], mat[order], nrm[order]
-    matn = mat / nrm[:, None]
-    bc = spark.sparkContext.broadcast((ids, matn))
+    bc = spark.sparkContext.broadcast((ids, mat, nrm))
 
     def knn_batches(it):
-        b_ids, b_mat = bc.value
+        # cosine = dot / (na * nb) on RAW vectors -- the same float
+        # association order as the DuckDB oracle, so a cosine near a 1e-9
+        # rounding boundary cannot straddle it between engines (round-9
+        # advice fix; the old spelling normalized q BEFORE the matmul).
+        b_ids, b_mat, b_nrm = bc.value
         for pdf in it:
             sub = pdf[np.isin(pdf["vec_id"].to_numpy(), b_ids)]
             if len(sub) == 0:
                 continue
             q = np.stack(sub["v"].to_numpy()).astype(np.float64)
             qn = np.sqrt((q * q).sum(axis=1))[:, None]
-            sims = np.round((q / qn) @ b_mat.T, 9)
+            sims = np.round((q @ b_mat.T) / (qn * b_nrm[None, :]), 9)
             out_i, out_j = [], []
             for row, qid in zip(sims, sub["vec_id"].to_numpy()):
                 self_mask = b_ids == qid

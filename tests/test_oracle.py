@@ -114,3 +114,25 @@ def test_compare_float_normalization_catches_real_drift(spark, sf_dir):
         spark, sf_dir, _const_query(("v", [0.3000001])), "SELECT 0.3 AS v"
     )
     assert not bad["ok"]
+
+
+def test_duckdb_connection_fails_fast_on_empty_dir(tmp_path):
+    """A mistyped or empty sf_dir must raise at connect time, not as a
+    confusing 'Table does not exist' inside the first oracle query
+    (round-9 advice fix).  Partial fixture dirs (>=1 known table) still
+    bind leniently."""
+    import pytest as _pytest
+
+    from sparkstreaming_quickstart_spark.oracle import duckdb_connection
+
+    with _pytest.raises(FileNotFoundError, match="no known table parquet"):
+        duckdb_connection(str(tmp_path))
+    # partial dir with one real table still connects
+    import pandas as _pd
+
+    _pd.DataFrame({"doc_id": [1], "text": ["x"]}).to_parquet(
+        tmp_path / "documents.parquet"
+    )
+    con = duckdb_connection(str(tmp_path))
+    assert con.execute("SELECT COUNT(*) FROM documents").fetchone()[0] == 1
+    con.close()

@@ -80,11 +80,12 @@ def test_gram_kernel_partials_are_partition_invariant(spark, tmp_path_factory):
 
 def test_pca_scree_spectral_invariants(spark, sf_dir):
     from sparkstreaming_quickstart_spark.queries.wave18 import (
+        pca_scree_components,
         q295_embedding_covariance,
         q296_pca_scree,
     )
 
-    scree = q296_pca_scree(spark, sf_dir).collect()
+    scree = pca_scree_components(spark, sf_dir).collect()
     assert [r["component"] for r in scree] == list(range(64))
     evs = [r["eigenvalue"] for r in scree]
     # descending and PSD (to rounding)
@@ -101,17 +102,31 @@ def test_pca_scree_spectral_invariants(spark, sf_dir):
     assert abs(scree[-1]["cum_var_explained"] - 1.0) <= 1e-6
     cums = [r["cum_var_explained"] for r in scree]
     assert cums == sorted(cums)
+    # the q296 moment summary must be consistent with the per-component
+    # eigenvalues it summarizes (same eigh call, two views)
+    s = q296_pca_scree(spark, sf_dir).collect()[0]
+    assert s["n_components"] == 64
+    assert abs(s["trace"] - sum(evs)) <= 1e-3
+    assert abs(s["frobenius_sq"] - sum(e * e for e in evs)) <= 1e-4
+    assert abs(s["spectral_moment3"] - sum(e**3 for e in evs)) <= 1e-6
+    assert abs(s["effective_rank"] - sum(evs) ** 2 / sum(e * e for e in evs)) <= 1e-2
 
 
 def test_pca_scree_recovers_planted_direction(spark, tmp_path_factory):
-    from sparkstreaming_quickstart_spark.queries.wave18 import q296_pca_scree
+    from sparkstreaming_quickstart_spark.queries.wave18 import (
+        pca_scree_components,
+        q296_pca_scree,
+    )
 
     sf, X = _planted_corpus(tmp_path_factory)
-    scree = q296_pca_scree(spark, sf).collect()
+    scree = pca_scree_components(spark, sf).collect()
     # one planted high-variance axis: the top component must dominate
     assert scree[0]["var_explained"] > 0.99
     lam0 = float(np.linalg.eigvalsh(np.cov(X.astype(np.float64).T))[-1])
     assert abs(scree[0]["eigenvalue"] - lam0) <= 1e-3
+    # ... and the q296 summary sees it: effective rank collapses toward 1
+    s = q296_pca_scree(spark, sf).collect()[0]
+    assert s["effective_rank"] < 1.1
 
 
 # ---------------------------------------------------------------------------
@@ -257,6 +272,10 @@ def test_hard_negatives_are_same_bucket_non_topk(spark, tmp_path_factory):
 
 
 def test_whitening_produces_identity_covariance(spark, sf_dir):
+    """Round-9 exact contract: W inverts the UNROUNDED covariance, so the
+    re-measured whitened covariance is identity to float precision and the
+    round-6 output is EXACTLY 1.0/0.0 -- the same statement the SQL oracle
+    makes.  A numpy replay pins the sub-rounding residual at 1e-9."""
     from sparkstreaming_quickstart_spark.queries.wave18 import q301_embedding_whitening
 
     rows = q301_embedding_whitening(spark, sf_dir).collect()
@@ -264,4 +283,15 @@ def test_whitening_produces_identity_covariance(spark, sf_dir):
     for r in rows:
         target = 1.0 if r["i"] == r["j"] else 0.0
         assert r["identity_target"] == target
-        assert abs(r["whitened_cov"] - target) <= 0.02, (r["i"], r["j"])
+        assert r["whitened_cov"] == target, (r["i"], r["j"])
+    # independent numpy replay of the whole pipeline: residual << rounding
+    import pandas as pd
+
+    X = np.stack(
+        pd.read_parquet(f"{sf_dir}/embeddings.parquet")["embedding"].to_numpy()
+    ).astype(np.float64)
+    C = np.cov(X.T, bias=False)
+    lam, V = np.linalg.eigh(C)
+    W = V @ np.diag(1.0 / np.sqrt(np.maximum(lam, 1e-6))) @ V.T
+    R = np.cov((X @ W.T).T, bias=False) - np.eye(64)
+    assert np.abs(R).max() <= 1e-9

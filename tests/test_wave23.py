@@ -271,8 +271,9 @@ def test_mutual_knn_matches_bruteforce(spark, sf_dir):
     nrm = np.sqrt((mat * mat).sum(axis=1))
     keep = nrm > 0
     ids, mat, nrm = ids[keep], mat[keep], nrm[keep]
-    matn = mat / nrm[:, None]
-    sims = np.round(matn @ matn.T, 9)
+    # dot/(na*nb) on raw vectors -- the oracle's association order, which
+    # the Spark kernel now matches (round-9 advice fix)
+    sims = np.round((mat @ mat.T) / (nrm[:, None] * nrm[None, :]), 9)
     knn: dict[int, set[int]] = {}
     for a, qid in enumerate(ids):
         ranked = sorted(

@@ -217,3 +217,54 @@ def test_mutual_knn_spelling_equals_bruteforce(vecs, k):
         md = sum(1 for j in nb if i in knn[j])
         hist[md] = hist.get(md, 0) + 1
     assert got == hist
+
+
+# ---------------------------------------------------------------------------
+# q324: Cramer's V full-grid densify (empty cells still contribute (0-E)^2/E)
+# ---------------------------------------------------------------------------
+
+
+def _cramers_sql() -> str:
+    from sparkstreaming_quickstart_spark.queries import all_queries
+
+    return all_queries()["q324_cramers_v"].sql
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 3)), min_size=4, max_size=40
+    ).filter(
+        lambda rs: len({t for t, _ in rs}) >= 2 and len({b for _, b in rs}) >= 2
+    )
+)
+def test_cramers_v_spelling_counts_empty_cells(rows):
+    """The registered q324 SQL must match the numpy crosstab chi2 (which
+    densifies to the FULL types x bands grid) even when some (type, band)
+    cell has ZERO observations — the round-8 spelling dropped those cells'
+    (0-E)^2/E contributions (round-9 advice fix).  Values land mid-band
+    (band*50+25) so floor(value/50) is exact."""
+    import numpy as np
+    import pandas as pd
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE events (event_type VARCHAR, value DOUBLE)")
+    con.executemany(
+        "INSERT INTO events VALUES (?, ?)",
+        [(f"t{t}", b * 50.0 + 25.0) for t, b in rows],
+    )
+    got = con.execute(_cramers_sql()).fetchone()
+    con.close()
+    ct = pd.crosstab(
+        pd.Series([t for t, _ in rows]), pd.Series([b for _, b in rows])
+    )
+    o = ct.to_numpy().astype(np.float64)
+    exp = np.outer(o.sum(axis=1), o.sum(axis=0)) / o.sum()
+    chi2 = (((o - exp) ** 2) / exp).sum()
+    n = int(o.sum())
+    v = math.sqrt(chi2 / (n * min(o.shape[0] - 1, o.shape[1] - 1)))
+    assert got[0] == n
+    assert got[1] == o.shape[0]
+    assert got[2] == o.shape[1]
+    assert abs(got[3] - round(chi2, 6)) <= 2e-6
+    assert abs(got[4] - round(v, 6)) <= 2e-6
