@@ -121,9 +121,17 @@ def q282_distribution_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("int"),
         ).alias("bin"),
     )
-    act = b.groupBy("source", "bin").agg(F.count("*").alias("a"))
+    # README rule 9 (round-9 fix): act is the shared aggregate -- st, tgt
+    # and tn are all PARTIAL re-aggregations of the (source, bin) cell
+    # counts, so derive them from the checkpointed cells instead of
+    # re-scanning documents per consumer (audit showed 8 scans before).
+    act = (
+        b.groupBy("source", "bin")
+        .agg(F.count("*").alias("a"))
+        .localCheckpoint(eager=True)
+    )
     st = act.groupBy("source").agg(F.sum("a").alias("ns"))
-    tgt = b.groupBy("bin").agg(F.count("*").alias("t"))
+    tgt = act.groupBy("bin").agg(F.sum("a").alias("t"))
     tn = tgt.agg(F.sum("t").alias("nt"))
     return (
         act.join(F.broadcast(st), "source")

@@ -229,6 +229,10 @@ def q287_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
         ).alias("cvec")
     )
+    # README rule 9 (round-9 fix): cent_arr feeds dist, ci AND cj -- without
+    # materialization each broadcast build re-runs the posexplode corpus
+    # scan (audit showed 8 scans / 24 exchanges).  Label-count-sized frame.
+    cent_arr = cent_arr.localCheckpoint(eager=True)
     d2 = F.aggregate(
         F.zip_with("x", "cvec", lambda a, b: (a - b) * (a - b)),
         F.lit(0.0),
@@ -247,7 +251,7 @@ def q287_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("b") - F.col("a")) / F.greatest(F.col("a"), F.col("b"))
         ).alias("sil"),
         F.avg("a").alias("scatter"),
-    )
+    ).localCheckpoint(eager=True)  # rule 9: feeds si, sj and the final join
     ci = cent_arr.select(F.col("clabel").alias("li"), F.col("cvec").alias("vi"))
     cj = cent_arr.select(F.col("clabel").alias("lj"), F.col("cvec").alias("vj"))
     cd2 = F.aggregate(

@@ -356,6 +356,10 @@ def q230_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_cust = o.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
     )
+    # README rule 9: per_cust feeds rng, tot AND bucketed -- materialize the
+    # shared aggregate once or the plan re-scans orders per consumer (the
+    # audit showed 15 scans / 52 exchanges before this round-9 fix).
+    per_cust = per_cust.localCheckpoint(eager=True)
     # Two-phase global rank (the q193 width_bucket pattern): bucket by rev
     # value, per-bucket row_number partitioned by bucket, plus broadcast
     # bucket-count offsets -- the customer frame never funnels through one
@@ -411,6 +415,7 @@ def q230_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.ceil(F.col("i") * 10.0 / F.col("n")).cast("int").alias("decile")
         )
         .agg(F.sum("rev").alias("decile_rev"))
+        .localCheckpoint(eager=True)  # 10-row frame, read by total_rev + output
     )
     total_rev = lorenz.agg(F.sum("decile_rev").alias("tr"))
     return (
@@ -628,7 +633,15 @@ def q233_dedup_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import minhash_lsh_pairs
     from .wave7 import containment_pairs
 
-    d = load_table(spark, sf_dir, "documents")
+    # README rule 9 (round-9 fix): the (doc_id, text) projection feeds FOUR
+    # consumers (exact stage, LSH stage, containment stage, report base);
+    # checkpoint it once instead of re-scanning documents per stage (the
+    # q306 between-stage discipline; audit showed 9 scans / 18 exchanges).
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .localCheckpoint(eager=True)
+    )
     w = Window.partitionBy(F.md5("text"))
     e_dropped = (
         d.select("doc_id", F.min("doc_id").over(w).alias("keeper"))
@@ -641,7 +654,7 @@ def q233_dedup_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("d1").alias("nd_keeper"))
     )
     ct = (
-        containment_pairs(d.select("doc_id", "text"), 0.8)
+        containment_pairs(d, 0.8)
         .groupBy(F.col("id2").alias("doc_id"))
         .agg(F.min("id1").alias("ct_keeper"))
     )

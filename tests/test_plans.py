@@ -701,3 +701,29 @@ def test_subsample_ci_single_scan(spark, sf_dir):
 
     simple = explain_str(q328_subsample_ci(spark, sf_dir), "simple")
     assert simple.count("Scan parquet") == 1, simple
+
+
+def test_rule9_multiconsumer_queries_materialize_shared_subtrees(spark, sf_dir):
+    """Round-9 rule-9 fix pin: q230/q282/q287/q233 each had a shared
+    aggregate subtree feeding 3+ consumers that re-ran the corpus scan per
+    consumer (audit: 15/8/8/9 scans).  After eager materialization the
+    final plan must read the checkpointed frame -- at most ONE residual
+    parquet scan anywhere (zero for the fully staged ones)."""
+    from sparkstreaming_quickstart_spark.queries.wave9 import (
+        q230_gini_concentration,
+        q233_dedup_provenance,
+    )
+    from sparkstreaming_quickstart_spark.queries.wave16 import (
+        q282_distribution_reweight,
+    )
+    from sparkstreaming_quickstart_spark.queries.wave17 import q287_cluster_quality
+
+    for fn, max_scans in [
+        (q230_gini_concentration, 0),
+        (q282_distribution_reweight, 1),
+        (q287_cluster_quality, 0),
+        (q233_dedup_provenance, 0),
+    ]:
+        simple = explain_str(fn(spark, sf_dir), "simple")
+        n = simple.count("Scan parquet")
+        assert n <= max_scans, (fn.__name__, n, simple[:2000])
