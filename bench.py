@@ -80,6 +80,39 @@ HEADLINE = [
 # Queries whose result is per-input-row sized: drain via noop sink.
 ROW_PRESERVING = {"q60_multimodal_meta"}
 
+# How many of the slowest sweep entries to time as single-pass sentinels.
+N_SENTINELS = 5
+
+
+def _sentinels_from_sweep(n: int = N_SENTINELS) -> list[str]:
+    """Auto-include the top-n slowest entries of the latest committed sf0.1
+    sweep log as single-pass bench sentinels (round-8 verdict: the registry's
+    slowest members -- the ground-truth parity twins like q178/q114 and the
+    fixture-degenerate q222 -- were invisible to round-over-round BENCH
+    deltas; regressions there only surfaced in the sweep log).  They run
+    ONCE each, after the interleaved headline passes: min-of-N interleaving
+    at their cost (~1 min apiece) would triple the bench wall time for
+    queries that are deliberately NOT the scale path.  Per-query time uses
+    the MIN across a log's repeated runs (steady state), and entries
+    already in HEADLINE are skipped."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    logs = sorted(glob.glob(os.path.join(here, "tools", "oracle_sf0.1_round*.log")))
+    if not logs:
+        return []
+    pat = re.compile(r"^\s*(q\w+)\s+OK rows=\d+ \(([\d.]+)s\)")
+    best: dict[str, float] = {}
+    with open(logs[-1]) as fh:
+        for line in fh:
+            m = pat.match(line)
+            if m:
+                name, t = m.group(1), float(m.group(2))
+                best[name] = min(best.get(name, float("inf")), t)
+    ranked = sorted(best.items(), key=lambda kv: (-kv[1], kv[0]))
+    return [name for name, _ in ranked if name not in HEADLINE][:n]
+
 
 
 def _steal_jiffies() -> int | None:
@@ -158,7 +191,22 @@ def main() -> None:
         if steal_ok and passes >= 2 and pass_total <= 1.2 * best_pass_total:
             clean += 1
     timings = {k: round(v, 3) for k, v in timings.items()}
+    # "value" stays the HEADLINE total (comparable across rounds); sentinel
+    # timings are reported per-query but kept out of the total so their
+    # single-pass noise cannot swamp the headline metric.
     total = round(sum(timings.values()), 3)
+    sentinels = _sentinels_from_sweep()
+    for name in sentinels:
+        q = registry.get(name)
+        if q is None:
+            continue
+        t0 = time.time()
+        df = q.fn(spark, sf_dir)
+        if name in ROW_PRESERVING:
+            df.write.format("noop").mode("overwrite").save()
+        else:
+            df.collect()
+        timings[name] = round(time.time() - t0, 3)
     print(
         json.dumps(
             {
@@ -169,6 +217,7 @@ def main() -> None:
                 "sf": sf,
                 "passes": passes,
                 "clean_passes": clean,
+                "sentinels": sentinels,
             }
         )
     )

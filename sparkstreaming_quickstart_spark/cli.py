@@ -16,6 +16,7 @@ defaults instead of NPE-ing (Processor.java:77).
 from __future__ import annotations
 
 import argparse
+import sys
 
 from pyspark.sql import functions as F
 
@@ -58,7 +59,8 @@ def main(argv: list[str] | None = None) -> int:
         from .queries import all_queries
 
         for name, q in all_queries().items():
-            print(f"{name}\t{(q.doc or '').strip().splitlines()[0] if q.doc else ''}")
+            tag = " [ground-truth]" if q.scale_class == "ground-truth" else ""
+            print(f"{name}{tag}\t{(q.doc or '').strip().splitlines()[0] if q.doc else ''}")
         return 0
     spark = get_spark(args.name)
     if args.query:
@@ -67,6 +69,14 @@ def main(argv: list[str] | None = None) -> int:
         registry = all_queries()
         if args.query not in registry:
             raise SystemExit(f"unknown query {args.query!r}; see --list-queries")
+        if registry[args.query].scale_class == "ground-truth":
+            print(
+                f"WARNING: {args.query} is a ground-truth/all-pairs parity query "
+                "kept for oracle and recall evaluation; it does not scale to "
+                "production data sizes. Use its bucketed sibling for real runs "
+                "(see the query doc / COVERAGE.md).",
+                file=sys.stderr,
+            )
         df = registry[args.query].fn(spark, args.sf_dir)
         if args.explain:
             df.explain("formatted")

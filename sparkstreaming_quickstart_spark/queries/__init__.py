@@ -23,16 +23,29 @@ class Query:
     fn: Callable[[SparkSession, str], DataFrame]
     sql: str | None  # DuckDB oracle; None -> rows-only check
     doc: str = ""
+    # "scale" = safe at 100 TB (the default contract); "ground-truth" = a
+    # deliberately registered exact/all-pairs twin of a bucketed scale path,
+    # kept for oracle parity and recall evaluation -- NOT for production
+    # runs (the CLI warns, --list-queries marks it).
+    scale_class: str = "scale"
 
 
 _REGISTRY: dict[str, Query] = {}
 
 
-def register(name: str, sql: str | None = None, doc: str = ""):
+def register(
+    name: str, sql: str | None = None, doc: str = "", scale_class: str = "scale"
+):
     """Decorator: register a query builder under `name`."""
 
     def wrap(fn: Callable[[SparkSession, str], DataFrame]):
-        _REGISTRY[name] = Query(name=name, fn=fn, sql=sql, doc=doc or (fn.__doc__ or ""))
+        _REGISTRY[name] = Query(
+            name=name,
+            fn=fn,
+            sql=sql,
+            doc=doc or (fn.__doc__ or ""),
+            scale_class=scale_class,
+        )
         return fn
 
     return wrap

@@ -68,7 +68,9 @@ def q50_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q51_dedup_jaccard_exact",
     sql=_JACCARD_ORACLE,
-    doc="Exact 3-word-shingle Jaccard near-dup pairs (inverted-index join).",
+    doc="Exact 3-word-shingle Jaccard near-dup pairs (inverted-index join).  "
+    "Ground-truth twin of q52's MinHash-LSH scale path.",
+    scale_class="ground-truth",
 )
 def q51_dedup_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -187,6 +189,7 @@ def q65_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Exact all-pairs embedding-cosine near-dup (prefilter_bits=0): the "
     "O(n^2) ground-truth twin of q65's LSH-bucketed scale path -- kept as a "
     "registered oracle query, not the form a user would run at 100 TB.",
+    scale_class="ground-truth",
 )
 def q114_dedup_embedding_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
@@ -210,7 +213,10 @@ def q114_dedup_embedding_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY query_id, rank
     """,
     doc="Exact top-5 cosine neighbors for every 50th vector (broadcast "
-    "brute-force baseline; see q55 for the ANN scale path).",
+    "brute-force baseline; see q55 for the ANN scale path).  The per-query "
+    "scan is sample x corpus -- the documented ANN ground truth, not the "
+    "production path.",
+    scale_class="ground-truth",
 )
 def q54_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")

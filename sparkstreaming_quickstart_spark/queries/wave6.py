@@ -324,7 +324,11 @@ _EUCLID_T = 1.2  # exact output threshold; candidate gate is 1.25x wider
     "unit vectors the angular/random-hyperplane family (q55/q65) is the "
     "right prefilter, and BRP-LSH earns its keep on magnitude-carrying "
     "vectors.  The plan shape is still the scale shape: candidates from "
-    "hash-bucket equi-joins, never the n^2 pair space.",
+    "hash-bucket equi-joins, never the n^2 pair space -- but on THIS "
+    "corpus the non-pruning buckets make it effectively all-pairs "
+    "(SCALING.md: keep for drop-in MLlib compatibility only; q55/q65 are "
+    "the production paths).",
+    scale_class="ground-truth",
 )
 def q178_brp_lsh_euclidean(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import BucketedRandomProjectionLSH

@@ -167,3 +167,64 @@ def test_observation_metrics_single_pass(spark, sf_dir):
     assert stats["rows_seen"] == load_table(spark, sf_dir, "lineitem").count()
     assert kept < stats["rows_seen"]
     assert stats["qty_total"] is not None
+
+
+def test_ground_truth_tags_and_cli_surfacing(sf_dir):
+    """Round-9 scale-class fence: the four all-pairs/parity entries carry
+    scale_class='ground-truth', --list-queries marks them, and --query
+    warns before running one.  No untagged registry entry may have a
+    cartesian product in the committed plan audit."""
+    import json
+
+    from sparkstreaming_quickstart_spark.queries import all_queries
+
+    qs = all_queries()
+    tagged = {n for n, q in qs.items() if q.scale_class == "ground-truth"}
+    assert tagged == {
+        "q51_dedup_jaccard_exact",
+        "q54_similarity_topk",
+        "q114_dedup_embedding_exact",
+        "q178_brp_lsh_euclidean",
+    }
+    assert {q.scale_class for q in qs.values()} <= {"scale", "ground-truth"}
+    with open("/root/repo/tools/plan_audit.json") as fh:
+        audit = json.load(fh)
+    for name, m in audit.items():
+        if m.get("cartesian_products", 0) > 0:
+            assert name in tagged, f"{name} has a cartesian product but no tag"
+    # --list-queries marks the tagged entries
+    out = subprocess.run(
+        [sys.executable, "-m", "sparkstreaming_quickstart_spark", "--list-queries"],
+        cwd="/root/repo",
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    listed = {
+        line.split("\t")[0].removesuffix(" [ground-truth]")
+        for line in out.stdout.splitlines()
+        if " [ground-truth]\t" in line
+    }
+    assert listed == tagged
+    # --query on a tagged entry warns on stderr but still runs
+    out = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "sparkstreaming_quickstart_spark",
+            "--query",
+            "q114_dedup_embedding_exact",
+            "--sf-dir",
+            sf_dir,
+            "--limit",
+            "3",
+        ],
+        cwd="/root/repo",
+        env={**os.environ, "SPARK_GRAFT_CPUS": "4"},
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "ground-truth/all-pairs parity query" in out.stderr

@@ -37,7 +37,7 @@ def test_every_registered_query_is_documented():
 # advisor note).
 _README_COUNT_ANCHORS = [
     r"the oracle-checked registry \(driver contract\): (\d+) queries",
-    r"- (\d+) registered queries, all but two carrying a DuckDB oracle",
+    r"- (\d+) registered queries, every one carrying a DuckDB oracle",
 ]
 
 

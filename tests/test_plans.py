@@ -727,3 +727,20 @@ def test_rule9_multiconsumer_queries_materialize_shared_subtrees(spark, sf_dir):
         simple = explain_str(fn(spark, sf_dir), "simple")
         n = simple.count("Scan parquet")
         assert n <= max_scans, (fn.__name__, n, simple[:2000])
+
+
+def test_bench_sentinels_derived_from_latest_sweep():
+    """Round-9: bench.py auto-times the top-5 slowest committed-sweep
+    entries as single-pass sentinels so q178/q114/q222-class regressions
+    show in BENCH_rN deltas, not only in the sweep log.  The derivation
+    must yield 5 registered, non-headline queries and include the known
+    slow parity twins."""
+    from bench import HEADLINE, _sentinels_from_sweep
+    from sparkstreaming_quickstart_spark.queries import all_queries
+
+    s = _sentinels_from_sweep()
+    assert len(s) == 5
+    registry = all_queries()
+    assert all(name in registry for name in s)
+    assert not set(s) & set(HEADLINE)
+    assert {"q178_brp_lsh_euclidean", "q114_dedup_embedding_exact"} <= set(s)
