@@ -144,6 +144,9 @@ def kafka_stream(
     confluent_wire_format: bool = True,
     schema_id_map: dict[int, str] | None = None,
     reader_schema=None,
+    registry_url: str | None = None,
+    registry_schema_ids: list[int] | None = None,
+    registry_http_get=None,
 ) -> DataFrame:
     """Kafka source with (Confluent-)Avro value decode.
 
@@ -160,7 +163,24 @@ def kafka_stream(
         registry behavior (Processor.java:128-130), with the id->schema map
         resolved once at query build (SURVEY.md 1.2).  Pure-Python
         Arrow-batched decode (streaming/avro_wire.py); no extra jar.
+
+    Instead of a pre-dumped `schema_id_map`, pass `registry_url` (+
+    `registry_schema_ids`, and `reader_schema` as above) to resolve the
+    map from a live Confluent Schema Registry at query build --
+    driver-side, stdlib HTTP, transport injectable via
+    `registry_http_get` (streaming/schema_registry.py; the reference's
+    schema.registry.url behavior, Processor.java:128-130).
     """
+    if schema_id_map is None and registry_url is not None:
+        if not registry_schema_ids:
+            raise ValueError("registry_url requires registry_schema_ids")
+        from .schema_registry import _stdlib_http_get, fetch_schema_map
+
+        schema_id_map = fetch_schema_map(
+            registry_url,
+            registry_schema_ids,
+            registry_http_get or _stdlib_http_get,
+        )
     df = (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)

@@ -183,3 +183,68 @@ def test_from_avro_gate_gives_actionable_error(spark):
             pytest.skip("spark-avro connector present; gate not exercised")
     except ImportError:
         pytest.skip("pyspark avro wrapper missing entirely")
+
+
+def test_schema_registry_fetcher_resolves_ids_end_to_end(spark):
+    """Round-9 A2 closure: an injectable registry fetcher resolves TWO
+    schema ids over the REST contract (GET /schemas/ids/{id}) and the
+    resolved map drives decode_confluent_avro end-to-end -- the
+    reference's schema.registry.url behavior (Processor.java:128-130)
+    minus only the live socket, which the injected transport replaces."""
+    import json as _json
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from sparkstreaming_quickstart_spark.streaming.avro_wire import (
+        decode_confluent_avro,
+        wire_encode,
+    )
+    from sparkstreaming_quickstart_spark.streaming.schema_registry import (
+        fetch_latest_schema,
+        fetch_schema_map,
+    )
+
+    v1 = {"type": "record", "name": "user", "fields": [
+        {"name": "name", "type": "string"}, {"name": "age", "type": "long"}]}
+    v2 = {"type": "record", "name": "user", "fields": [
+        {"name": "name", "type": "string"}, {"name": "age", "type": "long"},
+        {"name": "email", "type": ["null", "string"]}]}
+    served = {
+        "http://registry:8081/schemas/ids/7": {"schema": _json.dumps(v1)},
+        "http://registry:8081/schemas/ids/9": {"schema": _json.dumps(v2)},
+        "http://registry:8081/subjects/users-value/versions/latest": {
+            "subject": "users-value", "version": 2, "id": 9,
+            "schema": _json.dumps(v2),
+        },
+    }
+    calls: list[str] = []
+
+    def fake_http_get(url: str) -> str:
+        calls.append(url)
+        return _json.dumps(served[url])
+
+    smap = fetch_schema_map("http://registry:8081/", [9, 7, 9], fake_http_get)
+    assert set(smap) == {7, 9}
+    # duplicate id resolved once; trailing slash normalized
+    assert calls == [
+        "http://registry:8081/schemas/ids/7",
+        "http://registry:8081/schemas/ids/9",
+    ]
+    sid, latest = fetch_latest_schema(
+        "http://registry:8081", "users-value", fake_http_get
+    )
+    assert sid == 9 and _json.loads(latest) == v2
+
+    msgs = [
+        (1, wire_encode(7, {"name": "ada", "age": 36}, v1)),
+        (2, wire_encode(9, {"name": "grace", "age": 45, "email": "g@x.io"}, v2)),
+    ]
+    df = spark.createDataFrame(msgs, "k long, value binary")
+    reader = StructType([
+        StructField("name", StringType()),
+        StructField("age", LongType()),
+        StructField("email", StringType()),
+    ])
+    out = {r.k: r for r in decode_confluent_avro(df, reader, smap).collect()}
+    assert (out[1].name, out[1].age, out[1].email, out[1].schema_id) == ("ada", 36, None, 7)
+    assert (out[2].name, out[2].age, out[2].email, out[2].schema_id) == ("grace", 45, "g@x.io", 9)
