@@ -78,17 +78,38 @@ _LOADED = False
 # guards this: with fewer than 50 unchecked entries remaining, the head must
 # be exactly that set.
 _PRIORITY: list[str] = [
-    # Round-8 head: ALL 27 never-driver-checked wave-23..29 entries come
-    # first per the rotation contract (with <50 unchecked the head must be
-    # EXACTLY that set), THEN the three advice-fix queries whose round-8
-    # diff changed values-relevant code (q303 no-pairs guard, q306 rounded
-    # gate, q320 -0.0 normalization) -- already driver-proven, but kept
-    # inside the 50-sample window so the edited spellings get a fresh hash
-    # proof.  Round-7 order follows.
+    # Round-9 head (50 = 7 + 4 + 39): the 7 never-driver-checked wave-33
+    # entries come first per the rotation contract (with <50 unchecked the
+    # head must be EXACTLY that set), THEN the four queries whose round-9
+    # diff changed values-relevant code (q324 full-grid chi2, q329 cosine
+    # association order, q296/q301 rows-only -> value-oracle redesigns) --
+    # so the edited spellings get a fresh hash proof -- THEN 39 STALENESS
+    # rotations: core entries whose last driver-hash proof predates round 4
+    # (the round-8 verdict item #6; 143 entries were last proven in
+    # r01-r03, these are the oldest console/relational/window families).
+    "q353_isotonic_calibration", "q354_cem_att",
+    "q355_procrustes_alignment", "q356_kmv_distinct", "q357_theil_sen",
+    "q358_cuped", "q359_adjusted_rand",
+    "q324_cramers_v", "q329_mutual_knn_graph",
+    "q296_pca_scree", "q301_embedding_whitening",
+    "q01_pricing_summary", "q02_filter_project", "q03_sort_limit",
+    "q04_distinct", "q05_set_ops", "q06_tpch_q3_shipping",
+    "q07_tpch_q5_local_supplier", "q08_tpch_q6_forecast",
+    "q09_multiset_ops", "q10_join_inner", "q11_join_multiway",
+    "q12_join_left_outer", "q13_join_semi", "q14_join_anti",
+    "q15_join_theta", "q16_join_range", "q17_join_cross", "q18_join_asof",
+    "q20_agg_groupby", "q21_agg_rollup", "q22_agg_cube", "q23_agg_having",
+    "q24_agg_approx_distinct", "q25_agg_stats", "q26_agg_corr",
+    "q27_agg_collect", "q28_agg_minmax_by", "q29_grouping_sets",
+    "q30_window_topk", "q31_window_ranks", "q32_window_running",
+    "q33_window_frame", "q34_session_windows", "q35_session_window_builtin",
+    "q36_percentiles", "q37_pivot", "q38_scalar_subquery",
+    "q40_string_funcs", "q41_date_funcs",
+    # Round-8 head follows (wave-23..32, proven in CORRECTNESS_r08).
     "q322_dup_graph_clustering", "q323_degree_assortativity",
-    "q324_cramers_v", "q325_cohens_d", "q326_theil_index",
+    "q325_cohens_d", "q326_theil_index",
     "q327_perplexity_tertiles", "q328_subsample_ci",
-    "q329_mutual_knn_graph", "q330_weighted_reservoir_sample",
+    "q330_weighted_reservoir_sample",
     "q331_cross_lang_neardups", "q332_vocab_overlap_matrix",
     "q333_reciprocal_rank_fusion", "q334_brown_forsythe",
     "q335_kruskal_wallis", "q336_mmr_rerank",
@@ -285,6 +306,7 @@ def _ensure_loaded() -> None:
     from . import wave30  # noqa: F401
     from . import wave31  # noqa: F401
     from . import wave32  # noqa: F401
+    from . import wave33  # noqa: F401
     from . import livejars  # noqa: F401
 
     # First occurrence wins: a rotation may promote a name to the head while

@@ -101,3 +101,41 @@ def test_priority_head_targets_unchecked_queries():
             "does not front-load exactly those; rotate so one driver sample "
             "completes the proof"
         )
+
+
+def test_priority_head_refreshes_stalest_proofs():
+    """Round-9 extension of the rotation contract (round-8 verdict #6):
+    once every entry is driver-proven, the 50-sample budget must refresh
+    the STALEST proofs, not keep re-proving recent rounds.  At least 35 of
+    the head-50 must be either never-checked (new queries) or entries whose
+    LAST hash proof is at least 5 rounds old; the remainder is reserved for
+    this round's value-relevant edits."""
+    import glob
+    import json
+    import re
+
+    from sparkstreaming_quickstart_spark.queries import _PRIORITY
+
+    repo = os.path.dirname(COVERAGE_PATH)
+    last: dict[str, int] = {}
+    rounds: list[int] = []
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"_r(\d+)", os.path.basename(path)).group(1))
+        rounds.append(rnd)
+        with open(path) as fh:
+            for name in json.load(fh):
+                last[name] = rnd
+    if not rounds:
+        return
+    stale_cut = max(rounds) - 5
+    registered = list(all_queries())
+    rank = {}
+    for i, name in enumerate(_PRIORITY):
+        rank.setdefault(name, i)
+    head = sorted(registered, key=lambda n: rank.get(n, 10_000))[:50]
+    fresh_ok = [n for n in head if n not in last or last[n] <= stale_cut]
+    assert len(fresh_ok) >= 35, (
+        f"only {len(fresh_ok)} of the head-50 are new or stale-proven "
+        f"(last proof <= r{stale_cut}); the driver sample budget is being "
+        "spent re-proving recent rounds -- rotate older entries forward"
+    )

@@ -1,0 +1,268 @@
+"""Wave-33 reference tests: independent scalar/numpy replays of q353-q359.
+
+The Spark-vs-DuckDB value equality is proven by the oracles at three scale
+factors; these tests prove the SHARED SPELLING implements the intended
+algorithm (classic PAV pooling, CEM weighting, orthogonal Procrustes, KMV
+estimator + merge law, Theil-Sen medians, CUPED algebra, the ARI formula)
+against independent implementations."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _pav_pool(ns, ss):
+    """Classic pool-adjacent-violators: merge adjacent blocks while their
+    rates decrease, then expand each pooled block's rate back over the
+    input bins it absorbed."""
+    stack: list[list[float]] = []
+    for n, s in zip(ns, ss):
+        stack.append([n, s])
+        while len(stack) >= 2 and (
+            stack[-2][1] / stack[-2][0] >= stack[-1][1] / stack[-1][0]
+        ):
+            n2, s2 = stack.pop()
+            stack[-1][0] += n2
+            stack[-1][1] += s2
+    expanded = []
+    i = 0
+    for n, s in stack:
+        acc = 0
+        while acc < n:
+            acc += ns[i]
+            expanded.append(s / n)
+            i += 1
+    return expanded
+
+
+def test_isotonic_matches_classic_pav(spark, sf_dir):
+    from sparkstreaming_quickstart_spark.queries.wave33 import (
+        q353_isotonic_calibration,
+    )
+
+    e = pd.read_parquet(f"{sf_dir}/events.parquet")
+    band = np.minimum(np.floor(e["value"].to_numpy() / 25.0).astype(np.int64), 19)
+    y = (e["event_type"] == "purchase").astype(np.int64).to_numpy()
+    df = pd.DataFrame({"band": band, "y": y}).groupby("band")["y"].agg(["count", "sum"])
+    fitted = _pav_pool(df["count"].tolist(), df["sum"].tolist())
+    rows = q353_isotonic_calibration(spark, sf_dir).collect()
+    assert [r["band"] for r in rows] == df.index.tolist()
+    got = [r["fitted_rate"] for r in rows]
+    assert got == pytest.approx([round(f, 6) for f in fitted], abs=2e-6)
+    # fit is monotone non-decreasing and total-preserving on pooled blocks
+    assert got == sorted(got)
+
+
+def test_cem_att_matches_pandas(spark, sf_dir):
+    from sparkstreaming_quickstart_spark.queries.wave33 import q354_cem_att
+
+    e = pd.read_parquet(f"{sf_dir}/events.parquet").copy()
+    e["cents"] = np.round(e["value"].to_numpy() * 100).astype(np.int64)
+    e["ycents"] = np.where(e["event_type"] == "purchase", e["cents"], 0)
+    first = e.sort_values("ts").groupby("user_id")["event_type"].first()
+    g = e.groupby("user_id").agg(
+        n=("event_id", "count"), cents=("cents", "sum"), y=("ycents", "sum")
+    )
+    g["treated"] = (first.reindex(g.index) == "error").astype(int)
+    g["act"] = np.minimum(g["n"] // 25, 3)
+    g["val"] = np.minimum(g["cents"] // (g["n"] * 2500), 3)
+    strata = g.groupby(["act", "val"]).apply(
+        lambda s: pd.Series(
+            {
+                "n_t": int(s["treated"].sum()),
+                "n_c": int(len(s) - s["treated"].sum()),
+                "mt": s.loc[s["treated"] == 1, "y"].sum()
+                / max(int(s["treated"].sum()), 1),
+                "mc": s.loc[s["treated"] == 0, "y"].sum()
+                / max(int(len(s) - s["treated"].sum()), 1),
+            }
+        ),
+        include_groups=False,
+    )
+    m = strata[(strata["n_t"] > 0) & (strata["n_c"] > 0)]
+    att = (m["n_t"] * (m["mt"] - m["mc"])).sum() / m["n_t"].sum()
+    rows = q354_cem_att(spark, sf_dir).collect()
+    assert len(rows) == len(m)
+    assert rows[0]["att_cents"] == pytest.approx(att, abs=2e-4)
+    for r in rows:
+        ref = m.loc[(r["act_band"], r["val_band"])]
+        assert r["n_treated"] == ref["n_t"] and r["n_control"] == ref["n_c"]
+        assert r["stratum_diff_cents"] == pytest.approx(
+            ref["mt"] - ref["mc"], abs=2e-4
+        )
+
+
+def test_procrustes_invariants_and_rotation(spark, sf_dir):
+    from sparkstreaming_quickstart_spark.queries.wave33 import (
+        procrustes_rotation,
+        q355_procrustes_alignment,
+    )
+
+    e = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    V = np.stack(e["embedding"].to_numpy()).astype(np.float64)
+    ids = e["vec_id"].to_numpy()
+    ev = {i // 2: V[k] for k, i in enumerate(ids) if i % 2 == 0}
+    od = {i // 2: V[k] for k, i in enumerate(ids) if i % 2 == 1}
+    keys = sorted(set(ev) & set(od))
+    X = np.stack([ev[k] for k in keys])
+    Y = np.stack([od[k] for k in keys])
+    M = X.T @ Y
+    sv = np.linalg.svd(M, compute_uv=False)
+    r = q355_procrustes_alignment(spark, sf_dir).collect()[0]
+    assert r["n_pairs"] == len(keys)
+    assert r["sv_sq_sum"] == pytest.approx(float((sv**2).sum()), abs=2e-5)
+    assert r["sv_quad_sum"] == pytest.approx(float((sv**4).sum()), abs=2e-5)
+    # the user-facing rotation: orthogonal, and satisfies the Procrustes
+    # residual identity ||XW - Y||^2 = ||X||^2 + ||Y||^2 - 2*sum(sigma)
+    W = procrustes_rotation(spark, sf_dir)
+    assert np.abs(W @ W.T - np.eye(64)).max() < 1e-9
+    resid = ((X @ W - Y) ** 2).sum()
+    ident = (X**2).sum() + (Y**2).sum() - 2 * sv.sum()
+    assert resid == pytest.approx(ident, rel=1e-9)
+    # W is the argmin over a probe set of random rotations
+    rng = np.random.default_rng(5)
+    for _ in range(3):
+        Q = np.linalg.qr(rng.normal(size=(64, 64)))[0]
+        assert ((X @ Q - Y) ** 2).sum() >= resid - 1e-9
+
+
+def test_kmv_estimator_and_merge_law(spark, sf_dir):
+    import hashlib
+
+    from sparkstreaming_quickstart_spark.queries.wave33 import (
+        _KMV_K,
+        _KMV_SALT,
+        _KMV_SCALE,
+        q356_kmv_distinct,
+    )
+
+    d = pd.read_parquet(f"{sf_dir}/documents.parquet")
+
+    def shingles(text):
+        toks = text.split(" ")
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    per_source: dict[str, set] = {}
+    for _, row in d[d["text"].str.len() > 0].iterrows():
+        per_source.setdefault(row["source"], set()).update(shingles(row["text"]))
+
+    def u_of(s):
+        return int(hashlib.md5((_KMV_SALT + s).encode()).hexdigest()[:15], 16) / _KMV_SCALE
+
+    rows = {r["source"]: r for r in q356_kmv_distinct(spark, sf_dir).collect()}
+    sketches = {}
+    for src, vocab in per_source.items():
+        us = sorted(u_of(s) for s in vocab)
+        sketches[src] = us[:_KMV_K]
+        est = len(us) if len(us) < _KMV_K else (_KMV_K - 1) / us[_KMV_K - 1]
+        assert rows[src]["n_exact"] == len(vocab)
+        assert rows[src]["kmv_estimate"] == pytest.approx(est, abs=2e-6)
+        # KMV is within ~3/sqrt(k) relative error w.h.p. -- sanity band
+        assert abs(est - len(vocab)) / len(vocab) < 3 / math.sqrt(_KMV_K) + 0.05
+    # merge law: bottom-k of the union of sketches == bottom-k of the union
+    merged = sorted(set().union(*[set(s) for s in sketches.values()]))[:_KMV_K]
+    full_union = set().union(*per_source.values())
+    direct = sorted(u_of(s) for s in full_union)[:_KMV_K]
+    assert merged == direct
+    est_u = (_KMV_K - 1) / merged[_KMV_K - 1]
+    assert rows["__union__"]["n_exact"] == len(full_union)
+    assert rows["__union__"]["kmv_estimate"] == pytest.approx(est_u, abs=2e-6)
+
+
+def test_theil_sen_matches_reference(spark, sf_dir):
+    from sparkstreaming_quickstart_spark.queries.wave33 import q357_theil_sen
+
+    e = pd.read_parquet(f"{sf_dir}/events.parquet")
+    day = (e["ts"].dt.floor("D") - pd.Timestamp("2024-01-01")).dt.days.to_numpy()
+    cents = np.round(e["value"].to_numpy() * 100).astype(np.int64)
+    daily = pd.DataFrame({"d": day, "y": cents}).groupby("d")["y"].sum()
+    ds, ys = daily.index.to_numpy(), daily.to_numpy()
+    slopes = sorted(
+        (ys[j] - ys[i]) / (ds[j] - ds[i])
+        for i in range(len(ds))
+        for j in range(i + 1, len(ds))
+    )
+    n = len(slopes)
+    slope = (slopes[(n - 1) // 2] + slopes[n // 2]) / 2
+    resid = sorted(ys - slope * ds)
+    m = len(resid)
+    intercept = (resid[(m - 1) // 2] + resid[m // 2]) / 2
+    r = q357_theil_sen(spark, sf_dir).collect()[0]
+    assert r["n_days"] == len(ds) and r["n_pairs"] == n
+    assert r["sen_slope_cents_per_day"] == pytest.approx(slope, abs=2e-4)
+    assert r["sen_intercept_cents"] == pytest.approx(intercept, abs=2e-4)
+
+
+def test_cuped_matches_numpy(spark, sf_dir):
+    import hashlib
+
+    from sparkstreaming_quickstart_spark.queries.wave33 import q358_cuped
+
+    e = pd.read_parquet(f"{sf_dir}/events.parquet")
+    cents = np.round(e["value"].to_numpy() * 100).astype(np.int64)
+    pre = e["ts"].dt.floor("D") < pd.Timestamp("2024-01-16")
+    df = pd.DataFrame(
+        {
+            "uid": e["user_id"],
+            "x": np.where(pre, cents, 0),
+            "y": np.where(~pre, cents, 0),
+        }
+    ).groupby("uid")[["x", "y"]].sum()
+    arm = df.index.map(
+        lambda u: int(hashlib.md5(f"cuped42|{u}".encode()).hexdigest()[:8], 16) % 2
+    )
+    x, y = df["x"].to_numpy(float), df["y"].to_numpy(float)
+    theta = np.cov(x, y, bias=True)[0, 1] / np.var(x)
+    raw = y[arm == 1].mean() - y[arm == 0].mean()
+    adj = raw - theta * (x[arm == 1].mean() - x[arm == 0].mean())
+    rho2 = np.cov(x, y, bias=True)[0, 1] ** 2 / (np.var(x) * np.var(y))
+    r = q358_cuped(spark, sf_dir).collect()[0]
+    assert r["n_users"] == len(df)
+    assert r["theta"] == pytest.approx(theta, abs=2e-5)
+    assert r["uplift_raw_cents"] == pytest.approx(raw, abs=2e-3)
+    assert r["uplift_cuped_cents"] == pytest.approx(adj, abs=2e-3)
+    assert r["var_ratio"] == pytest.approx(1 - rho2, abs=2e-5)
+
+
+def test_adjusted_rand_matches_union_find(spark, sf_dir):
+    from sparkstreaming_quickstart_spark.operators.dedup import minhash_lsh_pairs
+    from sparkstreaming_quickstart_spark.queries.wave33 import q359_adjusted_rand
+    from sparkstreaming_quickstart_spark.sources.catalog import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    prs = minhash_lsh_pairs(d, "text", "doc_id", n=3, threshold=0.7).collect()
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    parent: dict[int, int] = {int(i): int(i) for i in docs["doc_id"]}
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for p in prs:
+        ra, rb = find(int(p["d1"])), find(int(p["d2"]))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    cl = np.array([find(int(i)) for i in docs["doc_id"]])
+    lang = docs["lang"].to_numpy()
+    ct = pd.crosstab(cl, lang).to_numpy()
+
+    def c2(v):
+        return (v * (v - 1) // 2).sum()
+
+    idx = c2(ct.ravel().astype(np.int64))
+    ea = c2(ct.sum(axis=1).astype(np.int64))
+    eb = c2(ct.sum(axis=0).astype(np.int64))
+    n = int(ct.sum())
+    c2n = n * (n - 1) // 2
+    expv = ea * eb / c2n
+    ari = (idx - expv) / ((ea + eb) / 2 - expv)
+    r = q359_adjusted_rand(spark, sf_dir).collect()[0]
+    assert r["n_docs"] == n
+    assert r["pair_agreements"] == idx
+    assert r["adjusted_rand"] == pytest.approx(ari, abs=2e-6)
