@@ -720,13 +720,26 @@ def q329_mutual_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             qn = np.sqrt((q * q).sum(axis=1))[:, None]
             sims = np.round((q @ b_mat.T) / (qn * b_nrm[None, :]), 9)
             out_i, out_j = [], []
+            n = sims.shape[1]
+            kk = min(_KNN_K, max(n - 1, 1))
             for row, qid in zip(sims, sub["vec_id"].to_numpy()):
                 self_mask = b_ids == qid
                 row = row.copy()
                 row[self_mask] = -np.inf
-                # top-k by (-cos, vec_id): lexsort is ascending, so sort by
-                # (vec_id) then (-cos) stable -> first k indices
-                idx = np.lexsort((b_ids, -row))[:_KNN_K]
+                # top-k by (-cos, vec_id): O(n) argpartition preselect,
+                # WIDENED to every candidate tied with the k-th value (sims
+                # are rounded at 9, so ties are real and the vec_id
+                # tie-break must see them all), then the exact lexsort runs
+                # only on that small candidate set -- bit-identical to the
+                # full lexsort, ~5x cheaper per row at n=20k (round-9 sf1
+                # finding).
+                if n > kk:
+                    kth = np.partition(row, n - kk)[n - kk]
+                    cand = np.flatnonzero(row >= kth)
+                else:
+                    cand = np.arange(n)
+                order = np.lexsort((b_ids[cand], -row[cand]))[:_KNN_K]
+                idx = cand[order]
                 out_i.extend([qid] * len(idx))
                 out_j.extend(b_ids[idx].tolist())
             yield pd.DataFrame({"i": out_i, "j": out_j})
