@@ -104,12 +104,20 @@ def _sentinels_from_sweep(n: int = N_SENTINELS) -> list[str]:
         return []
     pat = re.compile(r"^\s*(q\w+)\s+OK rows=\d+ \(([\d.]+)s\)")
     best: dict[str, float] = {}
-    with open(logs[-1]) as fh:
-        for line in fh:
-            m = pat.match(line)
-            if m:
-                name, t = m.group(1), float(m.group(2))
-                best[name] = min(best.get(name, float("inf")), t)
+    # Aggregate over ALL committed sweep logs: a log's repeated runs take
+    # the min (steady state), a LATER log's entry replaces an earlier
+    # log's for the same query (newest measurement wins) -- so partial
+    # per-wave logs (e.g. round 9's 15-query additions file) update their
+    # members without hiding the rest of the registry.
+    for path in logs:
+        this: dict[str, float] = {}
+        with open(path) as fh:
+            for line in fh:
+                m = pat.match(line)
+                if m:
+                    name, t = m.group(1), float(m.group(2))
+                    this[name] = min(this.get(name, float("inf")), t)
+        best.update(this)
     ranked = sorted(best.items(), key=lambda kv: (-kv[1], kv[0]))
     return [name for name, _ in ranked if name not in HEADLINE][:n]
 

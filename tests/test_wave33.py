@@ -266,3 +266,105 @@ def test_adjusted_rand_matches_union_find(spark, sf_dir):
     assert r["n_docs"] == n
     assert r["pair_agreements"] == idx
     assert r["adjusted_rand"] == pytest.approx(ari, abs=2e-6)
+
+
+# ---------------------------------------------------------------------------
+# wave 34 (q360-q362)
+# ---------------------------------------------------------------------------
+
+
+def test_sprt_matches_scalar_reference(spark, sf_dir):
+    from sparkstreaming_quickstart_spark.queries.wave34 import (
+        _SPRT_A,
+        _SPRT_B,
+        _SPRT_L0,
+        _SPRT_L1,
+        q360_sprt_conversion,
+    )
+
+    e = pd.read_parquet(f"{sf_dir}/events.parquet")
+    day = (e["ts"].dt.floor("D") - pd.Timestamp("2024-01-01")).dt.days
+    df = pd.DataFrame(
+        {"day": day, "y": (e["event_type"] == "purchase").astype(int)}
+    ).groupby("day")["y"].agg(["count", "sum"])
+    rows = q360_sprt_conversion(spark, sf_dir).collect()
+    assert [r["day"] for r in rows] == df.index.tolist()
+    cum = 0.0
+    for r, (_, b) in zip(rows, df.iterrows()):
+        ld = b["sum"] * _SPRT_L1 + (b["count"] - b["sum"]) * _SPRT_L0
+        cum += ld
+        assert r["n"] == b["count"] and r["conversions"] == b["sum"]
+        assert r["llr_day"] == pytest.approx(ld, abs=2e-6)
+        assert r["llr_cum"] == pytest.approx(cum, abs=2e-6)
+        want = (
+            "accept_h1"
+            if round(cum, 9) >= _SPRT_A
+            else "accept_h0"
+            if round(cum, 9) <= _SPRT_B
+            else "continue"
+        )
+        assert r["decision"] == want
+    # boundaries are the classic Wald approximations
+    assert _SPRT_A == pytest.approx(math.log(0.95 / 0.05))
+    assert _SPRT_B == pytest.approx(math.log(0.05 / 0.95))
+
+
+def test_brier_decomposition_identity(spark, sf_dir):
+    from sparkstreaming_quickstart_spark.queries.wave34 import (
+        q361_brier_decomposition,
+    )
+
+    e = pd.read_parquet(f"{sf_dir}/events.parquet")
+    band = np.minimum(np.floor(e["value"].to_numpy() / 25.0).astype(np.int64), 19)
+    o = (e["event_type"] == "purchase").astype(float).to_numpy()
+    f = (band + 0.5) / 20.0
+    brier = float(((f - o) ** 2).mean())
+    df = pd.DataFrame({"band": band, "o": o}).groupby("band")["o"].agg(
+        ["count", "mean"]
+    )
+    fk = (df.index.to_numpy() + 0.5) / 20.0
+    n = len(o)
+    rel = float((df["count"].to_numpy() * (fk - df["mean"].to_numpy()) ** 2).sum() / n)
+    res = float(
+        (df["count"].to_numpy() * (df["mean"].to_numpy() - o.mean()) ** 2).sum() / n
+    )
+    unc = float(o.mean() * (1 - o.mean()))
+    r = q361_brier_decomposition(spark, sf_dir).collect()[0]
+    assert r["n"] == n
+    assert r["brier"] == pytest.approx(brier, abs=2e-6)
+    assert r["reliability"] == pytest.approx(rel, abs=2e-6)
+    assert r["resolution"] == pytest.approx(res, abs=2e-6)
+    assert r["uncertainty"] == pytest.approx(unc, abs=2e-6)
+    # Murphy identity BS = REL - RES + UNC (to rounding)
+    assert r["brier"] == pytest.approx(
+        r["reliability"] - r["resolution"] + r["uncertainty"], abs=5e-6
+    )
+
+
+def test_qte_matches_numpy_disc_quantiles(spark, sf_dir):
+    import hashlib
+
+    from sparkstreaming_quickstart_spark.queries.wave34 import (
+        q362_quantile_treatment_effects,
+    )
+
+    e = pd.read_parquet(f"{sf_dir}/events.parquet")
+    cents = np.round(e["value"].to_numpy() * 100).astype(np.int64)
+    df = pd.DataFrame({"uid": e["user_id"], "c": cents}).groupby("uid")["c"].sum()
+    arm = df.index.map(
+        lambda u: int(hashlib.md5(f"cuped42|{u}".encode()).hexdigest()[:8], 16) % 2
+    )
+
+    def disc(vals, q):
+        s = sorted(vals)
+        return s[max(0, math.ceil(q * len(s)) - 1)]
+
+    c0 = df[arm == 0].tolist()
+    c1 = df[arm == 1].tolist()
+    rows = q362_quantile_treatment_effects(spark, sf_dir).collect()
+    assert [r["decile"] for r in rows] == list(range(1, 10))
+    for r in rows:
+        q = r["decile"] / 10.0
+        assert r["q_control_cents"] == disc(c0, q)
+        assert r["q_treat_cents"] == disc(c1, q)
+        assert r["qte_cents"] == disc(c1, q) - disc(c0, q)
