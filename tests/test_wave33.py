@@ -368,3 +368,86 @@ def test_qte_matches_numpy_disc_quantiles(spark, sf_dir):
         assert r["q_control_cents"] == disc(c0, q)
         assert r["q_treat_cents"] == disc(c1, q)
         assert r["qte_cents"] == disc(c1, q) - disc(c0, q)
+
+
+# ---------------------------------------------------------------------------
+# wave 35 (q363-q365)
+# ---------------------------------------------------------------------------
+
+
+def test_linear_cka_matches_numpy(spark, sf_dir):
+    from sparkstreaming_quickstart_spark.queries.wave35 import q363_linear_cka
+
+    e = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    V = np.stack(e["embedding"].to_numpy()).astype(np.float64)
+    ids = e["vec_id"].to_numpy()
+    ev = {i // 2: V[k] for k, i in enumerate(ids) if i % 2 == 0}
+    od = {i // 2: V[k] for k, i in enumerate(ids) if i % 2 == 1}
+    keys = sorted(set(ev) & set(od))
+    X = np.stack([ev[k] for k in keys])
+    Y = np.stack([od[k] for k in keys])
+    Xc, Yc = X - X.mean(axis=0), Y - Y.mean(axis=0)
+    hsic = float(((Xc.T @ Yc) ** 2).sum())
+    nx = float(np.linalg.norm(Xc.T @ Xc))
+    ny = float(np.linalg.norm(Yc.T @ Yc))
+    r = q363_linear_cka(spark, sf_dir).collect()[0]
+    assert r["n_pairs"] == len(keys)
+    assert r["hsic_xy"] == pytest.approx(hsic, abs=2e-5)
+    assert r["norm_x"] == pytest.approx(nx, abs=2e-5)
+    assert r["norm_y"] == pytest.approx(ny, abs=2e-5)
+    assert r["linear_cka"] == pytest.approx(hsic / (nx * ny), abs=2e-6)
+    assert 0.0 <= r["linear_cka"] <= 1.0
+    # CKA of a space with itself is exactly 1 -- sanity-pin the formula
+    self_hsic = float(((Xc.T @ Xc) ** 2).sum())
+    assert self_hsic / (nx * nx) == pytest.approx(1.0, abs=1e-12)
+
+
+def test_ledoit_wolf_matches_numpy(spark, sf_dir):
+    from sparkstreaming_quickstart_spark.queries.wave35 import q364_ledoit_wolf
+
+    e = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    X = np.stack(e["embedding"].to_numpy()).astype(np.float64)
+    n, d = X.shape
+    Xc = X - X.mean(axis=0)
+    S = (Xc.T @ Xc) / n
+    mu = float(np.trace(S)) / d
+    d2 = float(((S - mu * np.eye(d)) ** 2).sum())
+    sum4 = float(((Xc**2).sum(axis=1) ** 2).sum())
+    b2_raw = (sum4 / n - float((S**2).sum())) / n
+    beta = min(b2_raw, d2)
+    r = q364_ledoit_wolf(spark, sf_dir).collect()[0]
+    assert (r["n_vectors"], r["n_dims"]) == (n, d)
+    assert r["mu_hat"] == pytest.approx(mu, abs=2e-6)
+    assert r["dispersion_sq"] == pytest.approx(d2, abs=2e-6)
+    assert r["beta_sq"] == pytest.approx(beta, abs=2e-9)
+    assert r["shrinkage_lambda"] == pytest.approx(beta / d2, abs=2e-6)
+    assert 0.0 <= r["shrinkage_lambda"] <= 1.0
+
+
+def test_pps_systematic_inclusion_properties(spark, sf_dir):
+    from sparkstreaming_quickstart_spark.queries.wave35 import (
+        _PPS_K,
+        q365_pps_systematic,
+    )
+
+    d = pd.read_parquet(f"{sf_dir}/documents.parquet").sort_values("doc_id")
+    w = d["n_chars"].to_numpy(np.int64)
+    cum = w.cumsum()
+    step = float(cum[-1]) / _PPS_K
+    # scalar replay of the interval-hit arithmetic
+    hi = np.floor((cum - 0.5 * step) / step).astype(np.int64)
+    lo = np.floor((cum - w - 0.5 * step) / step).astype(np.int64)
+    hits = hi - lo
+    sel = {
+        int(i): int(h)
+        for i, h in zip(d["doc_id"].to_numpy(), hits)
+        if h > 0
+    }
+    rows = q365_pps_systematic(spark, sf_dir).collect()
+    got = {r["doc_id"]: r["n_hits"] for r in rows}
+    assert got == sel
+    # exactly K selection points land somewhere
+    assert sum(got.values()) == _PPS_K
+    # distributed two-phase cumsum equals the sequential one
+    for r in rows:
+        assert r["cum_weight"] == int(cum[d["doc_id"].to_numpy() == r["doc_id"]][0])
