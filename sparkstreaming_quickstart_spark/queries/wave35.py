@@ -414,3 +414,157 @@ def q365_pps_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_hits") > 0)
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q366: linear-time MMD^2 between two label groups' embeddings
+# ---------------------------------------------------------------------------
+
+_MMD_GAMMA = 0.5
+_MMD_A = 0
+_MMD_B = 1
+
+
+@register(
+    "q366_linear_mmd",
+    sql=f"""
+    WITH xa AS (
+        SELECT CAST(embedding AS DOUBLE[]) AS v,
+               ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS r
+        FROM embeddings WHERE label = {_MMD_A}),
+    xb AS (
+        SELECT CAST(embedding AS DOUBLE[]) AS v,
+               ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS r
+        FROM embeddings WHERE label = {_MMD_B}),
+    px AS (
+        SELECT a.r // 2 AS g,
+               MAX(CASE WHEN a.r % 2 = 0 THEN a.v END) AS x1,
+               MAX(CASE WHEN a.r % 2 = 1 THEN a.v END) AS x2
+        FROM xa a GROUP BY a.r // 2),
+    py AS (
+        SELECT b.r // 2 AS g,
+               MAX(CASE WHEN b.r % 2 = 0 THEN b.v END) AS y1,
+               MAX(CASE WHEN b.r % 2 = 1 THEN b.v END) AS y2
+        FROM xb b GROUP BY b.r // 2),
+    quads AS (
+        SELECT px.x1, px.x2, py.y1, py.y2
+        FROM px JOIN py ON px.g = py.g
+        WHERE px.x2 IS NOT NULL AND py.y2 IS NOT NULL),
+    h AS (
+        SELECT exp(-{_MMD_GAMMA} * list_sum(list_transform(
+                   generate_series(1, len(x1)), i -> POW(x1[i] - x2[i], 2))))
+             + exp(-{_MMD_GAMMA} * list_sum(list_transform(
+                   generate_series(1, len(y1)), i -> POW(y1[i] - y2[i], 2))))
+             - exp(-{_MMD_GAMMA} * list_sum(list_transform(
+                   generate_series(1, len(x1)), i -> POW(x1[i] - y2[i], 2))))
+             - exp(-{_MMD_GAMMA} * list_sum(list_transform(
+                   generate_series(1, len(x2)), i -> POW(x2[i] - y1[i], 2))))
+               AS hval
+        FROM quads)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_quads,
+           ROUND(AVG(hval), 9) + 0.0 AS mmd2_linear,
+           ROUND(stddev_samp(hval) / sqrt(COUNT(*)), 9) + 0.0 AS se
+    FROM h
+    """,
+    doc=f"Linear-time MMD^2 (Gretton et al. 2012, lemma 14) between label-"
+    f"{_MMD_A} and label-{_MMD_B} embeddings under an RBF kernel "
+    f"(gamma={_MMD_GAMMA}): consecutive same-label vectors (by vec_id "
+    "rank) pair into quads (x1,x2,y1,y2) and h = k(x1,x2) + k(y1,y2) - "
+    "k(x1,y2) - k(x2,y1) averages to an unbiased MMD^2 estimate with a "
+    "sample standard error -- the embedding-space two-sample shift test "
+    "(does source/model A produce a different embedding DISTRIBUTION "
+    "than B?), complementing q254's histogram JS divergence and q232's "
+    "PSI.  The QUADRATIC MMD is an n^2 kernel sum -- a scale-killer; "
+    "the linear estimator is one scan with a deterministic rank "
+    "pairing, trading statistical efficiency for O(n), which is the "
+    "100 TB tradeoff this engine makes everywhere (q52 vs q51).  "
+    "Kernel values are identical IEEE exp/pow compositions in both "
+    "engines; the only reduce-order float is the final average, "
+    "rounded at 9.  Plan: two two-phase global ranks (q230's bucketed "
+    "row_number + broadcast offsets -- no single-partition window over "
+    "a label group), one rank-pair equi-join, one aggregate.",
+)
+def q366_linear_mmd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+
+    def ranked(label, out):
+        # Two-phase global rank (the q230/q193 pattern): bucket by vec_id
+        # range, per-bucket row_number (partitioned, parallel) + broadcast
+        # bucket-count offsets -- the label frame never funnels through a
+        # single-partition window.
+        g = e.filter(F.col("label") == label).select("vec_id", "v")
+        rng = g.agg(
+            F.min("vec_id").cast("double").alias("lo"),
+            (F.max("vec_id") + 1).cast("double").alias("hi"),
+        )
+        b = g.crossJoin(F.broadcast(rng)).select(
+            "vec_id",
+            "v",
+            F.width_bucket(
+                F.col("vec_id").cast("double"), "lo", "hi", F.lit(256)
+            ).alias("b"),
+        )
+        b = b.localCheckpoint(eager=True)  # feeds offsets AND the rank
+        offsets = (
+            b.groupBy("b")
+            .agg(F.count("*").alias("m"))
+            .select(
+                "b",
+                F.coalesce(
+                    F.sum("m").over(
+                        Window.orderBy("b").rowsBetween(
+                            Window.unboundedPreceding, -1
+                        )
+                    ),
+                    F.lit(0),
+                ).alias("off"),
+            )
+        )
+        w = Window.partitionBy("b").orderBy("vec_id")
+        return (
+            b.withColumn("pr", F.row_number().over(w))
+            .join(F.broadcast(offsets), "b")
+            .select(
+                F.col("v").alias(out),
+                (F.col("off") + F.col("pr") - 1).alias("r"),
+            )
+        )
+
+    def paired(df, c, c1, c2):
+        return (
+            df.groupBy(F.floor(F.col("r") / 2).alias("g"))
+            .agg(
+                F.max(F.when(F.col("r") % 2 == 0, F.col(c))).alias(c1),
+                F.max(F.when(F.col("r") % 2 == 1, F.col(c))).alias(c2),
+            )
+        )
+
+    px = paired(ranked(_MMD_A, "x"), "x", "x1", "x2")
+    py = paired(ranked(_MMD_B, "y"), "y", "y1", "y2")
+    quads = (
+        px.join(py, "g")
+        .filter(F.col("x2").isNotNull() & F.col("y2").isNotNull())
+    )
+
+    def k(a, b):
+        sq = F.aggregate(
+            F.zip_with(a, b, lambda p, q: (p - q) * (p - q)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.exp(-_MMD_GAMMA * sq)
+
+    h = quads.select(
+        (
+            k("x1", "x2") + k("y1", "y2") - k("x1", "y2") - k("x2", "y1")
+        ).alias("hval")
+    )
+    return h.agg(
+        F.count("*").cast("bigint").alias("n_quads"),
+        (F.round(F.avg("hval"), 9) + F.lit(0.0)).alias("mmd2_linear"),
+        (
+            F.round(F.stddev_samp("hval") / F.sqrt(F.count("*")), 9) + F.lit(0.0)
+        ).alias("se"),
+    )

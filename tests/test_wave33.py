@@ -451,3 +451,40 @@ def test_pps_systematic_inclusion_properties(spark, sf_dir):
     # distributed two-phase cumsum equals the sequential one
     for r in rows:
         assert r["cum_weight"] == int(cum[d["doc_id"].to_numpy() == r["doc_id"]][0])
+
+
+def test_linear_mmd_matches_numpy(spark, sf_dir):
+    from sparkstreaming_quickstart_spark.queries.wave35 import (
+        _MMD_GAMMA,
+        q366_linear_mmd,
+    )
+
+    e = pd.read_parquet(f"{sf_dir}/embeddings.parquet").sort_values("vec_id")
+    A = np.stack(e[e["label"] == 0]["embedding"].to_numpy()).astype(np.float64)
+    B = np.stack(e[e["label"] == 1]["embedding"].to_numpy()).astype(np.float64)
+    m = min(len(A) // 2, len(B) // 2)
+
+    def k(a, b):
+        return math.exp(-_MMD_GAMMA * float(((a - b) ** 2).sum()))
+
+    hs = [
+        k(A[2 * g], A[2 * g + 1])
+        + k(B[2 * g], B[2 * g + 1])
+        - k(A[2 * g], B[2 * g + 1])
+        - k(A[2 * g + 1], B[2 * g])
+        for g in range(m)
+    ]
+    r = q366_linear_mmd(spark, sf_dir).collect()[0]
+    assert r["n_quads"] == m
+    assert r["mmd2_linear"] == pytest.approx(float(np.mean(hs)), abs=2e-9)
+    assert r["se"] == pytest.approx(
+        float(np.std(hs, ddof=1) / math.sqrt(m)), abs=2e-9
+    )
+    # same-distribution sanity: MMD^2 between a space and itself is ~0
+    hs_same = [
+        k(A[2 * g], A[2 * g + 1])
+        + k(A[2 * g], A[2 * g + 1])
+        - 2 * k(A[2 * g], A[2 * g + 1])
+        for g in range(m)
+    ]
+    assert abs(float(np.mean(hs_same))) < 1e-15
