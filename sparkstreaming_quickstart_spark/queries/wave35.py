@@ -568,3 +568,158 @@ def q366_linear_mmd(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.stddev_samp("hval") / F.sqrt(F.count("*")), 9) + F.lit(0.0)
         ).alias("se"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q367: STREAMING KMV distinct-user sketch (bottom-k set state)
+# ---------------------------------------------------------------------------
+
+_SKMV_K = 32
+_SKMV_SALT = "skmv9|"
+_SKMV_SCALE = float(1 << 60)
+
+
+def _skmv_schemas():
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("event_type", StringType()),
+            StructField("sketch_size", LongType()),
+            StructField("kth_u", DoubleType()),
+            StructField("n_events", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("us", ArrayType(DoubleType())),
+            StructField("n_events", LongType()),
+        ]
+    )
+    return out_schema, state_schema
+
+
+def _skmv_update(k: int):
+    """Bottom-k SET state kernel: merge = k smallest of the set union.
+    Hashes arrive as JVM expressions (salted md5 / 2^60); the kernel only
+    unions, sorts and truncates -- set union is associative, commutative
+    AND idempotent, so the final state is independent of the micro-batch
+    split and of duplicate arrivals: streaming == batch, hence the full
+    value oracle."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            us, n_events = state.get
+            pool = set(us)
+        else:
+            pool, n_events = set(), 0
+        for pdf in pdfs:
+            n_events += len(pdf)
+            pool.update(float(u) for u in pdf["u"])
+        sk = sorted(pool)[:k]
+        state.update(([float(u) for u in sk], n_events))
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "sketch_size": [len(sk)],
+                "kth_u": [float(sk[-1]) if len(sk) == k else None],
+                "n_events": [n_events],
+            }
+        )
+
+    return update
+
+
+@register(
+    "q367_stream_kmv_distinct",
+    sql=f"""
+    WITH h AS (
+        SELECT DISTINCT event_type,
+               CAST(CAST('0x' || substr(md5('{_SKMV_SALT}' || user_id), 1, 15)
+                    AS BIGINT) AS DOUBLE) / {_SKMV_SCALE} AS u
+        FROM events),
+    ranked AS (
+        SELECT event_type, u,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY u) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS nd
+        FROM h),
+    sk AS (
+        SELECT event_type,
+               CAST(LEAST(MAX(nd), {_SKMV_K}) AS BIGINT) AS sketch_size,
+               MAX(CASE WHEN rn = {_SKMV_K} THEN u END) AS kth_u
+        FROM ranked WHERE rn <= {_SKMV_K}
+        GROUP BY event_type),
+    cnt AS (SELECT event_type, COUNT(*) AS n_events FROM events GROUP BY 1)
+    SELECT sk.event_type, sk.sketch_size,
+           CAST(cnt.n_events AS BIGINT) AS n_events,
+           ROUND(CASE WHEN sk.sketch_size < {_SKMV_K}
+                      THEN CAST(sk.sketch_size AS DOUBLE)
+                      ELSE ({_SKMV_K} - 1) / sk.kth_u END, 6) AS distinct_users_est
+    FROM sk JOIN cnt ON sk.event_type = cnt.event_type
+    ORDER BY sk.event_type
+    """,
+    doc=f"STREAMING distinct-user cardinality per event_type via a KMV "
+    f"bottom-{_SKMV_K} sketch in applyInPandasWithState -- q356's sketch "
+    "as a stateful streaming operator.  The state is the k smallest "
+    "salted-md5 user hashes (a SET): bottom-k set union is associative, "
+    "commutative and idempotent, so the final state equals the batch "
+    "computation under ANY micro-batch split and under duplicate "
+    "arrivals -- which upgrades this STREAMING query to a FULL batch "
+    "value oracle (the q340 associativity argument; HLL-class sketches "
+    "q24/q128 only get invariant bands).  Hashes are computed as JVM "
+    "expressions before the kernel (the q340 discipline: Python only "
+    "unions/sorts/truncates); the estimator (k-1)/u_(k) replays "
+    "bit-identically in DuckDB.  Plan: file-replay stream -> stateful "
+    "per-key kernel with O(k) state per event_type; the drain keeps "
+    "each key's final emission (max n_events).",
+)
+def q367_stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..streaming.pipeline import run_to_memory
+    from ..streaming.source import events_stream
+
+    out_schema, state_schema = _skmv_schemas()
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(_SKMV_SALT), F.col("user_id").cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    stream = events_stream(spark, sf_dir).select(
+        "event_type", (h.cast("double") / F.lit(_SKMV_SCALE)).alias("u")
+    )
+    res = stream.groupBy("event_type").applyInPandasWithState(
+        _skmv_update(_SKMV_K),
+        out_schema,
+        state_schema,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+    table = run_to_memory(res, output_mode="update")
+    final = (
+        spark.table(table)
+        .withColumn(
+            "mx", F.max("n_events").over(Window.partitionBy("event_type"))
+        )
+        .filter(F.col("n_events") == F.col("mx"))
+    )
+    est = F.when(
+        F.col("sketch_size") < _SKMV_K, F.col("sketch_size").cast("double")
+    ).otherwise((_SKMV_K - 1) / F.col("kth_u"))
+    return final.select(
+        "event_type",
+        "sketch_size",
+        "n_events",
+        F.round(est, 6).alias("distinct_users_est"),
+    ).orderBy("event_type")

@@ -488,3 +488,88 @@ def test_linear_mmd_matches_numpy(spark, sf_dir):
         for g in range(m)
     ]
     assert abs(float(np.mean(hs_same))) < 1e-15
+
+
+def test_stream_kmv_multibatch_equals_batch_and_hashlib(spark, sf_dir):
+    """q367: the bottom-k SET state must equal the batch sketch under a
+    forced 3-micro-batch replay (set union is associative/commutative/
+    idempotent -- the property the full value oracle rides on), and the
+    normalized hashes must replay through hashlib."""
+    import hashlib
+    import tempfile
+
+    from pyspark.sql import functions as SF
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from sparkstreaming_quickstart_spark.queries.wave35 import (
+        _SKMV_K,
+        _SKMV_SALT,
+        _SKMV_SCALE,
+        _skmv_schemas,
+        _skmv_update,
+        q367_stream_kmv_distinct,
+    )
+    from sparkstreaming_quickstart_spark.sources.catalog import load_table
+    from sparkstreaming_quickstart_spark.streaming.pipeline import run_to_memory
+
+    splitdir = tempfile.mkdtemp(prefix="ssq-split367-")
+    src = load_table(spark, sf_dir, "events")
+    src.repartition(3).write.mode("overwrite").parquet(splitdir)
+
+    out_schema, state_schema = _skmv_schemas()
+    h = SF.conv(
+        SF.substring(
+            SF.md5(SF.concat(SF.lit(_SKMV_SALT), SF.col("user_id").cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(splitdir)
+        .select("event_type", (h.cast("double") / SF.lit(_SKMV_SCALE)).alias("u"))
+    )
+    res = stream.groupBy("event_type").applyInPandasWithState(
+        _skmv_update(_SKMV_K),
+        out_schema,
+        state_schema,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+    table = run_to_memory(res, output_mode="update")
+    raw = spark.table(table).toPandas()
+    # interim emissions prove the replay really split into micro-batches
+    assert len(raw) > raw["event_type"].nunique()
+    final = raw.loc[raw.groupby("event_type")["n_events"].idxmax()]
+    # hashlib batch replay
+    e = pd.read_parquet(f"{sf_dir}/events.parquet")
+    for _, r in final.iterrows():
+        users = e[e["event_type"] == r["event_type"]]["user_id"].unique()
+        us = sorted(
+            int(hashlib.md5(f"{_SKMV_SALT}{u}".encode()).hexdigest()[:15], 16)
+            / _SKMV_SCALE
+            for u in users
+        )
+        sk = us[:_SKMV_K]
+        assert r["sketch_size"] == len(sk)
+        if len(sk) == _SKMV_K:
+            assert r["kth_u"] == pytest.approx(sk[-1], rel=1e-15)
+        assert r["n_events"] == (e["event_type"] == r["event_type"]).sum()
+    # and the registered query's estimate matches the same replay
+    rows = {r["event_type"]: r for r in q367_stream_kmv_distinct(spark, sf_dir).collect()}
+    for et, r in rows.items():
+        users = e[e["event_type"] == et]["user_id"].unique()
+        us = sorted(
+            int(hashlib.md5(f"{_SKMV_SALT}{u}".encode()).hexdigest()[:15], 16)
+            / _SKMV_SCALE
+            for u in users
+        )
+        want = (
+            float(len(us))
+            if len(us) < _SKMV_K
+            else (_SKMV_K - 1) / us[_SKMV_K - 1]
+        )
+        assert r["distinct_users_est"] == pytest.approx(round(want, 6), abs=2e-6)
