@@ -73,6 +73,13 @@ HEADLINE = [
     # accidental n^2 join would otherwise be invisible).
     "q322_dup_graph_clustering",
     "q329_mutual_knn_graph",
+    # Wave-33/35 representatives (round 9): the bounded-lattice epilogue
+    # shape (one corpus hash-agg then O(B^3) on a 20-row frame -- a
+    # regression here means the lattice leaked onto the data), and the
+    # multi-matrix Arrow partial kernel behind linear CKA (three matmuls,
+    # one hash-agg, fully declarative epilogue).
+    "q353_isotonic_calibration",
+    "q363_linear_cka",
 ]
 # q51 (exact-jaccard brute force) is deliberately NOT headline: it is the
 # O(n^2)-ish correctness baseline; q52 is the scale path over the same data.
