@@ -179,9 +179,9 @@ def q353_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(CAST(m.sy_t AS DOUBLE) / m.n_t, 4) AS mean_y_treated_cents,
            ROUND(CAST(m.sy_c AS DOUBLE) / m.n_c, 4) AS mean_y_control_cents,
            ROUND(CAST(m.sy_t AS DOUBLE) / m.n_t
-                 - CAST(m.sy_c AS DOUBLE) / m.n_c, 4) AS stratum_diff_cents,
+                 - CAST(m.sy_c AS DOUBLE) / m.n_c, 4) + 0.0 AS stratum_diff_cents,
            att.n_t_matched,
-           ROUND(att.att_cents, 4) AS att_cents
+           ROUND(att.att_cents, 4) + 0.0 AS att_cents
     FROM matched m, att
     ORDER BY m.act_band, m.val_band
     """,
@@ -250,9 +250,9 @@ def q354_cem_att(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_c").alias("n_control"),
             F.round(mean_t, 4).alias("mean_y_treated_cents"),
             F.round(mean_c, 4).alias("mean_y_control_cents"),
-            F.round(mean_t - mean_c, 4).alias("stratum_diff_cents"),
+            (F.round(mean_t - mean_c, 4) + F.lit(0.0)).alias("stratum_diff_cents"),
             "n_t_matched",
-            F.round(F.col("att_cents"), 4).alias("att_cents"),
+            (F.round(F.col("att_cents"), 4) + F.lit(0.0)).alias("att_cents"),
         )
         .orderBy("act_band", "val_band")
     )
@@ -699,8 +699,8 @@ _CUPED_SPLIT = "2024-01-16"
         FROM arms)
     SELECT w.n_users, w.n_treat,
            ROUND(th.theta, 6) AS theta,
-           ROUND(w.raw, 4) AS uplift_raw_cents,
-           ROUND(w.raw - th.theta * w.xdiff, 4) AS uplift_cuped_cents,
+           ROUND(w.raw, 4) + 0.0 AS uplift_raw_cents,
+           ROUND(w.raw - th.theta * w.xdiff, 4) + 0.0 AS uplift_cuped_cents,
            ROUND(th.var_ratio, 6) AS var_ratio
     FROM w, th
     """,
@@ -781,10 +781,11 @@ def q358_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_users",
         "n_treat",
         F.round("theta", 6).alias("theta"),
-        F.round("raw", 4).alias("uplift_raw_cents"),
-        F.round(F.col("raw") - F.col("theta") * F.col("xdiff"), 4).alias(
-            "uplift_cuped_cents"
-        ),
+        (F.round("raw", 4) + F.lit(0.0)).alias("uplift_raw_cents"),
+        (
+            F.round(F.col("raw") - F.col("theta") * F.col("xdiff"), 4)
+            + F.lit(0.0)
+        ).alias("uplift_cuped_cents"),
         F.round("var_ratio", 6).alias("var_ratio"),
     )
 
