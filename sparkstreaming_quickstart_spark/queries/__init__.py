@@ -78,8 +78,8 @@ _LOADED = False
 # guards this: with fewer than 50 unchecked entries remaining, the head must
 # be exactly that set.
 _PRIORITY: list[str] = [
-    # Round-9 head (50 = 15 + 4 + 31): the 15 never-driver-checked
-    # wave-33/34/35 entries come first per the rotation contract (with <50
+    # Round-9 head (50 = 17 + 4 + 29): the 17 never-driver-checked
+    # wave-33..36 entries come first per the rotation contract (with <50
     # unchecked the head must be EXACTLY that set), THEN the four queries
     # whose round-9 diff changed values-relevant code (q324 full-grid chi2,
     # q329 cosine association order, q296/q301 rows-only -> value-oracle
@@ -95,6 +95,7 @@ _PRIORITY: list[str] = [
     "q362_quantile_treatment_effects",
     "q363_linear_cka", "q364_ledoit_wolf", "q365_pps_systematic",
     "q366_linear_mmd", "q367_stream_kmv_distinct",
+    "q368_friedman_test", "q369_kneser_ney_ppl",
     "q324_cramers_v", "q329_mutual_knn_graph",
     "q296_pca_scree", "q301_embedding_whitening",
     "q01_pricing_summary", "q02_filter_project", "q03_sort_limit",
@@ -106,7 +107,7 @@ _PRIORITY: list[str] = [
     "q20_agg_groupby", "q21_agg_rollup", "q22_agg_cube", "q23_agg_having",
     "q24_agg_approx_distinct", "q25_agg_stats", "q26_agg_corr",
     "q27_agg_collect", "q28_agg_minmax_by", "q29_grouping_sets",
-    "q30_window_topk", "q31_window_ranks", "q32_window_running",
+    "q30_window_topk",
     # Round-8 head follows (wave-23..32, proven in CORRECTNESS_r08).
     "q322_dup_graph_clustering", "q323_degree_assortativity",
     "q325_cohens_d", "q326_theil_index",
@@ -311,6 +312,7 @@ def _ensure_loaded() -> None:
     from . import wave33  # noqa: F401
     from . import wave34  # noqa: F401
     from . import wave35  # noqa: F401
+    from . import wave36  # noqa: F401
     from . import livejars  # noqa: F401
 
     # First occurrence wins: a rotation may promote a name to the head while

@@ -573,3 +573,84 @@ def test_stream_kmv_multibatch_equals_batch_and_hashlib(spark, sf_dir):
             else (_SKMV_K - 1) / us[_SKMV_K - 1]
         )
         assert r["distinct_users_est"] == pytest.approx(round(want, 6), abs=2e-6)
+
+
+# ---------------------------------------------------------------------------
+# wave 36 (q368-q369)
+# ---------------------------------------------------------------------------
+
+
+def test_friedman_matches_scalar_reference(spark, sf_dir):
+    from sparkstreaming_quickstart_spark.queries.wave36 import q368_friedman_test
+
+    e = pd.read_parquet(f"{sf_dir}/events.parquet")
+    day = (e["ts"].dt.floor("D") - pd.Timestamp("2024-01-01")).dt.days
+    cents = np.round(e["value"].to_numpy() * 100).astype(np.int64)
+    df = pd.DataFrame({"day": day, "t": e["event_type"], "c": cents}).groupby(
+        ["day", "t"]
+    )["c"].sum().reset_index()
+    # average ranks within each day block (pandas 'average' method)
+    df["rank"] = df.groupby("day")["c"].rank(method="average")
+    sums = df.groupby("t")["rank"].sum()
+    n = df["day"].nunique()
+    k = df["t"].nunique()
+    chi2 = 12.0 / (n * k * (k + 1)) * float((sums**2).sum()) - 3.0 * n * (k + 1)
+    r = q368_friedman_test(spark, sf_dir).collect()[0]
+    assert r["n_blocks"] == n and r["k_treatments"] == k
+    assert r["friedman_chi2"] == pytest.approx(chi2, abs=2e-5)
+
+
+def test_kneser_ney_matches_scalar_reference(spark, sf_dir):
+    from sparkstreaming_quickstart_spark.queries.wave36 import (
+        _KN_D,
+        _KN_FLOOR,
+        q369_kneser_ney_ppl,
+    )
+
+    d = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    d = d[d["text"].str.len() > 0]
+
+    def bigrams(text):
+        t = text.split(" ")
+        return [(t[i], t[i + 1]) for i in range(len(t) - 1)]
+
+    from collections import Counter, defaultdict
+
+    bgc: Counter = Counter()
+    for _, row in d[d["doc_id"] % 2 == 0].iterrows():
+        bgc.update(bigrams(row["text"]))
+    c1: Counter = Counter()
+    fwd = defaultdict(set)
+    bwd = defaultdict(set)
+    for (w1, w2), c in bgc.items():
+        c1[w1] += c
+        fwd[w1].add(w2)
+        bwd[w2].add(w1)
+    nt = len(bgc)
+
+    def p_kn(w1, w2):
+        pc = len(bwd.get(w2, ())) / nt
+        if c1.get(w1, 0) > 0:
+            p = max(bgc.get((w1, w2), 0) - _KN_D, 0.0) / c1[w1] + _KN_D * len(
+                fwd[w1]
+            ) / c1[w1] * pc
+        else:
+            p = pc
+        return max(p, _KN_FLOOR)
+
+    per_source = defaultdict(list)
+    for _, row in d[d["doc_id"] % 2 == 1].iterrows():
+        for w1, w2 in bigrams(row["text"]):
+            per_source[row["source"]].append(math.log(p_kn(w1, w2)))
+    rows = {r["source"]: r for r in q369_kneser_ney_ppl(spark, sf_dir).collect()}
+    assert set(rows) == set(per_source)
+    for src, lps in per_source.items():
+        r = rows[src]
+        assert r["n_eval_bigrams"] == len(lps)
+        avg = float(np.mean(lps))
+        assert r["avg_logprob"] == pytest.approx(avg, abs=2e-6)
+        assert r["perplexity"] == pytest.approx(math.exp(-avg), abs=2e-3)
+    # KN probabilities over the closed train vocab sum to ~1 per context
+    some_w1 = next(iter(c1))
+    vocab = set(c1) | set(bwd)
+    assert sum(p_kn(some_w1, w) for w in vocab) == pytest.approx(1.0, abs=0.02)
