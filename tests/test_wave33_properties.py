@@ -101,3 +101,75 @@ def test_kmv_bottom_k_merge_law(tokens, k):
     merged = sorted(set(sk_a) | set(sk_b))[:k]
     direct = sorted(us[t] for t in tokens)[:k]
     assert merged == direct
+
+
+# ---------------------------------------------------------------------------
+# q357: Theil-Sen explicit middle-rows median spelling
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    ys=st.lists(st.integers(-1000, 1000), min_size=2, max_size=12, unique=False)
+)
+def test_theil_sen_middle_rows_median_spelling(ys):
+    """The rn IN ((cnt+1)//2, (cnt+2)//2) + AVG spelling must equal the
+    textbook median of pairwise slopes on adversarial tied inputs (many
+    equal slopes, even and odd pair counts)."""
+    days = list(range(len(ys)))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE daily (d BIGINT, y BIGINT)")
+    con.executemany("INSERT INTO daily VALUES (?, ?)", list(zip(days, ys)))
+    got = con.execute(
+        """
+        WITH slopes AS (
+            SELECT CAST(b.y - a.y AS DOUBLE) / (b.d - a.d) AS s
+            FROM daily a JOIN daily b ON a.d < b.d),
+        sr AS (
+            SELECT s, ROW_NUMBER() OVER (ORDER BY s) AS rn,
+                   COUNT(*) OVER () AS cnt
+            FROM slopes)
+        SELECT AVG(s) FROM sr WHERE rn IN ((cnt + 1) // 2, (cnt + 2) // 2)
+        """
+    ).fetchone()[0]
+    con.close()
+    slopes = sorted(
+        (ys[j] - ys[i]) / (j - i)
+        for i in range(len(ys))
+        for j in range(i + 1, len(ys))
+    )
+    n = len(slopes)
+    want = (slopes[(n - 1) // 2] + slopes[n // 2]) / 2
+    assert abs(got - want) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# q365: systematic PPS hit-count conservation
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    ws=st.lists(st.integers(1, 10_000), min_size=1, max_size=40),
+    k=st.integers(1, 50),
+)
+def test_pps_interval_hits_conserve_k(ws, k):
+    """floor((cum - 0.5*step)/step) interval differences must allocate
+    EXACTLY k selection points across the weight axis for any weight
+    profile -- including a giant certainty unit that swallows many
+    points -- and per-unit hits must be >= floor(w/step)."""
+    total = sum(ws)
+    step = total / k
+    cum = 0
+    hits = []
+    import math as m
+
+    for w in ws:
+        cum += w
+        hi = m.floor((cum - 0.5 * step) / step)
+        lo = m.floor((cum - w - 0.5 * step) / step)
+        hits.append(hi - lo)
+    assert sum(hits) == k
+    for w, h in zip(ws, hits):
+        assert h >= m.floor(w / step) - 1e-9
+        assert h <= w / step + 1
