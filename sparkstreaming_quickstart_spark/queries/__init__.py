@@ -78,8 +78,8 @@ _LOADED = False
 # guards this: with fewer than 50 unchecked entries remaining, the head must
 # be exactly that set.
 _PRIORITY: list[str] = [
-    # Round-9 head (50 = 17 + 4 + 29): the 17 never-driver-checked
-    # wave-33..36 entries come first per the rotation contract (with <50
+    # Round-9 head (50 = 19 + 4 + 27): the 19 never-driver-checked
+    # wave-33..37 entries come first per the rotation contract (with <50
     # unchecked the head must be EXACTLY that set), THEN the four queries
     # whose round-9 diff changed values-relevant code (q324 full-grid chi2,
     # q329 cosine association order, q296/q301 rows-only -> value-oracle
@@ -96,6 +96,7 @@ _PRIORITY: list[str] = [
     "q363_linear_cka", "q364_ledoit_wolf", "q365_pps_systematic",
     "q366_linear_mmd", "q367_stream_kmv_distinct",
     "q368_friedman_test", "q369_kneser_ney_ppl",
+    "q370_mcnemar_test", "q371_token_gini",
     "q324_cramers_v", "q329_mutual_knn_graph",
     "q296_pca_scree", "q301_embedding_whitening",
     "q01_pricing_summary", "q02_filter_project", "q03_sort_limit",
@@ -106,8 +107,7 @@ _PRIORITY: list[str] = [
     "q15_join_theta", "q16_join_range", "q17_join_cross", "q18_join_asof",
     "q20_agg_groupby", "q21_agg_rollup", "q22_agg_cube", "q23_agg_having",
     "q24_agg_approx_distinct", "q25_agg_stats", "q26_agg_corr",
-    "q27_agg_collect", "q28_agg_minmax_by", "q29_grouping_sets",
-    "q30_window_topk",
+    "q27_agg_collect", "q28_agg_minmax_by",
     # Round-8 head follows (wave-23..32, proven in CORRECTNESS_r08).
     "q322_dup_graph_clustering", "q323_degree_assortativity",
     "q325_cohens_d", "q326_theil_index",

@@ -256,3 +256,159 @@ def q369_kneser_ney_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q370: McNemar paired test (two quality gates on the same documents)
+# ---------------------------------------------------------------------------
+
+_MCN_CHARS = 150
+_MCN_TOKENS = 30
+
+
+@register(
+    "q370_mcnemar_test",
+    sql=f"""
+    WITH flags AS (
+        SELECT CASE WHEN n_chars >= {_MCN_CHARS} THEN 1 ELSE 0 END AS a,
+               CASE WHEN len(string_split(text, ' ')) >= {_MCN_TOKENS}
+                    THEN 1 ELSE 0 END AS b
+        FROM documents WHERE length(text) > 0),
+    cells AS (
+        SELECT CAST(SUM(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS both_pass,
+               CAST(SUM(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS only_chars,
+               CAST(SUM(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS only_tokens,
+               CAST(SUM(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS both_fail
+        FROM flags)
+    SELECT both_pass, only_chars, only_tokens, both_fail,
+           ROUND(CASE WHEN only_chars + only_tokens > 0
+                      THEN POW(abs(only_chars - only_tokens) - 1.0, 2)
+                           / (only_chars + only_tokens)
+                      ELSE 0.0 END, 6) AS mcnemar_chi2
+    FROM cells
+    """,
+    doc=f"McNemar test for PAIRED binary gates: do the char-length gate "
+    f"(n_chars >= {_MCN_CHARS}) and the token-count gate (>= "
+    f"{_MCN_TOKENS} tokens) disagree more than chance on the SAME "
+    "documents?  chi2 = (|b - c| - 1)^2/(b + c) over the discordant "
+    "cells with continuity correction -- the right test when comparing "
+    "two quality filters on one corpus (q229's two-sample z-test is "
+    "WRONG there: the samples are the same documents, not independent "
+    "arms).  The 2x2 cell counts are exact integers from one "
+    "conditional-aggregate pass; the statistic is the only float, with "
+    "a CASE guard for zero discordance spelled identically in both "
+    "engines.  Plan: one corpus scan, single-row combine -- "
+    "shuffle-free at any scale.",
+)
+def q370_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import token_count
+
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    a = (F.col("n_chars") >= _MCN_CHARS).cast("int")
+    b = (token_count("text") >= _MCN_TOKENS).cast("int")
+    cells = d.select(a.alias("a"), b.alias("b")).agg(
+        F.sum(F.when((F.col("a") == 1) & (F.col("b") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("both_pass"),
+        F.sum(F.when((F.col("a") == 1) & (F.col("b") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("only_chars"),
+        F.sum(F.when((F.col("a") == 0) & (F.col("b") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("only_tokens"),
+        F.sum(F.when((F.col("a") == 0) & (F.col("b") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("both_fail"),
+    )
+    disc = F.col("only_chars") + F.col("only_tokens")
+    chi2 = F.when(
+        disc > 0,
+        F.pow(F.abs(F.col("only_chars") - F.col("only_tokens")) - 1.0, 2) / disc,
+    ).otherwise(0.0)
+    return cells.select(
+        "both_pass",
+        "only_chars",
+        "only_tokens",
+        "both_fail",
+        F.round(chi2, 6).alias("mcnemar_chi2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q371: token-frequency Gini (vocabulary inequality)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q371_token_gini",
+    sql="""
+    WITH tf AS (
+        SELECT unnest(string_split(text, ' ')) AS token
+        FROM documents WHERE length(text) > 0),
+    counts AS (SELECT token, COUNT(*) AS c FROM tf GROUP BY token),
+    dv AS (SELECT c, COUNT(*) AS cnt FROM counts GROUP BY c),
+    dvr AS (
+        SELECT c, cnt,
+               SUM(cnt) OVER (ORDER BY c
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - cnt AS below
+        FROM dv),
+    terms AS (
+        -- sum over tokens of rank*c with ties at the average rank:
+        -- contribution of a tie group = c * cnt * (below + (cnt+1)/2.0)
+        SELECT SUM(cnt) AS v, SUM(c * cnt) AS total,
+               SUM(c * cnt * (below + (cnt + 1) / 2.0)) AS s_rank
+        FROM dvr)
+    SELECT CAST(v AS BIGINT) AS vocab_size,
+           CAST(total AS BIGINT) AS n_tokens,
+           ROUND(2.0 * s_rank / (v * CAST(total AS DOUBLE)) - (v + 1.0) / v, 6)
+               + 0.0 AS token_gini
+    FROM terms
+    """,
+    doc="Token-frequency Gini coefficient: the q230 rank formula applied "
+    "to the corpus vocabulary (G = 2*sum(rank_i * c_i)/(V * N) - "
+    "(V+1)/V over frequency-sorted tokens, ties at the average rank "
+    "via the q251 distinct-value spelling) -- the single-number "
+    "vocabulary-inequality complement to q238's Zipf slope, q240's "
+    "Heaps law and q261's hapax share: near-1 means a few tokens "
+    "dominate (template/boilerplate corpus), low values mean a flat, "
+    "diverse vocabulary.  Counts are exact; ranks come from the "
+    "distinct-frequency frame (vocabulary-bounded, no per-token "
+    "window); the statistic is the only float, rounded 6 with -0.0 "
+    "normalized.  Plan: one corpus scan -> vocab-sized count table -> "
+    "distinct-frequency rollup; at 100 TB the vocab table is the only "
+    "shuffle.",
+)
+def q371_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    counts = (
+        d.select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("c"))
+    )
+    dv = counts.groupBy("c").agg(F.count("*").alias("cnt"))
+    w = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+    dvr = dv.select(
+        "c", "cnt", (F.sum("cnt").over(w) - F.col("cnt")).alias("below")
+    )
+    terms = dvr.agg(
+        F.sum("cnt").alias("v"),
+        F.sum(F.col("c") * F.col("cnt")).alias("total"),
+        F.sum(
+            F.col("c") * F.col("cnt") * (F.col("below") + (F.col("cnt") + 1) / 2.0)
+        ).alias("s_rank"),
+    )
+    return terms.select(
+        F.col("v").cast("bigint").alias("vocab_size"),
+        F.col("total").cast("bigint").alias("n_tokens"),
+        (
+            F.round(
+                2.0 * F.col("s_rank") / (F.col("v") * F.col("total").cast("double"))
+                - (F.col("v") + 1.0) / F.col("v"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("token_gini"),
+    )

@@ -654,3 +654,60 @@ def test_kneser_ney_matches_scalar_reference(spark, sf_dir):
     some_w1 = next(iter(c1))
     vocab = set(c1) | set(bwd)
     assert sum(p_kn(some_w1, w) for w in vocab) == pytest.approx(1.0, abs=0.02)
+
+
+# ---------------------------------------------------------------------------
+# wave 37 (q370-q371)
+# ---------------------------------------------------------------------------
+
+
+def test_mcnemar_matches_scalar_reference(spark, sf_dir):
+    from sparkstreaming_quickstart_spark.queries.wave36 import (
+        _MCN_CHARS,
+        _MCN_TOKENS,
+        q370_mcnemar_test,
+    )
+
+    d = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    d = d[d["text"].str.len() > 0]
+    a = (d["n_chars"] >= _MCN_CHARS).to_numpy()
+    b = (d["text"].str.split(" ").str.len() >= _MCN_TOKENS).to_numpy()
+    bp = int((a & b).sum())
+    oc = int((a & ~b).sum())
+    ot = int((~a & b).sum())
+    bf = int((~a & ~b).sum())
+    chi2 = (abs(oc - ot) - 1) ** 2 / (oc + ot) if oc + ot > 0 else 0.0
+    r = q370_mcnemar_test(spark, sf_dir).collect()[0]
+    assert (r["both_pass"], r["only_chars"], r["only_tokens"], r["both_fail"]) == (
+        bp, oc, ot, bf,
+    )
+    assert r["mcnemar_chi2"] == pytest.approx(chi2, abs=2e-6)
+
+
+def test_token_gini_matches_rank_reference(spark, sf_dir):
+    from collections import Counter
+
+    from sparkstreaming_quickstart_spark.queries.wave36 import q371_token_gini
+
+    d = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    cnt = Counter()
+    for t in d[d["text"].str.len() > 0]["text"]:
+        cnt.update(t.split(" "))
+    cs = sorted(cnt.values())
+    v, total = len(cs), sum(cs)
+    # average-rank tie handling: rank of each token = mean rank of its tie
+    # group (scipy-free replay)
+    ranks = {}
+    i = 0
+    while i < len(cs):
+        j = i
+        while j < len(cs) and cs[j] == cs[i]:
+            j += 1
+        avg = (i + 1 + j) / 2.0
+        ranks[cs[i]] = avg
+        i = j
+    s_rank = sum(ranks[c] * c for c in cs)
+    gini = 2.0 * s_rank / (v * total) - (v + 1.0) / v
+    r = q371_token_gini(spark, sf_dir).collect()[0]
+    assert (r["vocab_size"], r["n_tokens"]) == (v, total)
+    assert r["token_gini"] == pytest.approx(gini, abs=2e-6)
