@@ -106,7 +106,13 @@ def _sentinels_from_sweep(n: int = N_SENTINELS) -> list[str]:
     import re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    logs = sorted(glob.glob(os.path.join(here, "tools", "oracle_sf0.1_round*.log")))
+    # Sort by the NUMERIC round suffix: lexicographic order puts round10
+    # before round2..round9, which would let stale timings win best.update()
+    # (round-9 advisor note).
+    logs = sorted(
+        glob.glob(os.path.join(here, "tools", "oracle_sf0.1_round*.log")),
+        key=lambda p: int(re.search(r"round(\d+)", os.path.basename(p)).group(1)),
+    )
     if not logs:
         return []
     pat = re.compile(r"^\s*(q\w+)\s+OK rows=\d+ \(([\d.]+)s\)")
@@ -217,10 +223,12 @@ def main() -> None:
             continue
         t0 = time.time()
         df = q.fn(spark, sf_dir)
-        if name in ROW_PRESERVING:
-            df.write.format("noop").mode("overwrite").save()
-        else:
-            df.collect()
+        # Sentinels ALWAYS drain via the noop sink: they are auto-derived,
+        # so a row-preserving entry (q42's 600k-row projection in round 9)
+        # can land here, and collect() would then time driver-side result
+        # transfer instead of the engine (round-9 verdict "what's wrong"
+        # #2).  The noop sink still executes the full plan on the executors.
+        df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
     print(
         json.dumps(

@@ -78,13 +78,42 @@ _LOADED = False
 # guards this: with fewer than 50 unchecked entries remaining, the head must
 # be exactly that set.
 _PRIORITY: list[str] = [
+    # Round-10 head (50 = 2 + 48): first the two entries whose round-10 diff
+    # changed values-relevant code (q222's df>50% posting-list prune --
+    # output pairs change, oracle mirrored; q359's C(n,2) moved from double
+    # '/2' to integer DIV so BIGINT pair counts stay exact past 2^53), THEN
+    # 48 STALENESS rotations: the entries with the oldest surviving driver
+    # hash (23 last proven in r01, 25 in r02 -- after r09 all 366 are
+    # proven, so the 50-sample budget refreshes the stalest proofs per the
+    # round-9 verdict contract; every head entry except q359 has last proof
+    # <= r04).  Any new round-10 queries are prepended ABOVE this block so
+    # the never-checked-first rule keeps holding.
+    "q222_tfidf_cosine_pairs", "q359_adjusted_rand",
+    "q100_tpch_q22_idle_customers", "q29_grouping_sets",
+    "q35_session_window_builtin", "q37_pivot", "q38_scalar_subquery",
+    "q46_map_funcs", "q47_higher_order", "q48_pandas_udf", "q49_grouped_map",
+    "q63_udtf_tokenize", "q67_agg_moments", "q79_grouped_agg_udaf",
+    "q80_tpch_q10_returns", "q81_tpch_q13_order_counts",
+    "q82_tpch_q14_promo", "q83_tpch_q18_large_orders",
+    "q93_tpch_q4_priority", "q94_tpch_q7_volume", "q95_tpch_q8_market_share",
+    "q96_tpch_q12_late_lines", "q97_tpch_q15_top_supplier",
+    "q98_tpch_q17_small_qty", "q99_tpch_q19_disjunctive",
+    "q102_array_set_algebra", "q109_doc_chunking", "q110_text_normalize",
+    "q111_label_centroids", "q114_dedup_embedding_exact", "q121_tfidf",
+    "q122_embedding_quantize", "q123_hash_sample", "q124_kmeans_refine",
+    "q125_key_skew_histogram", "q143_dataset_mixing",
+    "q146_stream_stream_left_outer", "q147_salted_skew_join",
+    "q148_embedding_gram", "q152_stream_global_topk", "q36_percentiles",
+    "q50_dedup_exact", "q51_dedup_jaccard_exact", "q52_dedup_minhash_lsh",
+    "q54_similarity_topk", "q55_similarity_ann_lsh", "q56_text_stats",
+    "q57_text_quality", "q58_text_langid", "q59_text_fingerprint",
     # Round-9 head (50 = 19 + 4 + 27): the 19 never-driver-checked
     # wave-33..37 entries come first per the rotation contract (with <50
     # unchecked the head must be EXACTLY that set), THEN the four queries
     # whose round-9 diff changed values-relevant code (q324 full-grid chi2,
     # q329 cosine association order, q296/q301 rows-only -> value-oracle
     # redesigns) -- so the edited spellings get a fresh hash proof -- THEN
-    # 36 STALENESS rotations: core entries whose last driver-hash proof
+    # 27 STALENESS rotations: core entries whose last driver-hash proof
     # predates round 4 (the round-8 verdict item #6; 143 entries were last
     # proven in r01-r03, these are the oldest relational/join/agg/window
     # families).

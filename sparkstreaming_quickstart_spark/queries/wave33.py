@@ -875,7 +875,11 @@ def q359_adjusted_rand(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("nij"))
         .localCheckpoint(eager=True)  # feeds idx + both marginals (rule 9)
     )
-    c2 = lambda x: (x * (x - 1) / 2).cast("bigint")  # noqa: E731
+    # Exact BIGINT pair counts end to end: '/' is double division, exact
+    # only while x*(x-1) <= 2^53 (~9.5e7 rows per cell), but the DuckDB
+    # oracle computes exact integers (round-9 advisor note).  x*(x-1) is
+    # always even, so shiftright(...,1) IS integer division by 2.
+    c2 = lambda x: F.shiftright(x.cast("bigint") * (x - 1), 1)  # noqa: E731
     terms = cells.agg(F.sum(c2(F.col("nij"))).alias("idx"))
     amarg = (
         cells.groupBy("cluster_id")
@@ -893,7 +897,7 @@ def q359_adjusted_rand(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(bmarg))
         .crossJoin(F.broadcast(tot))
     )
-    c2n = (F.col("n") * (F.col("n") - 1) / 2).cast("bigint")
+    c2n = F.shiftright(F.col("n").cast("bigint") * (F.col("n") - 1), 1)
     expv = F.col("ea").cast("double") * F.col("eb") / c2n
     return j.select(
         F.col("n").cast("bigint").alias("n_docs"),
