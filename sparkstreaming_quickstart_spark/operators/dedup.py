@@ -255,17 +255,7 @@ def minhash_lsh_pairs(
     # MapInPandas node -- element access here is a cheap projection over
     # already-computed longs, not a re-evaluation of the signature math.
     sigs = minhash_signatures(docs, num_hashes, seed)
-    # One row per (doc, band); band key = hash of that band's signature slice.
-    # xxhash64 consumes the signature longs directly -- hashing through a
-    # string concat costs 128 long->string casts per doc and measured ~2x the
-    # whole banding stage.
-    def band_key(b: int):
-        return F.xxhash64(F.lit(b), *[F.col("mh")[b * rows + r] for r in range(rows)])
-
-    banded = sigs.select(
-        "doc_id",
-        F.posexplode(F.array(*[band_key(b) for b in range(bands)])).alias("band", "band_key"),
-    )
+    banded = lsh_band_keys(sigs, num_hashes, bands)
     # Bucket members -> all (d1 < d2) pairs, generated inside each bucket.
     # One shuffle over the banded rows; same k^2-per-bucket work the self-join
     # formulation does, minus the duplicate signature evaluation.
@@ -283,25 +273,63 @@ def minhash_lsh_pairs(
             ),
         )
     buckets = buckets.filter(F.size("ids") <= bucket_cap)
+    cand = bucket_member_pairs(buckets)
+    return exact_jaccard_verify(cand, df, text_col, id_col, n, threshold)
+
+
+def lsh_band_keys(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """One row per (doc, band); band key = hash of that band's signature
+    slice.  xxhash64 consumes the signature longs directly -- hashing
+    through a string concat costs 128 long->string casts per doc and
+    measured ~2x the whole banding stage.  Shared by the batch (q52) and
+    streaming (q372) LSH paths so both bucket identically."""
+    rows = num_hashes // bands
+
+    def band_key(b: int):
+        return F.xxhash64(F.lit(b), *[F.col("mh")[b * rows + r] for r in range(rows)])
+
+    return sigs.select(
+        "doc_id",
+        F.posexplode(F.array(*[band_key(b) for b in range(bands)])).alias("band", "band_key"),
+    )
+
+
+def bucket_member_pairs(buckets: DataFrame, ids_col: str = "ids") -> DataFrame:
+    """All (d1 < d2) member pairs of each bucket row (`ids_col` an ASCENDING
+    array), distinct across buckets.  Declarative explode of the in-bucket
+    pair triangle -- shared by the batch (minhash_lsh_pairs / q52) and
+    streaming (q372) LSH candidate paths."""
     pair_structs = F.flatten(
         F.transform(
-            "ids",
+            ids_col,
             lambda x, i: F.transform(
-                F.slice("ids", i + F.lit(2), F.size("ids")),
+                F.slice(ids_col, i + F.lit(2), F.size(ids_col)),
                 lambda y: F.struct(x.alias("d1"), y.alias("d2")),
             ),
         )
     )
-    cand = (
+    return (
         buckets.select(F.explode(pair_structs).alias("p"))
         .select(F.col("p.d1").alias("d1"), F.col("p.d2").alias("d2"))
         .distinct()
     )
-    # Exact verify: explode each pair to (pair, member), join the RAW text for
-    # just those members (column-pruned scan), re-derive the hashed shingle
-    # set for the few candidate rows post-join, regroup to a row per pair.
-    # Jaccard over the hashed sets equals Jaccard over the string shingles
-    # (injective up to 64-bit collisions), and the intersect works on longs.
+
+
+def exact_jaccard_verify(
+    cand: DataFrame,
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    threshold: float,
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs against the raw text.
+
+    Explodes each pair to (pair, member), joins the RAW text for just those
+    members (column-pruned scan), re-derives the hashed shingle set for the
+    few candidate rows post-join, regroups to a row per pair.  Jaccard over
+    the hashed sets equals Jaccard over the string shingles (injective up to
+    64-bit collisions), and the intersect works on longs."""
     raw = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text"))
     long = cand.select("d1", "d2", F.explode(F.array(F.col("d1"), F.col("d2"))).alias("doc_id"))
     member = (

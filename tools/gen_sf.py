@@ -18,11 +18,13 @@ reproduced explicitly:
 - events: microsecond-UNIQUE timestamps over the same 30-day window,
   ts-sorted by event_id (streaming replay order), value ~ the empirical
   distribution, props = '{"k": <0..99>}'.
-- documents: 10-100 tokens from the same 30-word vocabulary, source =
-  src{doc_id % 20}, lang ~ the empirical mix, ~5%% of docs carry the 'dup'
-  marker token, ~2%% are near-copies (one token perturbed) and ~0.2%% exact
-  copies of earlier docs -- giving the LSH/dedup family a pair stream that
-  scales linearly like the fixtures' (256 pairs at sf0.1).
+- documents: 10-100 tokens from a Zipf-distributed ~10k-type vocabulary
+  whose head ranks are the driver fixtures' 30 words (round-10 change: the
+  31-type corpus vocab made candidate-pair streams quadratic at sf>=1 from
+  fixture degeneracy alone -- see SCALING.md), source = src{doc_id % 20},
+  lang ~ the empirical mix, ~5%% of docs carry the 'dup' marker token, ~2%%
+  are near-copies (one token perturbed) and ~0.2%% exact copies of earlier
+  docs -- giving the LSH/dedup family a pair stream that scales linearly.
 - embeddings: unit-normalized float32[64] around 10 cluster centers with
   mild anisotropy (fixture spectrum: lambda in [0.0065, 0.028]), ~1%%
   near-identical planted pairs for the cosine-dedup family.
@@ -50,6 +52,30 @@ VOCAB = [
     "customer", "sort", "order", "slow", "line", "part", "fast", "the",
     "row", "agg", "key", "query", "a", "scan", "batch",
 ]
+
+# Round-10 de-degeneration (round-9 verdict #3): the driver fixtures'
+# 31-type corpus vocabulary makes EVERY posting list / shingle bucket
+# corpus-sized, so at sf>=1 the exact-Jaccard oracles and candidate-pair
+# streams of the q52/q53/q222/q322/q359 family blow up quadratically on
+# fixture degeneracy rather than engine cost.  Generated fixtures instead
+# draw tokens from a ZIPF-DISTRIBUTED vocabulary of ~10k types: the 30
+# real words above stay as the head ranks (so driver-fixture tokens remain
+# a subset and head words still behave like stop-words -- with ~55 tokens
+# per doc the top ~10 ranks exceed 50% document frequency, exercising
+# q222's df-prune realistically), and the tail is deterministic synthetic
+# types.  Planted dup structure ('dup' marker, near/exact copies) is
+# unchanged, so the LSH pair stream still scales linearly.
+VOCAB_N = 10_000
+VOCAB_ZIPF_S = 1.05
+
+
+def _zipf_vocab() -> tuple[np.ndarray, np.ndarray]:
+    """(words, probabilities): rank-r probability ~ 1/r^s over VOCAB_N types;
+    head ranks are the 30 real VOCAB words, tail is w00030..w09999."""
+    words = np.array(VOCAB + [f"w{i:05d}" for i in range(len(VOCAB), VOCAB_N)])
+    ranks = np.arange(1, VOCAB_N + 1, dtype=np.float64)
+    p = 1.0 / ranks**VOCAB_ZIPF_S
+    return words, p / p.sum()
 LANGS = ["en", "de", "zh", "fr", "es"]
 LANG_P = [0.41, 0.14, 0.15, 0.15, 0.15]
 
@@ -199,14 +225,21 @@ def gen(sf: float, out_dir: str, seed: int = 421) -> None:
         },
     )
 
-    # documents: same 30-word vocab, planted dup structure
+    # documents: Zipf ~10k-type vocab (head = the 30 driver-fixture words),
+    # planted dup structure unchanged
     n_doc = int(5000 * scale)
     lang = rng.choice(LANGS, p=LANG_P, size=n_doc)
     texts: list[str] = []
-    vocab = np.array(VOCAB)
+    vocab, vocab_p = _zipf_vocab()
+    ntoks = rng.integers(10, 101, size=n_doc)
+    flat = vocab[
+        rng.choice(len(vocab), p=vocab_p, size=int(ntoks.sum()))
+    ]
+    pos = 0
     for i in range(n_doc):
-        ntok = int(rng.integers(10, 101))
-        toks = list(vocab[rng.integers(0, len(vocab), size=ntok)])
+        ntok = int(ntoks[i])
+        toks = list(flat[pos : pos + ntok])
+        pos += ntok
         if rng.random() < 0.05:
             toks[int(rng.integers(0, ntok))] = "dup"
         texts.append(" ".join(toks))
