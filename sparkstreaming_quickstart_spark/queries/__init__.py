@@ -78,6 +78,9 @@ _LOADED = False
 # guards this: with fewer than 50 unchecked entries remaining, the head must
 # be exactly that set.
 _PRIORITY: list[str] = [
+    # Round-10 never-driver-checked entries FIRST (the rotation contract:
+    # with <50 unchecked the head must be exactly that set).
+    "q372_stream_minhash_neardup",
     # Round-10 head (50 = 2 + 48): first the two entries whose round-10 diff
     # changed values-relevant code (q222's df>50% posting-list prune --
     # output pairs change, oracle mirrored; q359's C(n,2) moved from double
@@ -342,6 +345,7 @@ def _ensure_loaded() -> None:
     from . import wave34  # noqa: F401
     from . import wave35  # noqa: F401
     from . import wave36  # noqa: F401
+    from . import wave37  # noqa: F401
     from . import livejars  # noqa: F401
 
     # First occurrence wins: a rotation may promote a name to the head while

@@ -65,18 +65,21 @@ def events_schema(sf_dir: str) -> StructType:
     )
 
 
-def _stage_events_dir(sf_dir: str) -> str:
-    """File stream sources need a *directory*; stage the single events.parquet
-    into a per-sf temp dir (hard-link when possible, copy otherwise).
+def _stage_table_dir(sf_dir: str, table: str) -> str:
+    """File stream sources need a *directory*; stage the single
+    <table>.parquet into a per-sf temp dir (hard-link when possible, copy
+    otherwise).
 
     The staging key includes the source file's (mtime, size), so regenerating
     the testdata in place invalidates the staged copy instead of silently
     replaying stale data for the life of the machine."""
-    src = os.path.join(sf_dir, "events.parquet")
+    src = os.path.join(sf_dir, f"{table}.parquet")
     st = os.stat(src)
-    key = hashlib.md5(f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}".encode()).hexdigest()[:12]
-    staged = os.path.join(tempfile.gettempdir(), f"ssq-events-{key}")
-    target = os.path.join(staged, "events.parquet")
+    key = hashlib.md5(
+        f"{sf_dir}|{table}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:12]
+    staged = os.path.join(tempfile.gettempdir(), f"ssq-{table}-{key}")
+    target = os.path.join(staged, f"{table}.parquet")
     if not os.path.exists(target):
         os.makedirs(staged, exist_ok=True)
         try:
@@ -84,6 +87,36 @@ def _stage_events_dir(sf_dir: str) -> str:
         except OSError:
             shutil.copyfile(src, target)
     return staged
+
+
+def _stage_events_dir(sf_dir: str) -> str:
+    return _stage_table_dir(sf_dir, "events")
+
+
+def documents_schema() -> StructType:
+    return StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+            StructField("n_chars", LongType()),
+        ]
+    )
+
+
+def documents_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Replay documents.parquet as a file-source stream -- the corpus-ingest
+    sibling of events_stream for the streaming curation operators (q372):
+    at 100 TB this surface is the Kafka/object-store document firehose; the
+    file replay is the same unbounded-DataFrame contract without a broker."""
+    tune(spark)
+    reader = spark.readStream.schema(documents_schema())
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(_stage_table_dir(sf_dir, "documents"))
 
 
 def events_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None) -> DataFrame:

@@ -1,0 +1,136 @@
+"""Wave-37 tests: streaming MinHash-LSH near-dup (q372).
+
+The property the full value oracle rides on: the per-bucket min-(cap+1) set
+state must make the final answer independent of the micro-batch split, so a
+FORCED 3-micro-batch replay must reproduce q52's batch output exactly; the
+kernel's cap/merge behavior is additionally pinned split-free at unit level.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from sparkstreaming_quickstart_spark.sources.catalog import load_table
+
+
+def test_stream_minhash_multibatch_equals_batch(spark, sf_dir):
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from sparkstreaming_quickstart_spark.operators.dedup import (
+        bucket_member_pairs,
+        exact_jaccard_verify,
+        hashed_shingle_docs,
+        lsh_band_keys,
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+    from sparkstreaming_quickstart_spark.queries.wave37 import (
+        _SMH_BANDS,
+        _SMH_CAP,
+        _SMH_HASHES,
+        _SMH_N,
+        _SMH_SEED,
+        _SMH_T,
+        _smh_schemas,
+        _smh_update,
+    )
+    from sparkstreaming_quickstart_spark.streaming.pipeline import run_to_memory
+
+    splitdir = tempfile.mkdtemp(prefix="ssq-split372-")
+    src = load_table(spark, sf_dir, "documents")
+    src.repartition(3).write.mode("overwrite").parquet(splitdir)
+
+    out_schema, state_schema = _smh_schemas()
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(splitdir)
+        .select("doc_id", "text")
+    )
+    docs = hashed_shingle_docs(stream, "text", "doc_id", _SMH_N)
+    sigs = minhash_signatures(docs, _SMH_HASHES, _SMH_SEED, spread=False)
+    banded = lsh_band_keys(sigs, _SMH_HASHES, _SMH_BANDS)
+    res = banded.groupBy("band", "band_key").applyInPandasWithState(
+        _smh_update(_SMH_CAP),
+        out_schema,
+        state_schema,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+    table = run_to_memory(res, output_mode="update")
+    raw = spark.table(table).toPandas()
+    # interim emissions prove the replay really split into micro-batches:
+    # at least one bucket must have been updated (hence emitted) twice
+    n_keys = raw[["band", "band_key"]].drop_duplicates().shape[0]
+    assert len(raw) > n_keys
+
+    final = (
+        spark.table(table)
+        .groupBy("band", "band_key")
+        .agg(F.max_by(F.struct("ids", "n_ids"), "n_rows").alias("s"))
+        .select(F.col("s.ids").alias("ids"), F.col("s.n_ids").alias("n_ids"))
+    )
+    buckets = final.filter(
+        (F.col("n_ids") >= 2) & (F.col("n_ids") <= _SMH_CAP)
+    ).select("ids")
+    cand = bucket_member_pairs(buckets)
+    got = (
+        exact_jaccard_verify(cand, src, "text", "doc_id", _SMH_N, _SMH_T)
+        .orderBy("d1", "d2")
+        .toPandas()
+    )
+    want = (
+        minhash_lsh_pairs(src, "text", "doc_id", n=_SMH_N, threshold=_SMH_T)
+        .orderBy("d1", "d2")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+class _FakeState:
+    def __init__(self):
+        self.exists = False
+        self._v = None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+        self.exists = True
+
+
+def _run_kernel(update, batches):
+    st = _FakeState()
+    last = None
+    for pdf in batches:
+        last = next(update((3, 77), [pdf], st))
+    return st, last
+
+
+def test_smh_kernel_cap_and_split_independence():
+    """min-(cap+1) set state: order/split independent, idempotent under
+    duplicate arrivals, and n_ids == cap+1 signals an oversize bucket."""
+    from sparkstreaming_quickstart_spark.queries.wave37 import _smh_update
+
+    update = _smh_update(2)  # cap=2 -> state holds at most 3 ids
+    a = pd.DataFrame({"doc_id": [9, 5]})
+    b = pd.DataFrame({"doc_id": [7, 5, 1]})  # 5 arrives twice (idempotent)
+    st1, out1 = _run_kernel(update, [a, b])
+    st2, out2 = _run_kernel(update, [b, a])
+    st3, out3 = _run_kernel(update, [pd.concat([a, b])])
+    # final ids identical under any split/order: min-3 of {1,5,7,9}
+    assert st1.get[0] == st2.get[0] == st3.get[0] == [1, 5, 7]
+    # n_ids == cap+1 == 3 proves the true bucket exceeds cap=2 -> droppable
+    assert out1["n_ids"].iloc[0] == 3
+    # n_rows counts processed rows (5 in every split) and strictly grew
+    assert st1.get[1] == st2.get[1] == st3.get[1] == 5
+    assert out3["band"].iloc[0] == 3 and out3["band_key"].iloc[0] == 77
+
+    # under-cap bucket: the array IS the complete membership
+    st4, out4 = _run_kernel(update, [pd.DataFrame({"doc_id": [4]})])
+    assert st4.get[0] == [4] and out4["n_ids"].iloc[0] == 1
