@@ -70,6 +70,74 @@ def _normalize(df: pd.DataFrame) -> list[tuple]:
     return out
 
 
+# Row counts above which compare() switches to the columnar hash fast path.
+# The pure-Python normalize+sort is O(rows) Python objects and dominated the
+# sf1/sf10 sweep outliers (q34: 194.5 s of 197 at sf1 was harness) -- the
+# round-9 verdict asked for a columnar compare so scale sweeps measure
+# engines, not the harness.
+_FAST_COMPARE_MIN_ROWS = 200_000
+
+_SEP = "chr(31)"
+_NULL = "chr(1) || 'N'"
+
+
+def _fast_col_class(df: pd.DataFrame, c: str) -> str | None:
+    """Classify a column for the SQL normalization; None = not fast-safe."""
+    dt = df[c].dtype
+    if pd.api.types.is_float_dtype(dt):
+        return "float"
+    if pd.api.types.is_integer_dtype(dt) or pd.api.types.is_bool_dtype(dt):
+        return "int"
+    if pd.api.types.is_datetime64_any_dtype(dt):
+        return "ts"
+    if dt == object:
+        sample = df[c].dropna()
+        if len(sample) == 0 or isinstance(sample.iloc[0], str):
+            return "str"
+    return None
+
+
+def _fast_norm_expr(c: str, cls: str) -> str:
+    q = '"' + c.replace('"', '""') + '"'
+    if cls == "float":
+        # %.12g mirrors the slow path's 12-significant-digit absorption of
+        # sub-ulp engine differences (same C printf semantics).
+        e = f"printf('%.12g', CAST({q} AS DOUBLE))"
+    elif cls == "ts":
+        e = f"strftime(CAST({q} AS TIMESTAMP), '%Y-%m-%dT%H:%M:%S.%f')"
+    else:
+        e = f"CAST({q} AS VARCHAR)"
+    return f"coalesce({e}, {_NULL})"
+
+
+def _fast_multiset_hash(df: pd.DataFrame, exprs: list[str]) -> tuple[int, int]:
+    """(rows, order-insensitive 128-bit-safe hash) via DuckDB: every row is
+    normalized IDENTICALLY for both engines' frames by the same vectorized
+    SQL, hashed, and SUMmed (HUGEINT -- exact), so multiset equality of the
+    normalized rows is compared without building Python objects."""
+    con = duckdb.connect()
+    try:
+        con.register("t", df)
+        row = con.execute(
+            f"SELECT COUNT(*), SUM(CAST(hash(concat_ws({_SEP}, "
+            f"{', '.join(exprs)})) AS HUGEINT)) FROM t"
+        ).fetchone()
+        return int(row[0]), int(row[1]) if row[1] is not None else 0
+    finally:
+        con.close()
+
+
+def _try_fast_compare(sdf: pd.DataFrame, ddf: pd.DataFrame, cols: list[str]) -> bool | None:
+    """Columnar multiset compare; None = dtypes not fast-safe, fall back."""
+    exprs = []
+    for c in cols:
+        cls_s, cls_d = _fast_col_class(sdf, c), _fast_col_class(ddf, c)
+        if cls_s is None or cls_s != cls_d:
+            return None
+        exprs.append(_fast_norm_expr(c, cls_s))
+    return _fast_multiset_hash(sdf, exprs) == _fast_multiset_hash(ddf, exprs)
+
+
 def compare(spark: SparkSession, sf_dir: str, fn, sql: str) -> dict:
     """Run query + oracle; return a result dict (ok, counts, first diff)."""
     sdf = fn(spark, sf_dir).toPandas()
@@ -90,6 +158,16 @@ def compare(spark: SparkSession, sf_dir: str, fn, sql: str) -> dict:
         res["ok"] = False
         res["why"] = "row count mismatch"
         return res
+    cols = sorted(sdf.columns)
+    if len(sdf) >= _FAST_COMPARE_MIN_ROWS:
+        fast = _try_fast_compare(sdf, ddf, cols)
+        if fast is True:
+            res["ok"] = True
+            res["fast_path"] = True
+            return res
+        # fast is False -> provably different, but fall through to the slow
+        # path anyway so `why` reports the first differing row; fast is None
+        # -> dtypes not fast-safe (arrays/decimals), slow path is the check.
     a, b = _normalize(sdf), _normalize(ddf)
     if a != b:
         diff = next((i, x, y) for i, (x, y) in enumerate(zip(a, b)) if x != y)
