@@ -134,3 +134,58 @@ def test_smh_kernel_cap_and_split_independence():
     # under-cap bucket: the array IS the complete membership
     st4, out4 = _run_kernel(update, [pd.DataFrame({"doc_id": [4]})])
     assert st4.get[0] == [4] and out4["n_ids"].iloc[0] == 1
+
+
+def test_partition_pruned_scan_plan(spark, sf_dir):
+    """q374's plan pin: the event_type predicate must be consumed as a
+    PartitionFilter (directory pruning) with NO data filter left -- the
+    property that bounds the scan to the named slice at 100 TB."""
+    import re
+
+    from sparkstreaming_quickstart_spark.queries.wave37 import (
+        q374_partition_pruned_scan,
+    )
+
+    df = q374_partition_pruned_scan(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    assert "DataFilters: []" in scan, scan
+    m = re.search(r"PartitionFilters: \[([^\]]*)", scan)
+    assert m and "event_type" in m.group(1) and "purchase" in m.group(1), scan
+
+
+def test_bucketed_join_is_exchange_free(spark, sf_dir):
+    """q373's plan pin: with broadcast disabled, the bucketed-table join
+    carries ZERO Exchange operators below the join (bucket i reads against
+    bucket i), while the identical plain-parquet join shuffles BOTH sides.
+    This is the storage-bucketing contract the query exists to prove."""
+    from sparkstreaming_quickstart_spark.queries.wave37 import (
+        _bucketed_name,
+        q373_bucketed_colocated_join,
+    )
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # materialize the bucketed tables (and check values while at it)
+        rows = q373_bucketed_colocated_join(spark, sf_dir).collect()
+        assert len(rows) == 5 and all(r["n_lines"] > 0 for r in rows)
+
+        li = spark.table(_bucketed_name("li_bkt", sf_dir))
+        orders = spark.table(_bucketed_name("or_bkt", sf_dir))
+        bucketed = li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        plan_b = bucketed._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan_b, plan_b
+
+        raw_li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount"
+        )
+        raw_or = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority"
+        )
+        plain = raw_li.join(raw_or, raw_li["l_orderkey"] == raw_or["o_orderkey"])
+        plan_p = plain._jdf.queryExecution().executedPlan().toString()
+        assert plan_p.count("Exchange") == 2, plan_p
+    finally:
+        if old is not None:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
