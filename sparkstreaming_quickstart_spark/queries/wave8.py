@@ -1278,9 +1278,19 @@ _TFIDF_COS_T = 0.9
     "30/31 tokens exceed 50% df, so the pruned space collapses to the "
     "planted 'dup' marker postings (measured: 300 pairs at sf0.01, 31,125 "
     "at sf0.1, all cos=1.0 in the one-dimensional kept space; the sf0.1 "
-    "sentinel dropped from 58.3 s to single digits).  Completes the "
-    "lexical-similarity family: Jaccard (q51), MinHash (q52), SimHash "
-    "(q53), containment (q185), BM25 (q191).",
+    "sentinel dropped from 58.3 s to single digits).  SCALE CLASS: even "
+    "pruned, the exact inverted-index join is Sum over kept tokens of "
+    "C(df,2) -- measured on a Zipf(1.05, 10k-type) sf1 fixture the tokens "
+    "JUST UNDER the 50% cut (df ~ 25k of 50k docs) alone contribute ~1e9 "
+    "join rows (41 GB of shuffle spill before the run was stopped; "
+    "SCALING.md round-10 note), so this exact form is the ground-truth "
+    "twin of the lexical-similarity family, not the 100 TB path -- "
+    "production near-dup at cos >= 0.9 generates candidates with MinHash "
+    "LSH (q52) or a prefix filter (q185) and verifies exactly, the same "
+    "fence as q51/q54/q114/q178.  Completes the lexical-similarity "
+    "family: Jaccard (q51), MinHash (q52), SimHash (q53), containment "
+    "(q185), BM25 (q191).",
+    scale_class="ground-truth",
 )
 def q222_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)

@@ -170,10 +170,11 @@ def test_observation_metrics_single_pass(spark, sf_dir):
 
 
 def test_ground_truth_tags_and_cli_surfacing(sf_dir):
-    """Round-9 scale-class fence: the four all-pairs/parity entries carry
-    scale_class='ground-truth', --list-queries marks them, and --query
-    warns before running one.  No untagged registry entry may have a
-    cartesian product in the committed plan audit."""
+    """Scale-class fence (round 9, extended round 10): the five exact/
+    all-pairs parity entries carry scale_class='ground-truth',
+    --list-queries marks them, and --query warns before running one.  No
+    untagged registry entry may have a cartesian product in the committed
+    plan audit."""
     import json
 
     from sparkstreaming_quickstart_spark.queries import all_queries
@@ -185,6 +186,10 @@ def test_ground_truth_tags_and_cli_surfacing(sf_dir):
         "q54_similarity_topk",
         "q114_dedup_embedding_exact",
         "q178_brp_lsh_euclidean",
+        # round 10: the exact inverted-index TF-IDF join is Sum C(df,2) --
+        # measured quadratic-class on a Zipf vocab even with the df>50%
+        # stop-word prune (wave8.py docstring; SCALING.md round-10 note)
+        "q222_tfidf_cosine_pairs",
     }
     assert {q.scale_class for q in qs.values()} <= {"scale", "ground-truth"}
     with open("/root/repo/tools/plan_audit.json") as fh:
