@@ -481,3 +481,162 @@ def q375_tfidf_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos_sim") >= _TFIDF_LSH_T)
         .orderBy("d1", "d2")
     )
+
+
+# ---------------------------------------------------------------------------
+# q376: per-document top-k TF-IDF keywords (corpus topic tagging)
+# ---------------------------------------------------------------------------
+
+_KW_K = 5
+
+
+@register(
+    "q376_tfidf_keywords",
+    sql=f"""
+    WITH tok AS (
+        SELECT doc_id, token, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+              FROM documents WHERE length(text) > 0)
+        GROUP BY 1, 2),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tok),
+    w AS (SELECT doc_id, token,
+                 ROUND(tf * ln(CAST(n.n AS DOUBLE) / df.df), 9) AS w
+          FROM tok
+          JOIN (SELECT token, COUNT(*) AS df FROM tok GROUP BY 1) df
+            USING (token), n),
+    ranked AS (
+        SELECT doc_id, token, w,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY w DESC, token) AS rank
+        FROM w)
+    SELECT doc_id, CAST(rank AS INT) AS rank, token,
+           ROUND(w, 6) AS tfidf
+    FROM ranked WHERE rank <= {_KW_K}
+    ORDER BY doc_id, rank
+    """,
+    doc=f"Per-document top-{_KW_K} TF-IDF keywords -- the corpus topic-"
+    "tagging / keyphrase-extraction primitive every curation pipeline "
+    "runs before clustering or routing.  One tokenize pass, a vocab-"
+    "bounded df agg broadcast back through the token join, then ONE "
+    "window rank per doc -- every stage linear in corpus tokens, no "
+    "pairwise anything; at 100 TB the doc_id window partitions are "
+    "per-document (perfectly parallel, no skew by construction).  "
+    "Ranking uses ROUND(w, 9) with a token tie-break (the q329 rank-"
+    "before-round discipline) so top-k sets are engine-exact even if "
+    "ln() differs in the last ulp.",
+)
+def q376_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    tok = (
+        d.select("doc_id", F.explode(tokens("text")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    n = tok.select(F.countDistinct("doc_id").alias("n"))
+    df_t = tok.groupBy("token").agg(F.count("*").alias("df"))
+    w = (
+        tok.join(df_t, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                F.col("tf") * F.log(F.col("n").cast("double") / F.col("df")), 9
+            ).alias("w"),
+        )
+    )
+    win = Window.partitionBy("doc_id").orderBy(F.col("w").desc(), F.col("token"))
+    return (
+        w.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= _KW_K)
+        .select(
+            "doc_id",
+            F.col("rank").cast("int").alias("rank"),
+            "token",
+            F.round("w", 6).alias("tfidf"),
+        )
+        .orderBy("doc_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q377: truncated EWMA smoothing over event streams (windowed weighted fold)
+# ---------------------------------------------------------------------------
+
+_EWMA_ALPHA = 0.25
+_EWMA_K = 32  # truncation: (1-a)^32 ~ 1e-4 of unit weight
+
+
+@register(
+    "q377_ewma_smoothing",
+    sql=f"""
+    WITH o AS (
+        SELECT event_type, event_id, value,
+               list(value) OVER (
+                   PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN {_EWMA_K - 1} PRECEDING AND CURRENT ROW) AS l
+        FROM events)
+    SELECT event_type, event_id,
+           ROUND(
+             list_sum(list_transform(l, (x, i) -> x * power({1 - _EWMA_ALPHA}, len(l) - i)))
+             / list_sum(list_transform(l, (x, i) -> power({1 - _EWMA_ALPHA}, len(l) - i))),
+             6) AS ewma
+    FROM o
+    ORDER BY event_type, event_id
+    """,
+    doc=f"Truncated EWMA smoothing of event values per event_type (alpha="
+    f"{_EWMA_ALPHA}, last {_EWMA_K} observations; (1-a)^{_EWMA_K} ~ 1e-4 "
+    "so truncation error is below the 6-digit output rounding) -- the "
+    "metric-smoothing primitive behind drift monitors and rate alarms.  "
+    "The recursive EWMA definition is deliberately re-spelled as a "
+    "WINDOWED WEIGHTED FOLD: a bounded ROWS frame collects the last "
+    f"{_EWMA_K} values in frame order and a higher-order transform "
+    "applies the geometric weights -- one shuffle on event_type, "
+    "perfectly partitionable, no sequential recursion anywhere (a "
+    "recursive spelling cannot distribute; the truncated fold is how "
+    "streaming metric systems actually compute it).  Both engines fold "
+    "the SAME 32 doubles in the SAME ascending frame order (DuckDB's "
+    "lambda index is 1-based, Spark's 0-based -- exponents mirrored "
+    "accordingly), so the one division replays exactly at 6 digits.  "
+    "Frame order is total: ts ties broken by event_id.",
+)
+def q377_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    win = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(_EWMA_K - 1), 0)
+    )
+    l = F.collect_list("value").over(win)
+    decay = F.lit(1.0 - _EWMA_ALPHA)
+    num = F.aggregate(
+        F.transform(
+            F.col("l"),
+            lambda x, i: x * F.pow(decay, F.size("l") - (i + 1)),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    den = F.aggregate(
+        F.transform(
+            F.col("l"),
+            lambda x, i: F.pow(decay, F.size("l") - (i + 1)),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        e.select("event_type", "event_id", l.alias("l"))
+        .select(
+            "event_type",
+            "event_id",
+            F.round(num / den, 6).alias("ewma"),
+        )
+        .orderBy("event_type", "event_id")
+    )
