@@ -189,3 +189,45 @@ def test_bucketed_join_is_exchange_free(spark, sf_dir):
     finally:
         if old is not None:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_ewma_truncated_fold_matches_recursive_reference(spark, sf_dir):
+    """q377: the windowed weighted fold must equal the textbook recursive
+    EWMA y_t = a*x_t + (1-a)*y_{t-1} within the truncation bound
+    (1-a)^K ~ 1e-4 -- and exactly (to 6dp output rounding) wherever the
+    frame is saturated deep enough that truncation error < 5e-7."""
+    import numpy as np
+    import pandas as pd
+
+    from sparkstreaming_quickstart_spark.queries.wave37 import (
+        _EWMA_ALPHA,
+        _EWMA_K,
+        q377_ewma_smoothing,
+    )
+
+    got = q377_ewma_smoothing(spark, sf_dir).toPandas()
+    e = (
+        pd.read_parquet(f"{sf_dir}/events.parquet")[
+            ["event_type", "event_id", "ts", "value"]
+        ]
+        .sort_values(["event_type", "ts", "event_id"])
+        .reset_index(drop=True)
+    )
+    a = _EWMA_ALPHA
+    for et, g in e.groupby("event_type"):
+        x = g["value"].to_numpy()
+        # recursive reference (normalized form: weights renormalized over
+        # the observed prefix, which equals the standard adjusted EWMA)
+        y = np.empty(len(x))
+        num = den = 0.0
+        for i, v in enumerate(x):
+            num = v + (1 - a) * num
+            den = 1.0 + (1 - a) * den
+            y[i] = num / den
+        sub = got[got["event_type"] == et].set_index("event_id")
+        ref = pd.Series(y, index=g["event_id"].to_numpy())
+        diff = (sub["ewma"] - ref.round(6)).abs()
+        # truncation bound: the dropped tail's weight share is <=
+        # (1-a)^K / (1/a), and it carries values bounded by max|x|
+        bound = (1 - a) ** _EWMA_K / a * float(np.abs(x).max()) + 1e-6
+        assert diff.max() <= bound, (et, diff.max(), bound)
