@@ -317,20 +317,28 @@ _TL_ROWS = _TL_HASHES // _TL_BANDS
 
 
 def _tl_u_exprs_sql() -> str:
-    """The 96 per-doc minhash values as DuckDB expressions: u_j = the MIN
-    over shingles of the lowercase-hex lower-64 of md5('<j>|'||shingle).
-    Hex strings compare lexicographically == unsigned numeric order, so
-    Spark's MIN(string) and DuckDB's list_min(VARCHAR) agree exactly."""
+    """The 96 per-doc minhash values as DuckDB expressions, replaying the
+    SAME affine family the Arrow kernel computes: u_j = MIN over shingle
+    hashes h (the conv-md5 60-bit positive long, q367's trick) of
+    (a_j * (h % p) + b_j) % p with p = 2^31-1 and (a_j, b_j) the seeded
+    literals of operators.dedup._hash_family(96, 42).  Every operand is
+    positive and a_j * (h % p) < 2^62, so BIGINT '%' and numpy's pmod
+    agree exactly -- the kernel was designed for this replay."""
+    from ..operators.dedup import _P, _hash_family
+
+    fam = _hash_family(_TL_HASHES, _SMH_SEED)
     return ",\n            ".join(
-        f"list_min(list_transform(sh, s -> substr(md5('{j}|' || s), 17, 16))) AS u{j}"
-        for j in range(_TL_HASHES)
+        f"list_min(list_transform(xs, h -> ({a} * (h % {_P}) + {b}) % {_P})) AS u{j}"
+        for j, (a, b) in enumerate(fam)
     )
 
 
 def _tl_band_branches_sql() -> str:
     return "\n        UNION ALL\n".join(
         f"SELECT doc_id, {b} AS band, "
-        + " || '|' || ".join(f"u{_TL_ROWS * b + r}" for r in range(_TL_ROWS))
+        + " || '|' || ".join(
+            f"CAST(u{_TL_ROWS * b + r} AS VARCHAR)" for r in range(_TL_ROWS)
+        )
         + " AS key FROM mh"
         for b in range(_TL_BANDS)
     )
@@ -347,10 +355,14 @@ _TL_ORACLE = f"""
                                      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
             END) AS sh
         FROM base),
+    hsh AS (
+        SELECT doc_id, list_transform(sh,
+            s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)) AS xs
+        FROM shl WHERE len(sh) > 0),
     mh AS (
         SELECT doc_id,
             {{u_exprs}}
-        FROM shl WHERE len(sh) > 0),
+        FROM hsh),
     bkt AS (
         {{band_branches}}
     ),
@@ -393,12 +405,16 @@ _TL_ORACLE = f"""
     "scale path that replaces q222's exact inverted-index join (fenced "
     "ground-truth: Sum C(df,2), ~1e9 rows on a realistic Zipf sf1 "
     "corpus).  Candidate generation is banded MinHash whose ENTIRE chain "
-    "is replayed by the oracle -- no capture argument: shingles are "
-    "'w1 w2 w3' strings, minhash_j = MIN over shingles of the hex "
-    "lower-64 of md5('<j>|'||shingle) (hex MIN == unsigned numeric MIN "
-    "in both engines), band key = the 4 row-mins joined with '|', "
-    "buckets capped at 256 (q52's hot-bucket rule) -- 24x4 over 96 "
-    "hashes, the same knee as q52.  The exact TF-IDF cosine over the "
+    "is replayed by the oracle -- no capture argument: shingle hash = "
+    "the conv-md5 60-bit positive long (q367's trick), minhash_j = the "
+    "shared Arrow kernel's affine family (a_j*(h%p)+b_j)%p at p=2^31-1 "
+    "whose every operand fits BIGINT exactly (the kernel docstring's "
+    "design constraint, cashed in here: the oracle carries the seeded "
+    "(a_j, b_j) as literals), band key = the 4 row-mins joined with "
+    "'|', buckets capped at 256 (q52's hot-bucket rule) -- 24x4 over 96 "
+    "hashes, the same knee as q52.  ONE md5 per shingle; the 96-wide "
+    "min-grid is vectorized numpy, not 96 interpreted JVM aggregates "
+    "(Spark side 20.1 -> 6.1 s steady-state at sf0.1).  The exact TF-IDF cosine over the "
     "FULL un-pruned vector space is then computed for candidate pairs "
     "only: two token equi-joins against the weighted index w, "
     "O(|d1|+|d2|) per candidate, idf/norms linear one-pass aggregates.  "
@@ -413,26 +429,29 @@ _TL_ORACLE = f"""
 )
 def q375_tfidf_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import tokens, word_shingles
-    from ..operators.dedup import bucket_member_pairs
+    from ..operators.dedup import bucket_member_pairs, minhash_signatures
 
     d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
-    # candidate generation: md5-hex minhash (oracle-replayable; see doc)
-    exploded = d.select(
-        "doc_id", F.explode(word_shingles("text", 3)).alias("sh")
-    )
-    mins = exploded.groupBy("doc_id").agg(
-        *[
-            F.min(
-                F.substring(F.md5(F.concat(F.lit(f"{j}|"), F.col("sh"))), 17, 16)
-            ).alias(f"u{j}")
-            for j in range(_TL_HASHES)
-        ]
-    )
+    # candidate generation: conv-md5 shingle hashes (q367's replayable
+    # 60-bit positive long) -> the SHARED Arrow affine-minhash kernel
+    # (bit-identical to the oracle's (a*h%p+b)%p literals) -> string band
+    # keys.  One md5 per shingle instead of 96; the 96-wide min-grid runs
+    # vectorized in numpy instead of as interpreted JVM aggregates.
+    docs = d.select(
+        "doc_id",
+        F.transform(
+            word_shingles("text", 3),
+            lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint"),
+        ).alias("xs"),
+    ).filter(F.size("xs") > 0)
+    sigs = minhash_signatures(docs, _TL_HASHES, _SMH_SEED)
     band_keys = [
-        F.concat_ws("|", *[F.col(f"u{_TL_ROWS * b + r}") for r in range(_TL_ROWS)])
+        F.concat_ws(
+            "|", *[F.col("mh")[_TL_ROWS * b + r] for r in range(_TL_ROWS)]
+        )
         for b in range(_TL_BANDS)
     ]
-    banded = mins.select(
+    banded = sigs.select(
         "doc_id", F.posexplode(F.array(*band_keys)).alias("band", "key")
     )
     buckets = (
