@@ -355,11 +355,15 @@ _TL_ORACLE = f"""
                                      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
             END) AS sh
         FROM base),
-    hsh AS (
+    hsh AS MATERIALIZED (
         SELECT doc_id, list_transform(sh,
             s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)) AS xs
         FROM shl WHERE len(sh) > 0),
-    mh AS (
+    mh AS MATERIALIZED (
+        -- MATERIALIZED: 24 band branches consume mh; inlined, DuckDB
+        -- re-evaluates the whole 96-lambda min-grid (and hsh's md5 pass)
+        -- once PER BRANCH and ran the container out of temp disk at sf1.
+        -- Materialized it is doc_id + 96 BIGINTs (~40 MB at 50k docs).
         SELECT doc_id,
             {{u_exprs}}
         FROM hsh),
@@ -380,8 +384,9 @@ _TL_ORACLE = f"""
         GROUP BY 1, 2),
     n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tok),
     df AS (SELECT token, COUNT(*) AS df FROM tok GROUP BY 1),
-    w AS (SELECT doc_id, token, tf * ln(CAST(n.n AS DOUBLE) / df.df) AS w
-          FROM tok JOIN df USING (token), n),
+    w AS MATERIALIZED (
+        SELECT doc_id, token, tf * ln(CAST(n.n AS DOUBLE) / df.df) AS w
+        FROM tok JOIN df USING (token), n),
     nrm AS (SELECT doc_id, sqrt(SUM(w * w)) AS nrm FROM w GROUP BY 1),
     dots AS (
         SELECT cand.d1, cand.d2, SUM(a.w * b.w) AS dot
