@@ -136,8 +136,13 @@ def _minhash_batches(num_hashes: int, seed: int):
     knob rather than a vectorization knob).
     """
     fam = _hash_family(num_hashes, seed)
+    # NB round-10 fix: B previously unpacked `for b, _ in fam`, i.e. the
+    # FIRST tuple element again, silently making B == A -- the kernel
+    # computed (a*x + a) % p.  Still a valid (self-consistent) affine
+    # family, so every Jaccard-verified consumer was correct; it surfaced
+    # the moment q375's oracle replayed the seeded (a_j, b_j) literals.
     A = np.array([a for a, _ in fam], dtype=np.int64)[:, None]
-    B = np.array([b for b, _ in fam], dtype=np.int64)[:, None]
+    B = np.array([b for _, b in fam], dtype=np.int64)[:, None]
 
     def gen(batches):
         for pdf in batches:
