@@ -231,3 +231,34 @@ def test_ewma_truncated_fold_matches_recursive_reference(spark, sf_dir):
         # (1-a)^K / (1/a), and it carries values bounded by max|x|
         bound = (1 - a) ** _EWMA_K / a * float(np.abs(x).max()) + 1e-6
         assert diff.max() <= bound, (et, diff.max(), bound)
+
+
+def test_minhash_kernel_matches_affine_family_formula():
+    """Regression pin for the round-10 tuple-unpacking bug (B == A): the
+    Arrow kernel must compute exactly (a_j * (h % p) + b_j) % p per family
+    member -- the contract q375's oracle replays as SQL literals.  A pure
+    hashlib/python replay over a handful of synthetic docs must match the
+    kernel bit for bit, and the family must not be degenerate (a != b
+    somewhere)."""
+    import pandas as pd
+
+    from sparkstreaming_quickstart_spark.operators.dedup import (
+        _P,
+        _hash_family,
+        _minhash_batches,
+    )
+
+    fam = _hash_family(96, 42)
+    assert any(a != b for a, b in fam)
+    docs = {
+        1: [123456789012345],
+        2: [123456789012345, 987654321098765],
+        3: [5, 2**59, _P, _P - 1, 17],
+    }
+    pdf = pd.DataFrame(
+        {"doc_id": list(docs), "xs": [docs[k] for k in docs]}
+    )
+    out = list(_minhash_batches(96, 42)([pdf]))[0].set_index("doc_id")
+    for did, xs in docs.items():
+        want = [min((a * (h % _P) + b) % _P for h in xs) for a, b in fam]
+        assert list(out.loc[did, "mh"]) == want, did
