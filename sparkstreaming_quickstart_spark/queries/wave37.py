@@ -1,10 +1,21 @@
-"""Wave 37 (round 10): streaming NEAR-dup detection.
+"""Wave 37 (round 10): streaming near-dup, storage layout, and the
+TF-IDF scale path.
 
-The streaming dedup family previously covered exact keys (q72, q164) and
-mergeable sketches (q340 A-Res, q367 KMV); q372 adds the missing member the
-round-9 verdict asked for -- a stateful MinHash-LSH near-dup operator whose
-final answer is provably independent of the micro-batch split, so it carries
-the same FULL exact-Jaccard value oracle as its batch sibling q52.
+- q372 streaming MinHash-LSH near-dup: the stateful member the streaming
+  dedup family lacked (exact keys q72/q164, sketches q340/q367); its
+  min-(cap+1) bucket set state makes the final answer provably independent
+  of the micro-batch split, so it carries the FULL exact-Jaccard value
+  oracle of its batch sibling q52.
+- q373/q374 storage layout: bucketBy co-located join (plan-pinned ZERO
+  exchanges below the join) and partitionBy pruned scan (predicate consumed
+  as a PartitionFilter) -- the write-time decisions that kill the join
+  shuffle and the scan at 100 TB.
+- q375 TF-IDF cosine via LSH candidates + exact verify: replaces the fenced
+  ground-truth q222; its oracle REPLAYS the whole candidate chain (conv-md5
+  shingle hashes + the Arrow kernel's affine family as SQL literals), which
+  exposed and fixed the kernel's latent B==A tuple-unpacking bug.
+- q376 per-doc top-k TF-IDF keywords; q377 truncated EWMA as a windowed
+  weighted fold (the distributable spelling of the recursive definition).
 
 Reference parity note: the reference's only streaming operator is a
 Kafka->println DStream pipeline (Processor.java:118-139); this module is new

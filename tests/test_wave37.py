@@ -262,3 +262,34 @@ def test_minhash_kernel_matches_affine_family_formula():
     for did, xs in docs.items():
         want = [min((a * (h % _P) + b) % _P for h in xs) for a, b in fam]
         assert list(out.loc[did, "mh"]) == want, did
+
+
+def test_bucketed_table_prunes_buckets_on_key_filter(spark, sf_dir):
+    """The second storage-bucketing payoff q373's tables give for free:
+    an equality filter on the bucket key scans ONE bucket of 8
+    (SelectedBucketsCount in the scan), not the whole table."""
+    from sparkstreaming_quickstart_spark.queries.wave37 import (
+        _bucketed_name,
+        q373_bucketed_colocated_join,
+    )
+
+    q373_bucketed_colocated_join(spark, sf_dir).collect()  # ensure tables
+    li = spark.table(_bucketed_name("li_bkt", sf_dir))
+    key = li.select("l_orderkey").first()["l_orderkey"]
+    # autoBucketedScan demotes bucketed reads for join-free plans (it
+    # trades pruning for vectorized-scan parallelism); pin it on so the
+    # pruning capability itself is what's asserted.
+    conf = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    old = spark.conf.get(conf, None)
+    spark.conf.set(conf, "false")
+    try:
+        plan = (
+            li.filter(F.col("l_orderkey") == key)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "SelectedBucketsCount: 1 out of 8" in plan, plan
+    finally:
+        if old is not None:
+            spark.conf.set(conf, old)
