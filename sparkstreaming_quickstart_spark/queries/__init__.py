@@ -83,6 +83,7 @@ _PRIORITY: list[str] = [
     "q372_stream_minhash_neardup", "q373_bucketed_colocated_join",
     "q374_partition_pruned_scan", "q375_tfidf_cosine_lsh",
     "q376_tfidf_keywords", "q377_ewma_smoothing",
+    "q378_corpus_snapshot_diff",
     # Round-10 head (50 = 2 + 48): first the two entries whose round-10 diff
     # changed values-relevant code (q222's df>50% posting-list prune --
     # output pairs change, oracle mirrored; q359's C(n,2) moved from double

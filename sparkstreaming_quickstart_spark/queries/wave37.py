@@ -675,3 +675,89 @@ def q377_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q378: corpus snapshot diff (run-over-run curation audit)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q378_corpus_snapshot_diff",
+    sql="""
+    WITH a AS (SELECT doc_id, md5(text) AS h, n_chars FROM documents),
+    b AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 23 = 5
+                    THEN md5(text || ' rev2') ELSE md5(text) END AS h,
+               CASE WHEN doc_id % 23 = 5
+                    THEN n_chars + 5 ELSE n_chars END AS n_chars
+        FROM documents WHERE doc_id % 17 <> 3),
+    j AS (
+        SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+               CASE WHEN b.doc_id IS NULL THEN 'removed'
+                    WHEN a.doc_id IS NULL THEN 'added'
+                    WHEN a.h <> b.h THEN 'changed'
+                    ELSE 'unchanged' END AS change_type,
+               COALESCE(b.n_chars, 0) - COALESCE(a.n_chars, 0) AS delta_chars
+        FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+    SELECT change_type,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(delta_chars) AS BIGINT) AS delta_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM j GROUP BY 1 ORDER BY 1
+    """,
+    doc="Corpus snapshot diff -- the run-over-run audit every curation "
+    "pipeline runs before promoting a new corpus version: FULL OUTER join "
+    "of two snapshots on doc_id, rows classified added / removed / "
+    "changed / unchanged by content hash, with net character drift per "
+    "class.  Snapshot B is derived deterministically from the fixture "
+    "(docs with doc_id%17==3 dropped; doc_id%23==5 content-revised) so "
+    "both engines diff the identical pair -- in production B is simply "
+    "the next run's table.  Plan: one co-partitioned full outer join on "
+    "the id (both sides hash-partition once; at 100 TB both snapshots "
+    "would be bucketed by doc_id -- q373's layout -- making the diff "
+    "exchange-free), content compare on md5 so wide text never shuffles "
+    "beyond the hash, then a 4-group agg.  No window, no skew exposure "
+    "(doc_id unique on both sides).",
+)
+def q378_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    a = d.select("doc_id", F.md5("text").alias("h"), "n_chars")
+    b = d.filter(F.col("doc_id") % 17 != 3).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 23 == 5, F.md5(F.concat(F.col("text"), F.lit(" rev2")))
+        )
+        .otherwise(F.md5("text"))
+        .alias("h"),
+        F.when(F.col("doc_id") % 23 == 5, F.col("n_chars") + 5)
+        .otherwise(F.col("n_chars"))
+        .alias("n_chars"),
+    )
+    j = a.alias("a").join(
+        b.alias("b"), F.col("a.doc_id") == F.col("b.doc_id"), "full_outer"
+    )
+    cls = (
+        F.when(F.col("b.doc_id").isNull(), "removed")
+        .when(F.col("a.doc_id").isNull(), "added")
+        .when(F.col("a.h") != F.col("b.h"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        j.select(
+            F.coalesce(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_id"),
+            cls.alias("change_type"),
+            (
+                F.coalesce(F.col("b.n_chars"), F.lit(0))
+                - F.coalesce(F.col("a.n_chars"), F.lit(0))
+            ).alias("delta_chars"),
+        )
+        .groupBy("change_type")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("delta_chars").cast("bigint").alias("delta_chars"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+        )
+        .orderBy("change_type")
+    )
