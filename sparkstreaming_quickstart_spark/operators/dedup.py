@@ -28,7 +28,7 @@ from functools import reduce
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens, word_shingles
@@ -626,3 +626,79 @@ def md5_bucket(c: Column, salt: str, mod: int) -> Column:
         )
         % mod
     )
+
+
+_WINNOW_POS_BITS = 20  # positions must fit 20 bits (~1M chars/doc)
+
+
+def winnow_fingerprints(
+    df: DataFrame, text_col: str, id_col: str, k: int = 8, w: int = 16
+) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer-Wilkerson-Aiken, the MOSS
+    scheme): hash every k-char gram of the normalized text, slide a window
+    of w consecutive gram hashes, and select per window the RIGHTMOST
+    MINIMAL hash ("robust winnowing").  The winnowing theorem guarantees
+    any substring match of length >= w + k - 1 chars between two documents
+    shares at least one selected fingerprint, while only ~2/(w+1) of all
+    grams are kept -- the position-robust local-fingerprint primitive
+    behind plagiarism detection and code-corpus dedup.
+
+    Normalization is q59's canonical form (lower, whitespace collapsed).
+    Gram hash = 40-bit conv-md5 (replayable in DuckDB as
+    CAST('0x' || substr(md5(gram), 1, 10) AS BIGINT)).  The
+    argmin-with-rightmost-tiebreak needs only ONE windowed MIN because
+    (hash, position) is packed into a single BIGINT key
+    `h << 20 | (2^20 - 1 - pos)`: minimal h wins, ties resolve to the
+    LARGEST pos -- no second window pass, and the identical integer
+    arithmetic replays in any SQL engine.
+
+    Scale shape: the gram explode multiplies rows by ~n_chars (q183's span
+    class -- linear, partition-preserving), the window partitions
+    per-document (no skew), and every expression is whole-stage-codegen
+    JVM; docs shorter than one full window (< k + w - 1 chars) carry no
+    fingerprint.  Returns one row per SELECTED (id, h, pos), positions
+    1-based into the normalized text; consumers dedup to (id, h) for
+    matching and keep pos for match localization.
+    """
+    win = Window.partitionBy("id").orderBy("pos").rowsBetween(0, w - 1)
+    pos_mask = (1 << _WINNOW_POS_BITS) - 1
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    grams = (
+        df.select(F.col(id_col).alias("id"), norm.alias("t"))
+        .filter(F.length("t") >= k + w - 1)
+        .select(
+            "id",
+            (F.length("t") - (k - 1)).alias("ng"),
+            F.explode(F.sequence(F.lit(1), F.length("t") - (k - 1))).alias("pos"),
+            F.col("t"),
+        )
+        .select(
+            "id",
+            "ng",
+            "pos",
+            F.conv(
+                F.substring(F.md5(F.expr(f"substring(t, pos, {k})")), 1, 10), 16, 10
+            )
+            .cast("bigint")
+            .alias("h"),
+        )
+    )
+    keyed = grams.select(
+        "id",
+        "ng",
+        "pos",
+        (F.shiftleft(F.col("h"), _WINNOW_POS_BITS) + (pos_mask - F.col("pos"))).alias(
+            "pk"
+        ),
+    )
+    sel = (
+        keyed.withColumn("sk", F.min("pk").over(win))
+        .filter(F.col("pos") <= F.col("ng") - (w - 1))
+        .select(
+            "id",
+            F.shiftright(F.col("sk"), _WINNOW_POS_BITS).alias("h"),
+            (F.lit(pos_mask) - (F.col("sk").bitwiseAND(F.lit(pos_mask)))).alias("pos"),
+        )
+        .distinct()
+    )
+    return sel

@@ -1,0 +1,117 @@
+"""Multi-pattern text scanning: Aho-Corasick dictionary automaton.
+
+The scale path for dictionary tagging (queries/wave38.py q380/q383): ONE pass
+per document through a failure-link automaton finds all occurrences of every
+dictionary term simultaneously -- O(n_chars + matches) per doc regardless of
+dictionary size, vs one replace() pass PER TERM for the codegen spelling.
+The automaton is built once on the driver (dictionaries are small metadata)
+and shipped to executors inside the mapInPandas closure; match positions are
+post-filtered per term to NON-overlapping left-to-right occurrences so the
+counts equal str.count / the replace-diff identity exactly.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+
+class AhoCorasick:
+    """Failure-link automaton over a list of terms (classic Aho-Corasick).
+
+    find_ends(text) yields (term_index, end_position) for EVERY occurrence,
+    overlapping included, in one left-to-right pass.
+    """
+
+    def __init__(self, terms: list[str]):
+        self.terms = list(terms)
+        # node 0 = root; goto as list of dicts, fail links, output term lists
+        self.goto: list[dict[str, int]] = [{}]
+        self.fail: list[int] = [0]
+        self.out: list[list[int]] = [[]]
+        for ti, term in enumerate(self.terms):
+            node = 0
+            for ch in term:
+                nxt = self.goto[node].get(ch)
+                if nxt is None:
+                    self.goto.append({})
+                    self.fail.append(0)
+                    self.out.append([])
+                    nxt = len(self.goto) - 1
+                    self.goto[node][ch] = nxt
+                node = nxt
+            self.out[node].append(ti)
+        # BFS failure links; merge outputs along the links
+        q: deque[int] = deque()
+        for child in self.goto[0].values():
+            q.append(child)
+        while q:
+            node = q.popleft()
+            for ch, child in self.goto[node].items():
+                q.append(child)
+                f = self.fail[node]
+                while f and ch not in self.goto[f]:
+                    f = self.fail[f]
+                self.fail[child] = self.goto[f].get(ch, 0)
+                if self.fail[child] == child:
+                    self.fail[child] = 0
+                self.out[child] = self.out[child] + self.out[self.fail[child]]
+
+    def find_ends(self, text: str):
+        node = 0
+        for i, ch in enumerate(text):
+            while node and ch not in self.goto[node]:
+                node = self.fail[node]
+            node = self.goto[node].get(ch, 0)
+            if self.out[node]:
+                for ti in self.out[node]:
+                    yield ti, i + 1
+
+    def count_nonoverlapping(self, text: str) -> list[int]:
+        """Per-term NON-overlapping left-to-right occurrence counts --
+        exactly str.count(term) for each term independently (greedy filter
+        over the all-matches stream: a match is kept iff it starts at or
+        after the previous kept match's end for that term)."""
+        counts = [0] * len(self.terms)
+        next_free = [0] * len(self.terms)  # first start offset not consumed
+        for ti, end in self.find_ends(text):
+            start = end - len(self.terms[ti])
+            if start >= next_free[ti]:
+                counts[ti] += 1
+                next_free[ti] = end
+        return counts
+
+
+def dictionary_scan(
+    df: DataFrame, text_col: str, terms: list[str], id_col: str = "doc_id"
+) -> DataFrame:
+    """One-pass dictionary occurrence counts via mapInPandas: each Arrow
+    batch streams through the broadcast-by-closure automaton once per doc;
+    output is long-form (id, term_idx, occ) with occ > 0 rows only."""
+    ac = AhoCorasick(terms)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            tis: list[int] = []
+            occs: list[int] = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                for ti, c in enumerate(ac.count_nonoverlapping(text or "")):
+                    if c:
+                        ids.append(int(did))
+                        tis.append(ti)
+                        occs.append(c)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "term_idx": pd.Series(tis, dtype="int32"),
+                    "occ": pd.Series(occs, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        run, schema="doc_id bigint, term_idx int, occ bigint"
+    )

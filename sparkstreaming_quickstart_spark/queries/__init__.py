@@ -80,6 +80,9 @@ _LOADED = False
 _PRIORITY: list[str] = [
     # Round-10 never-driver-checked entries FIRST (the rotation contract:
     # with <50 unchecked the head must be exactly that set).
+    "q379_winnowing_neardup", "q380_dictionary_tagging",
+    "q381_image_dhash_neardup", "q382_neardup_safe_split",
+    "q383_dictionary_scan_automaton",
     "q372_stream_minhash_neardup", "q373_bucketed_colocated_join",
     "q374_partition_pruned_scan", "q375_tfidf_cosine_lsh",
     "q376_tfidf_keywords", "q377_ewma_smoothing",
@@ -349,6 +352,7 @@ def _ensure_loaded() -> None:
     from . import wave35  # noqa: F401
     from . import wave36  # noqa: F401
     from . import wave37  # noqa: F401
+    from . import wave38  # noqa: F401
     from . import livejars  # noqa: F401
 
     # First occurrence wins: a rotation may promote a name to the head while
