@@ -18,6 +18,9 @@ tagging, and perceptual image hashing.
 - q383 Aho-Corasick automaton scan: q380's promised large-dictionary scale
   path, one pass per doc through a failure-link automaton (operators/
   text_scan.py), value-locked to q380's output through the same oracle.
+- q384 quality-filter attribution: per-rule kill counts with UNIQUE-failure
+  attribution and the union row -- the rule-redundancy report a curation
+  team reads before dropping a filter.
 
 Reference parity note: the reference computes none of this (its single
 pipeline is Kafka->println, Processor.java:118-139); these are engine-surface
@@ -559,3 +562,119 @@ def q383_dictionary_scan_automaton(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("term")
     )
+
+
+# ---------------------------------------------------------------------------
+# q384: quality-filter attribution (which rule kills what, uniquely or not)
+# ---------------------------------------------------------------------------
+
+# thresholds calibrated to fire differentially on the driver fixture
+# (n_tok 10-99, distinct_ratio 0.28-1.0, mean word length 3.7-5.3)
+_FA_SHORT_TOK = 20
+_FA_DISTINCT = 0.35
+_FA_WLEN = 5.0
+_FA_FLAG = "slow query"
+
+
+@register(
+    "q384_filter_attribution",
+    sql=f"""
+    WITH t AS (
+        SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+    r AS (
+        SELECT doc_id,
+               CAST(len(toks) < {_FA_SHORT_TOK} AS INT) AS r_short,
+               CAST(len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE)
+                    < {_FA_DISTINCT} AS INT) AS r_repetitive,
+               CAST(list_sum(list_transform(toks, x -> length(x)))
+                    / CAST(len(toks) AS DOUBLE) > {_FA_WLEN} AS INT) AS r_long_words,
+               CAST(text LIKE '%{_FA_FLAG}%' AS INT) AS r_flagged
+        FROM t),
+    f AS (
+        SELECT doc_id, r_short, r_repetitive, r_long_words, r_flagged,
+               r_short + r_repetitive + r_long_words + r_flagged AS n_rules
+        FROM r),
+    long AS (
+        SELECT 'r_short' AS rule, r_short AS failed, n_rules FROM f
+        UNION ALL SELECT 'r_repetitive', r_repetitive, n_rules FROM f
+        UNION ALL SELECT 'r_long_words', r_long_words, n_rules FROM f
+        UNION ALL SELECT 'r_flagged', r_flagged, n_rules FROM f)
+    SELECT rule,
+           CAST(SUM(failed) AS BIGINT) AS n_failed,
+           CAST(SUM(CASE WHEN failed = 1 AND n_rules = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_unique
+    FROM long GROUP BY rule
+    UNION ALL
+    SELECT '__any__',
+           CAST(SUM(CASE WHEN n_rules > 0 THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(SUM(CASE WHEN n_rules = 1 THEN 1 ELSE 0 END) AS BIGINT)
+    FROM f
+    ORDER BY rule
+    """,
+    doc="Quality-filter ATTRIBUTION report -- not whether docs fail (q184's "
+    "Gopher rules do that) but WHICH rule kills what and whether rules "
+    "are redundant: per rule, total failures and UNIQUE failures (docs no "
+    "other rule catches), plus an __any__ row (union kill count; docs "
+    "killed by exactly one rule).  This is the report a curation team "
+    "reads before dropping a rule: a rule with n_unique = 0 is fully "
+    "shadowed; the gap between SUM(n_failed) and __any__.n_failed is the "
+    "overlap.  Four rules fire differentially on the fixture: token "
+    f"count < {_FA_SHORT_TOK}, distinct-token ratio < {_FA_DISTINCT} "
+    f"(repetition), mean word length > {_FA_WLEN} (computed as exact "
+    "integer char-sum / count so both engines divide the same integers), "
+    f"and the '{_FA_FLAG}' blocklist phrase (q380's flag term).  Plan: "
+    "one projection computes all rule booleans in a single pass "
+    "(no shuffle), the attribution is a 4-way stack + one small agg -- "
+    "at 100 TB this is a scan-bound single pass exactly like the "
+    "filters themselves, so the audit is free relative to the filtering "
+    "run it instruments.",
+)
+def q384_filter_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    char_sum = F.aggregate(
+        F.transform(toks, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
+    )
+    n_tok = F.size(toks)
+    r = d.select(
+        (n_tok < _FA_SHORT_TOK).cast("int").alias("r_short"),
+        (
+            F.size(F.array_distinct(toks)) / n_tok.cast("double") < _FA_DISTINCT
+        )
+        .cast("int")
+        .alias("r_repetitive"),
+        (char_sum / n_tok.cast("double") > _FA_WLEN).cast("int").alias("r_long_words"),
+        F.col("text").contains(_FA_FLAG).cast("int").alias("r_flagged"),
+    ).withColumn(
+        "n_rules",
+        F.col("r_short") + F.col("r_repetitive") + F.col("r_long_words") + F.col("r_flagged"),
+    )
+    long = r.select(
+        F.explode(
+            F.map_from_arrays(
+                F.array(
+                    F.lit("r_short"),
+                    F.lit("r_repetitive"),
+                    F.lit("r_long_words"),
+                    F.lit("r_flagged"),
+                ),
+                F.array("r_short", "r_repetitive", "r_long_words", "r_flagged"),
+            )
+        ).alias("rule", "failed"),
+        "n_rules",
+    )
+    per_rule = long.groupBy("rule").agg(
+        F.sum("failed").cast("bigint").alias("n_failed"),
+        F.sum(
+            F.when((F.col("failed") == 1) & (F.col("n_rules") == 1), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_unique"),
+    )
+    any_row = r.agg(
+        F.count_if(F.col("n_rules") > 0).alias("n_failed"),
+        F.count_if(F.col("n_rules") == 1).alias("n_unique"),
+    ).select(F.lit("__any__").alias("rule"), "n_failed", "n_unique")
+    return per_rule.unionByName(any_row).orderBy("rule")

@@ -217,3 +217,39 @@ def test_dictionary_automaton_equals_codegen_twin(spark, sf_dir):
     a = q380_dictionary_tagging(spark, sf_dir).toPandas()
     b = q383_dictionary_scan_automaton(spark, sf_dir).toPandas()
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_filter_attribution_invariants(spark, sf_dir):
+    """q384: per-rule uniques must sum to the __any__ row's n_unique, every
+    rule's n_unique <= n_failed, the union kill count is bounded by the sum
+    of per-rule kills (inclusion-exclusion direction), and the whole report
+    replays against a pandas reference."""
+    from sparkstreaming_quickstart_spark.queries.wave38 import (
+        _FA_DISTINCT,
+        _FA_FLAG,
+        _FA_SHORT_TOK,
+        _FA_WLEN,
+        q384_filter_attribution,
+    )
+
+    got = q384_filter_attribution(spark, sf_dir).toPandas().set_index("rule")
+    rules = ["r_flagged", "r_long_words", "r_repetitive", "r_short"]
+    assert got.loc[rules, "n_unique"].sum() == got.loc["__any__", "n_unique"]
+    assert (got["n_unique"] <= got["n_failed"]).all()
+    assert got.loc[rules, "n_failed"].sum() >= got.loc["__any__", "n_failed"]
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    toks = docs["text"].str.split(" ")
+    f = pd.DataFrame(
+        {
+            "r_short": toks.map(len) < _FA_SHORT_TOK,
+            "r_repetitive": toks.map(lambda t: len(set(t)) / len(t)) < _FA_DISTINCT,
+            "r_long_words": toks.map(lambda t: sum(map(len, t)) / len(t)) > _FA_WLEN,
+            "r_flagged": docs["text"].str.contains(_FA_FLAG, regex=False),
+        }
+    )
+    n_rules = f.sum(axis=1)
+    for rule in rules:
+        assert got.loc[rule, "n_failed"] == int(f[rule].sum()), rule
+        assert got.loc[rule, "n_unique"] == int((f[rule] & (n_rules == 1)).sum()), rule
+    assert got.loc["__any__", "n_failed"] == int((n_rules > 0).sum())
