@@ -83,6 +83,7 @@ _PRIORITY: list[str] = [
     "q379_winnowing_neardup", "q380_dictionary_tagging",
     "q381_image_dhash_neardup", "q382_neardup_safe_split",
     "q383_dictionary_scan_automaton", "q384_filter_attribution",
+    "q385_ivf_partition_pruned_probe",
     "q372_stream_minhash_neardup", "q373_bucketed_colocated_join",
     "q374_partition_pruned_scan", "q375_tfidf_cosine_lsh",
     "q376_tfidf_keywords", "q377_ewma_smoothing",

@@ -21,6 +21,10 @@ tagging, and perceptual image hashing.
 - q384 quality-filter attribution: per-rule kill counts with UNIQUE-failure
   attribution and the union row -- the rule-redundancy report a curation
   team reads before dropping a filter.
+- q385 partition-pruned IVF probe: embeddings written once as cell=<c>/
+  hive partitions (seeded-centroid cells); a probe batch's top-nprobe cell
+  list becomes a PartitionFilter, completing the storage-layout family's
+  vector-index-as-table member.
 
 Reference parity note: the reference computes none of this (its single
 pipeline is Kafka->println, Processor.java:118-139); these are engine-surface
@@ -29,6 +33,8 @@ rest of the registry.
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -678,3 +684,166 @@ def q384_filter_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("n_rules") == 1).alias("n_unique"),
     ).select(F.lit("__any__").alias("rule"), "n_failed", "n_unique")
     return per_rule.unionByName(any_row).orderBy("rule")
+
+
+# ---------------------------------------------------------------------------
+# q385: partition-pruned IVF probe (the vector-index-as-table layout)
+# ---------------------------------------------------------------------------
+
+_IVF_CELLS = 16
+_IVF_SEED = 7
+_IVF_DIM = 64
+_IVF_NPROBE = 2
+_IVF_K = 3
+_IVF_QMOD = 199  # probe queries: vec_id % 199 == 0
+
+
+def _ivf_partitioned_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Write embeddings once as cell=<c>/ hive partitions (cell = the shared
+    seeded-centroid argmax), content-keyed like q374's staging."""
+    import hashlib as _h
+    import tempfile
+
+    from ..operators.similarity import dot, ivf_centroids
+
+    st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
+    key = _h.md5(
+        f"{sf_dir}|ivf{_IVF_CELLS}s{_IVF_SEED}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:12]
+    out = os.path.join(tempfile.gettempdir(), f"ssq-emb-ivf-{key}")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        planes = ivf_centroids(_IVF_DIM, _IVF_CELLS, _IVF_SEED)
+        cents = [F.array(*[F.lit(float(x)) for x in row]) for row in planes]
+        e = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+        )
+        scores = F.array(*[dot(F.col("v"), c) for c in cents])
+        cell = F.array_position(scores, F.array_max(scores)).cast("int")
+        e.withColumn("cell", cell).write.partitionBy("cell").mode(
+            "overwrite"
+        ).parquet(out)
+    return out
+
+
+def _q385_oracle() -> str:
+    from ..operators.similarity import ivf_centroids, sql_cell_expr, sql_vec
+
+    planes = ivf_centroids(_IVF_DIM, _IVF_CELLS, _IVF_SEED)
+    scores = ", ".join(f"list_dot_product(v, {sql_vec(r)})" for r in planes)
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    corpus AS (SELECT vec_id, v, {sql_cell_expr(planes)} AS cell FROM e),
+    q AS (SELECT vec_id AS query_id, v AS qv, [{scores}] AS s
+          FROM e WHERE vec_id % {_IVF_QMOD} = 0),
+    probes AS (
+        SELECT query_id, qv, u.cell FROM (
+            SELECT query_id, qv, cell, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY sc DESC, cell) AS rk
+            FROM (SELECT query_id, qv, i AS cell, s[i] AS sc
+                  FROM q, UNNEST(range(1, {_IVF_CELLS + 1})) AS t(i))
+        ) u WHERE u.rk <= {_IVF_NPROBE}),
+    cand AS (
+        SELECT p.query_id, c.vec_id AS neighbor_id,
+               list_dot_product(p.qv, c.v)
+                 / (sqrt(list_dot_product(p.qv, p.qv))
+                    * sqrt(list_dot_product(c.v, c.v))) AS cos
+        FROM probes p JOIN corpus c ON c.cell = p.cell
+        WHERE c.vec_id <> p.query_id),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos, ROW_NUMBER() OVER (
+            PARTITION BY query_id
+            ORDER BY ROUND(cos, 9) DESC, neighbor_id) AS rank
+        FROM cand)
+    SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
+           ROUND(cos, 6) AS cos_sim
+    FROM ranked WHERE rank <= {_IVF_K}
+    ORDER BY query_id, rank
+    """
+
+
+@register(
+    "q385_ivf_partition_pruned_probe",
+    sql=_q385_oracle(),
+    doc=f"Partition-pruned IVF probe -- the VECTOR-INDEX-AS-TABLE layout "
+    "that completes the storage family (q373 bucketed join, q374 "
+    "partitioned scan, now the ANN shard): embeddings are written ONCE "
+    f"as cell=<c>/ hive partitions ({_IVF_CELLS} seeded-centroid cells, "
+    "the shared ivf_centroids assignment), and a probe batch "
+    f"(vec_id % {_IVF_QMOD} = 0) reads ONLY its top-{_IVF_NPROBE} "
+    "centroid cells: the probed-cell set (bounded driver state, <= "
+    f"{_IVF_CELLS} ints -- the probe list a FAISS-style index hands the "
+    "scanner) becomes a PartitionFilter, so the scan never lists the "
+    "other shards -- at 100 TB with thousands of cells this is the "
+    "difference between touching 1/nprobe-th of the corpus and all of "
+    "it, decided by directory listing alone.  Exact cosine within the "
+    "probed cells, per-query top-"
+    f"{_IVF_K} under the q329 rank-before-round discipline (rank on "
+    "ROUND(cos,9) with neighbor tie-break, output ROUND 6).  The oracle "
+    "replays centroid literals, probe ranking, and the cell-restricted "
+    "exact search -- the seeded-restriction contract with the "
+    "restriction value-proven.  Plan-pinned: the layout scan's "
+    "PartitionFilters carry the cell IN (...) predicate with no data "
+    "filter on the partition column.",
+)
+def q385_ivf_partition_pruned_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.similarity import dot, ivf_centroids
+
+    planes = ivf_centroids(_IVF_DIM, _IVF_CELLS, _IVF_SEED)
+    cents = [F.array(*[F.lit(float(x)) for x in row]) for row in planes]
+    part_dir = _ivf_partitioned_dir(spark, sf_dir)
+
+    q = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % _IVF_QMOD == 0)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.transform("embedding", lambda x: x.cast("double")).alias("qv"),
+        )
+    )
+    scores = F.array(*[dot(F.col("qv"), c) for c in cents])
+    probe_rk = Window.partitionBy("query_id").orderBy(
+        F.col("sc").desc(), F.col("cell")
+    )
+    probes = (
+        q.select("query_id", "qv", F.posexplode(scores).alias("cell0", "sc"))
+        .withColumn("cell", F.col("cell0") + 1)
+        .withColumn("rk", F.row_number().over(probe_rk))
+        .filter(F.col("rk") <= _IVF_NPROBE)
+        .select("query_id", "qv", "cell")
+    )
+    # the probe list is bounded driver state (<= n_cells ints), exactly what
+    # an ANN index hands the storage layer; it becomes a static partition
+    # filter so pruning happens at directory-listing time.
+    probed_cells = [r["cell"] for r in probes.select("cell").distinct().collect()]
+    corpus = spark.read.parquet(part_dir).filter(F.col("cell").isin(probed_cells))
+    cand = (
+        probes.join(corpus, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                dot(F.col("qv"), F.col("v"))
+                / (
+                    F.sqrt(dot(F.col("qv"), F.col("qv")))
+                    * F.sqrt(dot(F.col("v"), F.col("v")))
+                )
+            ).alias("cos"),
+        )
+    )
+    rank_w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("cos"), 9).desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(rank_w))
+        .filter(F.col("rank") <= _IVF_K)
+        .select(
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            "neighbor_id",
+            F.round("cos", 6).alias("cos_sim"),
+        )
+        .orderBy("query_id", "rank")
+    )

@@ -253,3 +253,36 @@ def test_filter_attribution_invariants(spark, sf_dir):
         assert got.loc[rule, "n_failed"] == int(f[rule].sum()), rule
         assert got.loc[rule, "n_unique"] == int((f[rule] & (n_rules == 1)).sum()), rule
     assert got.loc["__any__", "n_failed"] == int((n_rules > 0).sum())
+
+
+def test_ivf_probe_scan_is_partition_pruned(spark, sf_dir):
+    """q385's plan pin: the layout scan must consume the probed-cell list as
+    a PartitionFilter (directory pruning) with no data filter left on the
+    partition column -- the property that bounds an ANN probe to its shards."""
+    import re
+
+    from sparkstreaming_quickstart_spark.queries.wave38 import (
+        _ivf_partitioned_dir,
+        q385_ivf_partition_pruned_probe,
+    )
+
+    out = q385_ivf_partition_pruned_probe(spark, sf_dir)
+    assert out.count() > 0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    layout = [l for l in scans if "ssq-emb-ivf-" in l]
+    assert layout, scans
+    m = re.search(r"PartitionFilters: \[([^\]]*)", layout[0])
+    assert m and "cell" in m.group(1), layout[0]
+    dm = re.search(r"DataFilters: \[([^\]]*)", layout[0])
+    assert dm and "cell" not in dm.group(1), layout[0]
+    # and the probe really prunes at this SF: fewer dirs read than cells exist
+    part_dir = _ivf_partitioned_dir(spark, sf_dir)
+    import os as _os
+
+    n_cells_on_disk = len(
+        [d for d in _os.listdir(part_dir) if d.startswith("cell=")]
+    )
+    probed = re.findall(r"cell#\d+ IN \(([^)]*)\)", m.group(1))
+    if probed:
+        assert len(probed[0].split(",")) < n_cells_on_disk
