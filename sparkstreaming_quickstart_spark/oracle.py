@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import math
 import os
+import tempfile
 from typing import Any
 
 import duckdb
@@ -22,6 +23,25 @@ from .sources.catalog import TABLES
 
 def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
+    # Cap the oracle's memory and give it a spill directory: DuckDB's
+    # default memory_limit is ~80% of RAM, which on this 128 GB container
+    # let corpus-quadratic oracle intermediates (exact-Jaccard pair hash
+    # tables at sf10) grow past ~96 GB RSS and threaten the whole machine
+    # before ever spilling.  With an explicit cap the same oracles spill
+    # to disk and complete -- slower but bounded, which is what a
+    # verification harness wants.  Override via SPARK_GRAFT_DUCKDB_MEM.
+    mem = os.environ.get("SPARK_GRAFT_DUCKDB_MEM", "48GB")
+    spill = os.path.join(tempfile.gettempdir(), "ssq-duckdb-spill")
+    os.makedirs(spill, exist_ok=True)
+    con.execute(f"SET memory_limit='{mem}'")
+    con.execute(f"SET temp_directory='{spill}'")
+    # Optional thread cap: blocked (UNION ALL mod-class) oracles rely on
+    # branches NOT all being in flight at once for their peak-state bound;
+    # DuckDB parallelizes across branches by default, which multiplies the
+    # in-flight aggregate state by the branch count.
+    threads = os.environ.get("SPARK_GRAFT_DUCKDB_THREADS")
+    if threads:
+        con.execute(f"SET threads={int(threads)}")
     registered = 0
     for t in TABLES:
         # Tests point compare() at partial fixture dirs (e.g. a tmp_path with

@@ -358,12 +358,140 @@ _NDS_ORACLE = f"""
         SELECT doc_id,
                list_distinct([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks)-1)]) AS sh
         FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
-    tok AS (SELECT doc_id, unnest(sh) AS shingle FROM docs),
-    sizes AS (SELECT doc_id, len(sh) AS n FROM docs),
+    tok AS MATERIALIZED (SELECT doc_id, unnest(sh) AS shingle FROM docs),
+    sizes AS MATERIALIZED (SELECT doc_id, len(sh) AS n FROM docs),
+    -- BLOCKED exact-Jaccard pair stream (q329's remedy): each UNION ALL
+    -- branch joins the full token index against ONE mod-class of d2 and
+    -- applies the threshold INSIDE the branch, so DuckDB's peak is one
+    -- block's pair hash table instead of the corpus-quadratic
+    -- shared-a-shingle pair set (the monolithic form grew past ~96 GB RSS
+    -- at sf10 and was stopped; SCALING.md).  The union is exactly the
+    -- all-pairs result: blocks partition pairs by d2 % 16.
     cpairs AS (
         SELECT d1, d2 FROM (
             SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common
-            FROM tok a JOIN tok b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            FROM tok a JOIN tok b ON a.shingle = b.shingle
+                 AND a.doc_id < b.doc_id AND b.doc_id % 16 = 0
+            GROUP BY 1, 2) p
+        JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+        WHERE CAST(common AS DOUBLE) / (s1.n + s2.n - common) >= {_NDS_T}
+        UNION ALL
+        SELECT d1, d2 FROM (
+            SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common
+            FROM tok a JOIN tok b ON a.shingle = b.shingle
+                 AND a.doc_id < b.doc_id AND b.doc_id % 16 = 1
+            GROUP BY 1, 2) p
+        JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+        WHERE CAST(common AS DOUBLE) / (s1.n + s2.n - common) >= {_NDS_T}
+        UNION ALL
+        SELECT d1, d2 FROM (
+            SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common
+            FROM tok a JOIN tok b ON a.shingle = b.shingle
+                 AND a.doc_id < b.doc_id AND b.doc_id % 16 = 2
+            GROUP BY 1, 2) p
+        JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+        WHERE CAST(common AS DOUBLE) / (s1.n + s2.n - common) >= {_NDS_T}
+        UNION ALL
+        SELECT d1, d2 FROM (
+            SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common
+            FROM tok a JOIN tok b ON a.shingle = b.shingle
+                 AND a.doc_id < b.doc_id AND b.doc_id % 16 = 3
+            GROUP BY 1, 2) p
+        JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+        WHERE CAST(common AS DOUBLE) / (s1.n + s2.n - common) >= {_NDS_T}
+        UNION ALL
+        SELECT d1, d2 FROM (
+            SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common
+            FROM tok a JOIN tok b ON a.shingle = b.shingle
+                 AND a.doc_id < b.doc_id AND b.doc_id % 16 = 4
+            GROUP BY 1, 2) p
+        JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+        WHERE CAST(common AS DOUBLE) / (s1.n + s2.n - common) >= {_NDS_T}
+        UNION ALL
+        SELECT d1, d2 FROM (
+            SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common
+            FROM tok a JOIN tok b ON a.shingle = b.shingle
+                 AND a.doc_id < b.doc_id AND b.doc_id % 16 = 5
+            GROUP BY 1, 2) p
+        JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+        WHERE CAST(common AS DOUBLE) / (s1.n + s2.n - common) >= {_NDS_T}
+        UNION ALL
+        SELECT d1, d2 FROM (
+            SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common
+            FROM tok a JOIN tok b ON a.shingle = b.shingle
+                 AND a.doc_id < b.doc_id AND b.doc_id % 16 = 6
+            GROUP BY 1, 2) p
+        JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+        WHERE CAST(common AS DOUBLE) / (s1.n + s2.n - common) >= {_NDS_T}
+        UNION ALL
+        SELECT d1, d2 FROM (
+            SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common
+            FROM tok a JOIN tok b ON a.shingle = b.shingle
+                 AND a.doc_id < b.doc_id AND b.doc_id % 16 = 7
+            GROUP BY 1, 2) p
+        JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+        WHERE CAST(common AS DOUBLE) / (s1.n + s2.n - common) >= {_NDS_T}
+        UNION ALL
+        SELECT d1, d2 FROM (
+            SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common
+            FROM tok a JOIN tok b ON a.shingle = b.shingle
+                 AND a.doc_id < b.doc_id AND b.doc_id % 16 = 8
+            GROUP BY 1, 2) p
+        JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+        WHERE CAST(common AS DOUBLE) / (s1.n + s2.n - common) >= {_NDS_T}
+        UNION ALL
+        SELECT d1, d2 FROM (
+            SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common
+            FROM tok a JOIN tok b ON a.shingle = b.shingle
+                 AND a.doc_id < b.doc_id AND b.doc_id % 16 = 9
+            GROUP BY 1, 2) p
+        JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+        WHERE CAST(common AS DOUBLE) / (s1.n + s2.n - common) >= {_NDS_T}
+        UNION ALL
+        SELECT d1, d2 FROM (
+            SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common
+            FROM tok a JOIN tok b ON a.shingle = b.shingle
+                 AND a.doc_id < b.doc_id AND b.doc_id % 16 = 10
+            GROUP BY 1, 2) p
+        JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+        WHERE CAST(common AS DOUBLE) / (s1.n + s2.n - common) >= {_NDS_T}
+        UNION ALL
+        SELECT d1, d2 FROM (
+            SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common
+            FROM tok a JOIN tok b ON a.shingle = b.shingle
+                 AND a.doc_id < b.doc_id AND b.doc_id % 16 = 11
+            GROUP BY 1, 2) p
+        JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+        WHERE CAST(common AS DOUBLE) / (s1.n + s2.n - common) >= {_NDS_T}
+        UNION ALL
+        SELECT d1, d2 FROM (
+            SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common
+            FROM tok a JOIN tok b ON a.shingle = b.shingle
+                 AND a.doc_id < b.doc_id AND b.doc_id % 16 = 12
+            GROUP BY 1, 2) p
+        JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+        WHERE CAST(common AS DOUBLE) / (s1.n + s2.n - common) >= {_NDS_T}
+        UNION ALL
+        SELECT d1, d2 FROM (
+            SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common
+            FROM tok a JOIN tok b ON a.shingle = b.shingle
+                 AND a.doc_id < b.doc_id AND b.doc_id % 16 = 13
+            GROUP BY 1, 2) p
+        JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+        WHERE CAST(common AS DOUBLE) / (s1.n + s2.n - common) >= {_NDS_T}
+        UNION ALL
+        SELECT d1, d2 FROM (
+            SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common
+            FROM tok a JOIN tok b ON a.shingle = b.shingle
+                 AND a.doc_id < b.doc_id AND b.doc_id % 16 = 14
+            GROUP BY 1, 2) p
+        JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+        WHERE CAST(common AS DOUBLE) / (s1.n + s2.n - common) >= {_NDS_T}
+        UNION ALL
+        SELECT d1, d2 FROM (
+            SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common
+            FROM tok a JOIN tok b ON a.shingle = b.shingle
+                 AND a.doc_id < b.doc_id AND b.doc_id % 16 = 15
             GROUP BY 1, 2) p
         JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
         WHERE CAST(common AS DOUBLE) / (s1.n + s2.n - common) >= {_NDS_T}),
