@@ -145,6 +145,44 @@ def _steal_jiffies() -> int | None:
     except Exception:
         return None
 
+
+def _foreign_jiffies() -> int | None:
+    """CPU jiffies (utime+stime) consumed by processes OUTSIDE this bench's
+    process tree.  The steal counter only sees the HYPERVISOR; a sibling
+    process on the same VM (a concurrent test run, another Spark session)
+    contends invisibly to it -- round-10's +9% BENCH drift was exactly this
+    ambiguity.  Read around each pass: a pass during which foreign processes
+    burned >2% of the machine's cpu-time budget is marked dirty."""
+    try:
+        me = os.getpid()
+        # build pid -> ppid once per call
+        ppid: dict[int, int] = {}
+        cpu: dict[int, int] = {}
+        for entry in os.listdir("/proc"):
+            if not entry.isdigit():
+                continue
+            try:
+                with open(f"/proc/{entry}/stat") as fh:
+                    raw = fh.read()
+            except OSError:
+                continue
+            # comm may contain spaces/parens; fields start after the last ')'
+            fields = raw[raw.rindex(")") + 2 :].split()
+            pid = int(entry)
+            ppid[pid] = int(fields[1])  # field 4 overall
+            cpu[pid] = int(fields[11]) + int(fields[12])  # utime+stime
+        def in_tree(pid: int) -> bool:
+            seen = 0
+            while pid > 1 and seen < 64:
+                if pid == me:
+                    return True
+                pid = ppid.get(pid, 1)
+                seen += 1
+            return False
+        return sum(j for pid, j in cpu.items() if not in_tree(pid))
+    except Exception:
+        return None
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else -1.0
@@ -178,9 +216,11 @@ def main() -> None:
     ncpu = os.cpu_count() or 1
     timings: dict[str, float] = {}
     clean = passes = 0
+    dirty_foreign = 0
     best_pass_total = None
     while passes < 7 and (passes < 4 or clean < 2):
         s0 = _steal_jiffies()
+        f0 = _foreign_jiffies()
         t0_pass = time.time()
         pass_total = 0.0
         for name in HEADLINE:
@@ -197,19 +237,31 @@ def main() -> None:
             timings[name] = elapsed if prev is None else min(prev, elapsed)
         passes += 1
         s1 = _steal_jiffies()
+        f1 = _foreign_jiffies()
+        wall = time.time() - t0_pass
         if s0 is not None and s1 is not None:
             stolen_sec = (s1 - s0) / 100.0  # USER_HZ jiffies
-            steal_ok = stolen_sec <= 0.005 * (time.time() - t0_pass) * ncpu
+            steal_ok = stolen_sec <= 0.005 * wall * ncpu
         else:
             steal_ok = True  # no steal visibility
-        # A pass is clean only if the hypervisor stayed quiet AND its total
-        # is consistent with the best pass seen (first-pass warm-up always
-        # fails the consistency bar, which is correct -- it is not steady
-        # state).  Contention that evades the steal counter (host-level
-        # frequency/bandwidth throttling) still shows up as a slow total.
+        # Sibling-process contention is invisible to the steal counter
+        # (round-10's +9% drift ambiguity): a pass where processes outside
+        # this bench's tree burned >2% of the machine's cpu budget is dirty.
+        if f0 is not None and f1 is not None:
+            foreign_ok = (f1 - f0) / 100.0 <= 0.02 * wall * ncpu
+        else:
+            foreign_ok = True
+        if not foreign_ok:
+            dirty_foreign += 1
+        # A pass is clean only if the hypervisor AND the rest of the VM
+        # stayed quiet AND its total is consistent with the best pass seen
+        # (first-pass warm-up always fails the consistency bar, which is
+        # correct -- it is not steady state).  Contention that evades both
+        # counters (host-level frequency/bandwidth throttling) still shows
+        # up as a slow total.
         if best_pass_total is None or pass_total < best_pass_total:
             best_pass_total = pass_total
-        if steal_ok and passes >= 2 and pass_total <= 1.2 * best_pass_total:
+        if steal_ok and foreign_ok and passes >= 2 and pass_total <= 1.2 * best_pass_total:
             clean += 1
     timings = {k: round(v, 3) for k, v in timings.items()}
     # "value" stays the HEADLINE total (comparable across rounds); sentinel
@@ -240,6 +292,7 @@ def main() -> None:
                 "sf": sf,
                 "passes": passes,
                 "clean_passes": clean,
+                "dirty_foreign_passes": dirty_foreign,
                 "sentinels": sentinels,
             }
         )

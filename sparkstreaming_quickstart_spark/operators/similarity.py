@@ -207,6 +207,39 @@ def embedding_cosine_pairs(
     )
 
 
+def knn_edges_exact(q_ids, q_mat, b_ids, b_mat, b_nrm, k: int):
+    """Exact top-k cosine kNN edges from each query row to a candidate block
+    -- the shared dense kernel behind q329 (queries vs broadcast corpus) and
+    q386 (cell vs same cell): cosine = dot / (na * nb) on RAW vectors (the
+    DuckDB-oracle float association order), ROUND to 9 BEFORE ranking,
+    self-match masked, tie-break on candidate id (rank-before-round
+    discipline).  Top-k per row via an O(n) argpartition preselect WIDENED to
+    every candidate tied with the k-th value (9-digit rounding makes ties
+    real), then an exact lexsort over that small set -- bit-identical to a
+    full lexsort, ~5x cheaper per row at n=20k.  Returns (i_list, j_list).
+    """
+    qn = np.sqrt((q_mat * q_mat).sum(axis=1))[:, None]
+    sims = np.round((q_mat @ b_mat.T) / (qn * b_nrm[None, :]), 9)
+    out_i: list[int] = []
+    out_j: list[int] = []
+    n = sims.shape[1]
+    kk = min(k, max(n - 1, 1))
+    for row, qid in zip(sims, q_ids):
+        self_mask = b_ids == qid
+        row = row.copy()
+        row[self_mask] = -np.inf
+        if n > kk:
+            kth = np.partition(row, n - kk)[n - kk]
+            cand = np.flatnonzero(row >= kth)
+        else:
+            cand = np.arange(n)
+        order = np.lexsort((b_ids[cand], -row[cand]))[:k]
+        idx = cand[order]
+        out_i.extend([int(qid)] * len(idx))
+        out_j.extend(b_ids[idx].tolist())
+    return out_i, out_j
+
+
 def _hyperplanes(dim: int, nbits: int, seed: int = 42) -> np.ndarray:
     return np.random.RandomState(seed).standard_normal((nbits, dim))
 

@@ -56,8 +56,11 @@ class AhoCorasick:
                 while f and ch not in self.goto[f]:
                     f = self.fail[f]
                 self.fail[child] = self.goto[f].get(ch, 0)
-                if self.fail[child] == child:
-                    self.fail[child] = 0
+                # Depth invariant: goto[f][ch] sits strictly shallower than
+                # `child` (f is a proper-suffix state), so a self-link is
+                # impossible -- no guard needed (round-10 advice: the old
+                # defensive reset here was unreachable).
+                assert self.fail[child] != child
                 self.out[child] = self.out[child] + self.out[self.fail[child]]
 
     def find_ends(self, text: str):
@@ -82,6 +85,82 @@ class AhoCorasick:
             if start >= next_free[ti]:
                 counts[ti] += 1
                 next_free[ti] = end
+        return counts
+
+
+class AhoCorasickDense:
+    """Vectorized large-dict scan: the classic automaton converted to a dense
+    byte-level DFA (failure transitions precomputed into `nxt`), stepped in
+    LOCKSTEP ACROSS a batch of documents with numpy -- one fancy-indexing op
+    per character POSITION over the whole batch instead of one Python-level
+    dict lookup per character per doc.  Match post-processing (per-term
+    greedy non-overlap filter) stays in Python but touches only the emitted
+    matches, which are sparse.  Same output contract as
+    AhoCorasick.count_nonoverlapping; round-11 throughput measurement in
+    SCALING.md.  Memory: n_states x 256 int32 transitions (~1 MB per 1k
+    automaton states), built once on the driver and shipped by closure.
+    """
+
+    def __init__(self, terms: list[str]):
+        import numpy as np
+
+        ac = AhoCorasick(terms)
+        self.terms = ac.terms
+        n = len(ac.goto)
+        nxt = np.zeros((n, 256), dtype=np.int32)
+        # BFS order guarantees fail[state] is resolved before state
+        from collections import deque
+
+        order: list[int] = []
+        dq: deque[int] = deque(ac.goto[0].values())
+        while dq:
+            s = dq.popleft()
+            order.append(s)
+            dq.extend(ac.goto[s].values())
+        # root row: stay at root except where a term starts
+        for ch, child in ac.goto[0].items():
+            nxt[0, ord(ch)] = child
+        for s in order:
+            nxt[s] = nxt[ac.fail[s]]  # inherit failure closure
+            for ch, child in ac.goto[s].items():
+                nxt[s, ord(ch)] = child
+        self.nxt = nxt
+        self.out = ac.out
+        self.has_out = np.array([bool(o) for o in ac.out], dtype=bool)
+        self.term_len = [len(t) for t in self.terms]
+
+    def count_batch(self, texts: list[str]) -> list[list[int]]:
+        """Per-doc per-term non-overlapping counts for a batch of ASCII/UTF-8
+        texts (bytes-level automaton: terms and texts are matched on their
+        UTF-8 bytes, which equals char-level for ASCII dictionaries)."""
+        import numpy as np
+
+        if not texts:
+            return []
+        raw = [t.encode("utf-8") if t else b"" for t in texts]
+        lens = np.array([len(r) for r in raw], dtype=np.int64)
+        lmax = int(lens.max()) if len(lens) else 0
+        if lmax == 0:
+            return [[0] * len(self.terms) for _ in texts]
+        batch = np.zeros((len(raw), lmax), dtype=np.uint8)
+        for i, r in enumerate(raw):
+            batch[i, : len(r)] = np.frombuffer(r, dtype=np.uint8)
+        states = np.zeros(len(raw), dtype=np.int32)
+        hits: list[tuple[int, int, int]] = []  # (doc_idx, state, end_pos)
+        nxt, has_out = self.nxt, self.has_out
+        for pos in range(lmax):
+            states = nxt[states, batch[:, pos]]
+            emit = np.flatnonzero(has_out[states] & (pos < lens))
+            for di in emit:
+                hits.append((int(di), int(states[di]), pos + 1))
+        counts = [[0] * len(self.terms) for _ in texts]
+        next_free = [[0] * len(self.terms) for _ in texts]
+        for di, st, end in hits:  # hits are in (pos, doc) order -> per-doc L2R
+            for ti in self.out[st]:
+                start = end - self.term_len[ti]
+                if start >= next_free[di][ti]:
+                    counts[di][ti] += 1
+                    next_free[di][ti] = end
         return counts
 
 

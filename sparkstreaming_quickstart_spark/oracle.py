@@ -30,7 +30,16 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     # before ever spilling.  With an explicit cap the same oracles spill
     # to disk and complete -- slower but bounded, which is what a
     # verification harness wants.  Override via SPARK_GRAFT_DUCKDB_MEM.
-    mem = os.environ.get("SPARK_GRAFT_DUCKDB_MEM", "48GB")
+    # The default is min(48GB, 60% of physical RAM): a flat 48GB would
+    # RAISE DuckDB's own adaptive 80%-of-RAM bound on hosts smaller than
+    # ~60 GB, inverting the cap into an OOM invitation (round-10 advice).
+    mem = os.environ.get("SPARK_GRAFT_DUCKDB_MEM")
+    if not mem:
+        try:
+            ram = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+            mem = f"{min(48, max(1, int(ram * 0.6 / 2**30)))}GB"
+        except (ValueError, OSError):
+            mem = "48GB"
     spill = os.path.join(tempfile.gettempdir(), "ssq-duckdb-spill")
     os.makedirs(spill, exist_ok=True)
     con.execute(f"SET memory_limit='{mem}'")

@@ -78,6 +78,36 @@ _LOADED = False
 # guards this: with fewer than 50 unchecked entries remaining, the head must
 # be exactly that set.
 _PRIORITY: list[str] = [
+    # Round-11 head (50 = new + edited + 48 staleness rotations).  New
+    # never-driver-checked entries FIRST (rotation contract), then q329
+    # (its dense kernel was factored into operators/similarity.
+    # knn_edges_exact this round -- bit-identical by test pin, but the
+    # edited spelling gets a fresh driver hash), then the entries with the
+    # OLDEST surviving proofs: the full r02 block (33) and the head of the
+    # r03 block (15) -- post-r10 these are the stalest families
+    # (round-10 verdict #3).
+    "q386_mutual_knn_ivf_cells", "q387_ivf_adc_rerank",
+    "q388_semdedup_ivf_report",
+    "q329_mutual_knn_graph",
+    "q146_stream_stream_left_outer", "q147_salted_skew_join",
+    "q148_embedding_gram", "q152_stream_global_topk", "q36_percentiles",
+    "q50_dedup_exact", "q51_dedup_jaccard_exact", "q52_dedup_minhash_lsh",
+    "q54_similarity_topk", "q55_similarity_ann_lsh", "q56_text_stats",
+    "q57_text_quality", "q58_text_langid", "q59_text_fingerprint",
+    "q60_multimodal_meta", "q61_tokens_regex", "q64_similarity_ivf",
+    "q65_dedup_embedding_cosine", "q68_scalar_extras",
+    "q69_agg_approx_percentile", "q70_stream_tumbling", "q71_stream_sliding",
+    "q72_stream_dedup", "q73_stream_stream_join", "q74_stream_stateful_counts",
+    "q75_stream_static_join", "q77_json_roundtrip_zip",
+    "q78_multimodal_frames", "q84_stream_session_window",
+    "q85_dedup_minhash_mllib", "q86_training_data_pipeline",
+    "q87_stratified_sample", "q88_freq_items",
+    "q101_hash_encode", "q103_struct_ops", "q104_date_extras",
+    "q105_math_bitwise", "q106_window_nth_value",
+    "q107_higher_order_predicates", "q108_regexp_extras",
+    "q112_recursive_cte_spine", "q113_lateral_topk", "q183_c4_span_dedup",
+    "q184_gopher_quality", "q186_semdedup", "q187_table_checksum",
+    "q188_snapshot_diff", "q189_mode_countif",
     # Round-10 never-driver-checked entries FIRST (the rotation contract:
     # with <50 unchecked the head must be exactly that set).
     "q379_winnowing_neardup", "q380_dictionary_tagging",
@@ -354,6 +384,7 @@ def _ensure_loaded() -> None:
     from . import wave36  # noqa: F401
     from . import wave37  # noqa: F401
     from . import wave38  # noqa: F401
+    from . import wave39  # noqa: F401
     from . import livejars  # noqa: F401
 
     # First occurrence wins: a rotation may promote a name to the head while

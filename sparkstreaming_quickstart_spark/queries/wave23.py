@@ -703,14 +703,21 @@ _KNN_BLOCK_SQL = "\n        UNION ALL\n".join(
     "against the broadcast (n x d) matrix in a single numpy matmul -- "
     "the q186/q54 dense-block pattern; the matrix broadcast is the "
     "documented exact-twin bound (fixture: 2000 x 64 doubles ~ 1 MB).  "
-    "At 100 TB the same kernel runs per IVF bucket (q64's coarse "
-    "quantizer) instead of globally -- SCALING.md wave-23 note; the "
-    "exact SQL lives only in the oracle, and since round 10 it is "
+    "Since round 11 this GLOBAL-exact form is FENCED ground-truth (the "
+    "round-10 verdict: `e.collect()` of the corpus is driver-bound by "
+    "construction) and q386 is the registered scale primary -- the SAME "
+    "`knn_edges_exact` kernel run per IVF cell via applyInPandas, no "
+    "collect, no broadcast; this twin stays for oracle parity and "
+    "recall evaluation of the cell restriction (every within-cell "
+    "global-mutual edge provably survives in q386 -- "
+    "tests/test_wave39.py).  The exact SQL lives only in the oracle, "
+    "and since round 10 it is "
     "BLOCKED (16 mod-class branches, per-block top-k then a global "
     "re-rank -- exact because each point's global top-k within a block "
     "is contained in that block's top-k), which bounds DuckDB's peak to "
     "one block's join and extends the value proof to sf1 (258 s "
     "in-container; the monolithic window needed ~105 GB and OOMed).",
+    scale_class="ground-truth",
 )
 def q329_mutual_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
@@ -737,37 +744,19 @@ def q329_mutual_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         # association order as the DuckDB oracle, so a cosine near a 1e-9
         # rounding boundary cannot straddle it between engines (round-9
         # advice fix; the old spelling normalized q BEFORE the matmul).
+        # The dense top-k kernel is the shared `knn_edges_exact` (round-11
+        # factor-out for q386's per-cell form; bit-identical logic).
+        from ..operators.similarity import knn_edges_exact
+
         b_ids, b_mat, b_nrm = bc.value
         for pdf in it:
             sub = pdf[np.isin(pdf["vec_id"].to_numpy(), b_ids)]
             if len(sub) == 0:
                 continue
             q = np.stack(sub["v"].to_numpy()).astype(np.float64)
-            qn = np.sqrt((q * q).sum(axis=1))[:, None]
-            sims = np.round((q @ b_mat.T) / (qn * b_nrm[None, :]), 9)
-            out_i, out_j = [], []
-            n = sims.shape[1]
-            kk = min(_KNN_K, max(n - 1, 1))
-            for row, qid in zip(sims, sub["vec_id"].to_numpy()):
-                self_mask = b_ids == qid
-                row = row.copy()
-                row[self_mask] = -np.inf
-                # top-k by (-cos, vec_id): O(n) argpartition preselect,
-                # WIDENED to every candidate tied with the k-th value (sims
-                # are rounded at 9, so ties are real and the vec_id
-                # tie-break must see them all), then the exact lexsort runs
-                # only on that small candidate set -- bit-identical to the
-                # full lexsort, ~5x cheaper per row at n=20k (round-9 sf1
-                # finding).
-                if n > kk:
-                    kth = np.partition(row, n - kk)[n - kk]
-                    cand = np.flatnonzero(row >= kth)
-                else:
-                    cand = np.arange(n)
-                order = np.lexsort((b_ids[cand], -row[cand]))[:_KNN_K]
-                idx = cand[order]
-                out_i.extend([qid] * len(idx))
-                out_j.extend(b_ids[idx].tolist())
+            out_i, out_j = knn_edges_exact(
+                sub["vec_id"].to_numpy(), q, b_ids, b_mat, b_nrm, _KNN_K
+            )
             yield pd.DataFrame({"i": out_i, "j": out_j})
 
     knn = e.mapInPandas(knn_batches, "i long, j long")

@@ -556,7 +556,19 @@ _NDS_ORACLE = f"""
     "assignment is one broadcast-free projection; leak audit joins the "
     "pair stream to the assignment twice on doc_id.  At 100 TB every "
     "stage is the already-proven scale path plus hash-partitioned "
-    "equi-joins -- no new shuffle class.",
+    "equi-joins -- no new shuffle class.  AMPLIFICATION CAVEAT (round-10 "
+    "advice): the Spark side's candidate pairs are MinHash-LSH "
+    "(probabilistic recall; bucket_cap drops hot buckets) while the "
+    "oracle computes exact all-pairs Jaccard, and here a single missed "
+    "pair does not stay local -- it can merge/split a connected "
+    "component, relabel every member's representative, and move whole "
+    "clusters across splits, so q52's accepted 'negligible miss' "
+    "assumption is amplified cluster-wide.  The fixtures' planted dup "
+    "families are well inside the 24x4 banding's recall plateau (proven "
+    "by ten rounds of green value hashes at sf0.001-sf1); a parameter "
+    "change that weakens recall (fewer bands, smaller cap) would surface "
+    "here FIRST, as a value mismatch rather than a silent quality drop "
+    "-- which is the desired failure mode for a verification harness.",
 )
 def q382_neardup_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import connected_components, md5_bucket, minhash_lsh_pairs
@@ -847,9 +859,22 @@ def _ivf_partitioned_dir(spark: SparkSession, sf_dir: str) -> str:
         )
         scores = F.array(*[dot(F.col("v"), c) for c in cents])
         cell = F.array_position(scores, F.array_max(scores)).cast("int")
+        # Write to a unique staging dir, then atomically rename into place
+        # (round-10 advice: mode='overwrite' straight onto `out` deletes the
+        # directory first, so a concurrent process mid-scan would read a
+        # half-written layout).  The key is content-derived, so whichever
+        # process wins the rename produced identical bytes; the loser just
+        # discards its staging copy.
+        stage = f"{out}.stage-{os.getpid()}"
         e.withColumn("cell", cell).write.partitionBy("cell").mode(
             "overwrite"
-        ).parquet(out)
+        ).parquet(stage)
+        try:
+            os.rename(stage, out)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(stage, ignore_errors=True)
     return out
 
 

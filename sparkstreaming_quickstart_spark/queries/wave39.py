@@ -1,0 +1,513 @@
+"""Wave 39 (round 11): the mutual-kNN scale path and IVF-layout
+compositions.
+
+- q387 IVF-probe -> ADC-shortlist -> exact-rerank retrieval pipeline: the
+  round-10 verdict's optional #8, composing three proven pieces end to end
+  -- q385's partition-pruned cell probe (candidate generation by directory
+  listing), q161's product-quantization asymmetric-distance scoring
+  (shortlist WITHOUT touching full vectors), and an exact-cosine rerank of
+  the short list only (the "cross-encoder slot": the expensive exact model
+  runs on C=10 candidates per query, not the corpus).
+- q386 per-IVF-cell mutual-kNN graph: the round-10 verdict's #1 -- q329's
+  GLOBAL-exact kernel collects the corpus to the driver and broadcasts it
+  (now fenced ground-truth); this is the registered scale primary.  The
+  corpus is quantized into seeded-centroid IVF cells (the q64/q385
+  assignment), and the SAME dense top-k kernel (`knn_edges_exact`) runs
+  per cell via applyInPandas -- no driver collect, no corpus broadcast,
+  one hash shuffle on cell.  Restricting candidates to a cell is the
+  standard ANN-graph construction (FAISS/kNN-Descent seeding); every
+  within-cell globally-mutual edge provably survives the restriction
+  (restriction only improves a neighbor's rank -- tests/test_wave39.py
+  pins the containment against q329's global edges).
+
+Reference parity note: the reference computes none of this (its single
+pipeline is Kafka->println, Processor.java:118-139); these are engine-surface
+operators in the charter's LLM-data-pipeline families, value-oracled like the
+rest of the registry.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+from . import register
+
+# ---------------------------------------------------------------------------
+# q386: per-IVF-cell mutual-kNN graph (q329's scale primary)
+# ---------------------------------------------------------------------------
+
+_MK_K = 5  # top-k per point (matches q329)
+_MK_CELLS = 16  # IVF cells (matches q385's layout family)
+_MK_SEED = 7
+_MK_DIM = 64
+
+
+def _q386_oracle() -> str:
+    from ..operators.similarity import ivf_centroids, sql_cell_expr
+
+    planes = ivf_centroids(_MK_DIM, _MK_CELLS, _MK_SEED)
+    # One UNION ALL branch per cell: each branch joins ONLY that cell's
+    # rows and takes its per-i top-k.  Branches are complete per i (a
+    # point's candidates all live in its own cell), so no global re-rank
+    # is needed -- and DuckDB's peak state is one cell's pair stream, the
+    # same bound the Spark kernel has (q329's blocked-oracle discipline,
+    # here the blocking IS the query's own cell restriction).
+    branches = "\n        UNION ALL\n".join(
+        f"""
+        SELECT * FROM (
+            SELECT a.vec_id AS i, b.vec_id AS j,
+                   ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 9) AS c
+            FROM cells a JOIN cells b
+              ON a.cell = {cell} AND b.cell = {cell} AND a.vec_id <> b.vec_id
+        ) QUALIFY ROW_NUMBER() OVER (
+              PARTITION BY i ORDER BY c DESC, j) <= {_MK_K}"""
+        for cell in range(1, _MK_CELLS + 1)
+    )
+    return f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings),
+    valid AS (SELECT * FROM e WHERE nrm > 0),
+    cells AS (SELECT vec_id, v, nrm, {sql_cell_expr(planes)} AS cell
+              FROM valid),
+    knn AS ({branches}),
+    mutual AS (
+        SELECT k1.i, k1.j FROM knn k1 JOIN knn k2 ON k1.i = k2.j AND k1.j = k2.i),
+    mdeg AS (
+        SELECT v.vec_id, COUNT(m.j) AS md
+        FROM valid v LEFT JOIN mutual m ON v.vec_id = m.i
+        GROUP BY v.vec_id)
+    SELECT CAST(md AS BIGINT) AS mutual_degree,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM mdeg GROUP BY md ORDER BY mutual_degree
+    """
+
+
+@register(
+    "q386_mutual_knn_ivf_cells",
+    sql=_q386_oracle(),
+    doc=f"Per-IVF-cell mutual-kNN graph (k={_MK_K}, cosine, {_MK_CELLS} "
+    "seeded-centroid cells) -- q329's registered SCALE PRIMARY (round-10 "
+    "verdict #1): the global-exact form collects and broadcasts the "
+    "corpus by construction, so it is now the fenced ground-truth twin, "
+    "and graph construction here is cell-restricted like every other "
+    "production ANN-graph builder (FAISS IVF seeding, kNN-Descent "
+    "initialization).  Plan: ONE hash shuffle of the corpus on its "
+    "quantizer cell (groupBy(cell).applyInPandas), then the SAME dense "
+    "`knn_edges_exact` kernel (raw-vector dot/(na*nb), ROUND(cos,9) "
+    "before ranking, vec_id tie-break) runs independently per cell -- "
+    "executor memory is one cell's (m x d) block, never the corpus; "
+    "mutual filter and the degree histogram are hash-partitioned "
+    "equi-joins on (i, j).  At 100 TB the cell count scales with the "
+    "corpus (FAISS-style nlist ~ sqrt(n)) so cells stay executor-sized, "
+    "and the layout can be the q385 persisted cell=<c>/ partitioning -- "
+    "the kernel then reads each shard in place with zero shuffle.  "
+    "Semantics vs q329: candidates restricted to the point's own cell; "
+    "every within-cell globally-mutual edge survives (restriction only "
+    "improves ranks -- containment test pinned), cross-cell edges are "
+    "the recall cost, measurable against the fenced twin.  The oracle "
+    "replays centroid literals, the argmax cell assignment, and the "
+    "per-cell exact top-k as one UNION ALL branch per cell (complete "
+    "per i since candidates never leave the cell; peak state = one "
+    "cell's pair stream).",
+)
+def q386_mutual_knn_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.similarity import dot, ivf_centroids, knn_edges_exact
+
+    planes = ivf_centroids(_MK_DIM, _MK_CELLS, _MK_SEED)
+    cents = [F.array(*[F.lit(float(x)) for x in row]) for row in planes]
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    valid = e.filter(F.sqrt(dot(F.col("v"), F.col("v"))) > 0)
+    scores = F.array(*[dot(F.col("v"), c) for c in cents])
+    cell = F.array_position(scores, F.array_max(scores)).cast("int")
+    cells = valid.withColumn("cell", cell)
+
+    def cell_knn(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"i": pd.Series(dtype="int64"),
+                                 "j": pd.Series(dtype="int64")})
+        ids = pdf["vec_id"].to_numpy().astype(np.int64)
+        mat = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        order = np.argsort(ids)
+        ids, mat = ids[order], mat[order]
+        nrm = np.sqrt((mat * mat).sum(axis=1))
+        out_i, out_j = knn_edges_exact(ids, mat, ids, mat, nrm, _MK_K)
+        return pd.DataFrame(
+            {"i": pd.Series(out_i, dtype="int64"),
+             "j": pd.Series(out_j, dtype="int64")}
+        )
+
+    knn = cells.groupBy("cell").applyInPandas(cell_knn, "i long, j long")
+    rev = knn.select(F.col("j").alias("i"), F.col("i").alias("j"))
+    mutual = knn.join(rev, ["i", "j"])
+    mdeg = (
+        valid.select(F.col("vec_id"))
+        .join(mutual.withColumnRenamed("i", "vec_id"), "vec_id", "left")
+        .groupBy("vec_id")
+        .agg(F.count("j").alias("md"))
+    )
+    return (
+        mdeg.groupBy(F.col("md").cast("bigint").alias("mutual_degree"))
+        .agg(F.count("*").cast("bigint").alias("n_nodes"))
+        .orderBy("mutual_degree")
+    )
+
+# ---------------------------------------------------------------------------
+# q387: IVF probe -> ADC shortlist -> exact rerank (retrieval pipeline)
+# ---------------------------------------------------------------------------
+
+_RR_M = 8  # PQ subspaces (q161 convention)
+_RR_SUB = 8  # dims per subspace
+_RR_C = 16  # codewords per subspace (first 16 corpus vectors)
+_RR_SHORT = 10  # ADC shortlist size per query
+_RR_K = 3  # final reranked top-k
+
+
+def _q387_oracle() -> str:
+    from ..operators.similarity import ivf_centroids, sql_cell_expr, sql_vec
+    from .wave38 import _IVF_CELLS, _IVF_DIM, _IVF_NPROBE, _IVF_QMOD, _IVF_SEED
+
+    planes = ivf_centroids(_IVF_DIM, _IVF_CELLS, _IVF_SEED)
+    scores = ", ".join(f"list_dot_product(v, {sql_vec(r)})" for r in planes)
+    # squared L2 between subvector m of two DOUBLE[] columns, m a column
+    sq = " + ".join(
+        f"((a[k.m * {_RR_SUB} + {d} + 1]) - (b[k.m * {_RR_SUB} + {d} + 1]))"
+        f" * ((a[k.m * {_RR_SUB} + {d} + 1]) - (b[k.m * {_RR_SUB} + {d} + 1]))"
+        for d in range(_RR_SUB)
+    )
+    code_sq = " + ".join(
+        f"((cv[ms.m * {_RR_SUB} + {d} + 1]) - (vv[ms.m * {_RR_SUB} + {d} + 1]))"
+        f" * ((cv[ms.m * {_RR_SUB} + {d} + 1]) - (vv[ms.m * {_RR_SUB} + {d} + 1]))"
+        for d in range(_RR_SUB)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    corpus AS (SELECT vec_id, v, {sql_cell_expr(planes)} AS cell FROM e),
+    cb AS (SELECT vec_id AS c, CAST(embedding AS DOUBLE[]) AS cv
+           FROM embeddings WHERE vec_id < {_RR_C}),
+    q AS (SELECT vec_id AS query_id, v AS qv, [{scores}] AS s
+          FROM e WHERE vec_id % {_IVF_QMOD} = 0),
+    probes AS (
+        SELECT query_id, qv, u.cell FROM (
+            SELECT query_id, qv, cell, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY sc DESC, cell) AS rk
+            FROM (SELECT query_id, qv, i AS cell, s[i] AS sc
+                  FROM q, UNNEST(range(1, {_IVF_CELLS + 1})) AS t(i))
+        ) u WHERE u.rk <= {_IVF_NPROBE}),
+    cand AS (
+        SELECT p.query_id, p.qv, c.vec_id AS neighbor_id, c.v AS nv
+        FROM probes p JOIN corpus c ON c.cell = p.cell
+        WHERE c.vec_id <> p.query_id),
+    ms AS (SELECT unnest(generate_series(0, {_RR_M - 1})) AS m),
+    cdists AS (
+        SELECT n.vec_id, ms.m, cb.c AS cw, {code_sq} AS dist
+        FROM (SELECT DISTINCT neighbor_id AS vec_id, nv AS vv FROM cand) n,
+             ms, cb),
+    codes AS (
+        SELECT vec_id, m, first(cw ORDER BY dist, cw) AS code
+        FROM cdists GROUP BY vec_id, m),
+    adc AS (
+        SELECT t.query_id, t.neighbor_id, ROUND(SUM({sq}), 6) AS adc_dist
+        FROM (SELECT query_id, neighbor_id, qv AS a FROM cand) t
+        JOIN codes k ON k.vec_id = t.neighbor_id
+        JOIN cb ON cb.c = k.code
+        CROSS JOIN LATERAL (SELECT cb.cv AS b) lat
+        GROUP BY t.query_id, t.neighbor_id),
+    short AS (
+        SELECT query_id, neighbor_id, adc_dist FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rs
+            FROM adc) WHERE rs <= {_RR_SHORT}),
+    rerank AS (
+        SELECT s.query_id, s.neighbor_id, s.adc_dist,
+               list_dot_product(c.qv, c.nv)
+                 / (sqrt(list_dot_product(c.qv, c.qv))
+                    * sqrt(list_dot_product(c.nv, c.nv))) AS cos
+        FROM short s JOIN cand c
+          ON c.query_id = s.query_id AND c.neighbor_id = s.neighbor_id)
+    SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
+           ROUND(cos, 6) AS cos_sim, adc_dist
+    FROM (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY query_id
+              ORDER BY ROUND(cos, 9) DESC, neighbor_id) AS rank
+          FROM rerank)
+    WHERE rank <= {_RR_K}
+    ORDER BY query_id, rank
+    """
+
+
+@register(
+    "q387_ivf_adc_rerank",
+    sql=_q387_oracle(),
+    doc=f"IVF-probe -> PQ-ADC shortlist -> exact rerank: the full ANN "
+    "retrieval pipeline as ONE registered query, composing the storage "
+    "layout (q385's cell=<c>/ partition-pruned probe: candidates come "
+    "from the query's top-2 centroid cells, chosen by directory listing "
+    f"alone), compressed-domain scoring (q161's {_RR_M}x{_RR_C} product "
+    "quantization: candidates are ranked by asymmetric distance against "
+    "per-subspace codeword literals -- reading 8 small ints per "
+    f"candidate, never the full vector), and an exact-cosine rerank of "
+    f"only the top-{_RR_SHORT} shortlist per query (the cross-encoder "
+    f"slot in a production retrieval stack), emitting top-{_RR_K}.  "
+    "This is the query a RAG/retrieval service actually runs, and the "
+    "layered cost model is the point at 100 TB: directory pruning cuts "
+    "the scan to nprobe/nlist of the corpus, ADC cuts per-candidate "
+    "bytes ~32x (codes vs vectors), and the exact kernel touches "
+    "C=10 rows per query.  Plan: probe ranking is the q385 spelling; "
+    "code assignment is q161's Arrow einsum kernel over the PRUNED "
+    "scan only; ADC is a JVM fold over codeword array literals (no "
+    "LUT collect -- the per-pair score indexes the codeword literal by "
+    "the candidate's code via element_at); both windows are per-query "
+    "top-k with the registry's rank-before-round tie-break discipline.  "
+    "The oracle replays centroids, cell argmax, probe ranking, code "
+    "argmin (first-min tie-break), ADC sum, and both rank stages.",
+)
+def q387_ivf_adc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+
+    from ..operators.similarity import dot, ivf_centroids
+    from .wave38 import (
+        _IVF_CELLS,
+        _IVF_DIM,
+        _IVF_NPROBE,
+        _IVF_QMOD,
+        _IVF_SEED,
+        _ivf_partitioned_dir,
+    )
+
+    planes = ivf_centroids(_IVF_DIM, _IVF_CELLS, _IVF_SEED)
+    cents = [F.array(*[F.lit(float(x)) for x in row]) for row in planes]
+    part_dir = _ivf_partitioned_dir(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    q = (
+        emb.filter(F.col("vec_id") % _IVF_QMOD == 0)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").cast("array<double>").alias("qv"),
+        )
+    )
+    scores = F.array(*[dot(F.col("qv"), c) for c in cents])
+    probe_rk = Window.partitionBy("query_id").orderBy(
+        F.col("sc").desc(), F.col("cell")
+    )
+    probes = (
+        q.select("query_id", "qv", F.posexplode(scores).alias("cell0", "sc"))
+        .withColumn("cell", F.col("cell0") + 1)
+        .withColumn("rk", F.row_number().over(probe_rk))
+        .filter(F.col("rk") <= _IVF_NPROBE)
+        .select("query_id", "qv", "cell")
+    )
+    probed_cells = [r["cell"] for r in probes.select("cell").distinct().collect()]
+    corpus = spark.read.parquet(part_dir).filter(F.col("cell").isin(probed_cells))
+
+    # PQ codebook: first _RR_C corpus vectors (bounded collect, q161's rule)
+    cb_rows = (
+        emb.filter(F.col("vec_id") < _RR_C)
+        .select("vec_id", "embedding")
+        .limit(_RR_C)
+        .collect()
+    )
+    cb = np.array(
+        [r["embedding"] for r in sorted(cb_rows, key=lambda r: r["vec_id"])],
+        dtype=np.float64,
+    )
+    cbt = cb.reshape(_RR_C, _RR_M, _RR_SUB).transpose(1, 0, 2)  # (M, C, SUB)
+
+    def assign_codes(batches):
+        for pdf in batches:
+            v = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            v = v.reshape(len(pdf), _RR_M, _RR_SUB)
+            diff = v[:, :, None, :] - cbt[None, :, :, :]
+            dist = np.einsum("nmcd,nmcd->nmc", diff, diff)
+            codes = dist.argmin(axis=2)  # first-min == oracle's (dist, cw)
+            out = {
+                "neighbor_id": pdf["vec_id"].to_numpy(),
+                "cell": pdf["cell"].to_numpy(),
+            }
+            for m in range(_RR_M):
+                out[f"code_{m}"] = codes[:, m].astype("int32")
+            yield pd.DataFrame(out)
+
+    codes_schema = "neighbor_id long, cell int, " + ", ".join(
+        f"code_{m} int" for m in range(_RR_M)
+    )
+    codes = corpus.mapInPandas(assign_codes, codes_schema)
+
+    # ADC score: per subspace, the codeword literal array indexed by the
+    # candidate's code, folded against the query's subvector -- JVM-side,
+    # no LUT materialization.
+    cand = codes.join(probes, "cell").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    adc = None
+    for m in range(_RR_M):
+        cw_arr = F.array(
+            *[
+                F.array(*[F.lit(float(x)) for x in cbt[m, c]])
+                for c in range(_RR_C)
+            ]
+        )
+        cw = F.element_at(cw_arr, F.col(f"code_{m}") + 1)
+        qsub = F.slice("qv", m * _RR_SUB + 1, _RR_SUB)
+        term = F.aggregate(
+            F.zip_with(qsub, cw, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        adc = term if adc is None else adc + term
+    scored = cand.select(
+        "query_id", "qv", "neighbor_id", F.round(adc, 6).alias("adc_dist")
+    )
+    short_w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    short = (
+        scored.withColumn("rs", F.row_number().over(short_w))
+        .filter(F.col("rs") <= _RR_SHORT)
+        .select("query_id", "qv", "neighbor_id", "adc_dist")
+    )
+    # exact rerank: join the shortlist (C rows per query) back to the pruned
+    # layout for full vectors; broadcast the tiny shortlist side
+    nv = corpus.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"))
+    rer = F.broadcast(short).join(nv, "neighbor_id")
+    cos = dot(F.col("qv"), F.col("nv")) / (
+        F.sqrt(dot(F.col("qv"), F.col("qv"))) * F.sqrt(dot(F.col("nv"), F.col("nv")))
+    )
+    rank_w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("cos"), 9).desc(), F.col("neighbor_id")
+    )
+    return (
+        rer.withColumn("cos", cos)
+        .withColumn("rank", F.row_number().over(rank_w))
+        .filter(F.col("rank") <= _RR_K)
+        .select(
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            "neighbor_id",
+            F.round("cos", 6).alias("cos_sim"),
+            "adc_dist",
+        )
+        .orderBy("query_id", "rank")
+    )
+
+# ---------------------------------------------------------------------------
+# q388: semantic dedup report over the IVF layout (q186 x q385 x documents)
+# ---------------------------------------------------------------------------
+
+_SD_T = 0.35  # q186's SemDeDup threshold
+
+
+def _q388_oracle() -> str:
+    from ..operators.similarity import ivf_centroids, sql_cell_expr
+
+    planes = ivf_centroids(_MK_DIM, _MK_CELLS, _MK_SEED)
+    # blocked per cell (the q386 oracle discipline): peak = one cell's pairs
+    branches = "\n        UNION ALL\n".join(
+        f"""
+        SELECT DISTINCT y.vec_id
+        FROM cells x JOIN cells y
+          ON x.cell = {cell} AND y.cell = {cell} AND x.vec_id < y.vec_id
+        WHERE ROUND(list_dot_product(x.v, y.v)
+                    / NULLIF(x.nrm * y.nrm, 0), 9) >= {_SD_T}"""
+        for cell in range(1, _MK_CELLS + 1)
+    )
+    return f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings),
+    cells AS (SELECT vec_id, v, nrm, {sql_cell_expr(planes)} AS cell FROM e),
+    dropped AS ({branches}),
+    flagged AS (
+        SELECT e.vec_id,
+               (e.vec_id IN (SELECT vec_id FROM dropped)) AS is_dup
+        FROM e)
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) FILTER (WHERE f.is_dup) AS BIGINT) AS n_dups,
+           CAST(SUM(d.n_chars) AS BIGINT) AS chars_total,
+           CAST(SUM(d.n_chars) FILTER (WHERE NOT f.is_dup) AS BIGINT)
+               AS chars_kept
+    FROM flagged f JOIN documents d ON d.doc_id = f.vec_id
+    GROUP BY d.source ORDER BY d.source
+    """
+
+
+@register(
+    "q388_semdedup_ivf_report",
+    sql=_q388_oracle(),
+    doc=f"Semantic-dedup curation report over the IVF layout: q186's "
+    "SemDeDup (greedy-by-id within-cluster cosine prune, threshold "
+    f"{_SD_T}) run with clusters = the COMPUTED {_MK_CELLS}-cell seeded-"
+    "centroid quantizer (the q385/q386 layout) instead of the fixture's "
+    "given labels, then joined documents-side to report, per source, the "
+    "docs and characters a semantic dedup pass would keep -- the "
+    "end-to-end loop from index layout to curation decision (round-10 "
+    "verdict #8's second composition).  Only docs WITH an embedding "
+    "row participate (inner join on doc_id = vec_id; at 100 TB the "
+    "embedding table is the curated subset by construction).  Plan: one "
+    "corpus shuffle on cell for the dense per-cell prune kernel "
+    "(executor memory = one cell's block, q186's kernel), one "
+    "broadcast-able equi-join to documents, one hash-agg on source; the "
+    "oracle replays the centroid literals, argmax cells, and the prune "
+    "as one blocked UNION ALL branch per cell.",
+)
+def q388_semdedup_ivf_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.similarity import dot, ivf_centroids
+
+    planes = ivf_centroids(_MK_DIM, _MK_CELLS, _MK_SEED)
+    cents = [F.array(*[F.lit(float(x)) for x in row]) for row in planes]
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    scores = F.array(*[dot(F.col("v"), c) for c in cents])
+    cells = e.withColumn(
+        "cell", F.array_position(scores, F.array_max(scores)).cast("int")
+    )
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        v = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        nrm = np.sqrt((v * v).sum(axis=1))
+        nrm[nrm == 0.0] = np.nan  # zero vectors never match
+        sims = np.round((v @ v.T) / np.outer(nrm, nrm), 9)
+        n = len(pdf)
+        mask = np.tril(np.ones((n, n), dtype=bool), k=-1)
+        is_dup = np.nansum((sims >= _SD_T) & mask.T, axis=0) > 0
+        return pd.DataFrame({"vec_id": pdf["vec_id"], "is_dup": is_dup})
+
+    flagged = cells.groupBy("cell").applyInPandas(
+        prune, "vec_id long, is_dup boolean"
+    )
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "source", "n_chars"
+    )
+    return (
+        flagged.join(d, "vec_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.count_if("is_dup").cast("bigint").alias("n_dups"),
+            F.sum("n_chars").cast("bigint").alias("chars_total"),
+            F.sum(F.when(~F.col("is_dup"), F.col("n_chars")))
+            .cast("bigint")
+            .alias("chars_kept"),
+        )
+        .orderBy("source")
+    )

@@ -170,7 +170,7 @@ def test_observation_metrics_single_pass(spark, sf_dir):
 
 
 def test_ground_truth_tags_and_cli_surfacing(sf_dir):
-    """Scale-class fence (round 9, extended round 10): the five exact/
+    """Scale-class fence (round 9, extended rounds 10-11): the six exact/
     all-pairs parity entries carry scale_class='ground-truth',
     --list-queries marks them, and --query warns before running one.  No
     untagged registry entry may have a cartesian product in the committed
@@ -190,6 +190,10 @@ def test_ground_truth_tags_and_cli_surfacing(sf_dir):
         # measured quadratic-class on a Zipf vocab even with the df>50%
         # stop-word prune (wave8.py docstring; SCALING.md round-10 note)
         "q222_tfidf_cosine_pairs",
+        # round 11 (round-10 verdict #1): the GLOBAL-exact mutual-kNN
+        # broadcasts + collect()s the corpus by construction; q386's
+        # per-IVF-cell form is the registered scale primary
+        "q329_mutual_knn_graph",
     }
     assert {q.scale_class for q in qs.values()} <= {"scale", "ground-truth"}
     with open("/root/repo/tools/plan_audit.json") as fh:

@@ -293,3 +293,93 @@ def test_bucketed_table_prunes_buckets_on_key_filter(spark, sf_dir):
     finally:
         if old is not None:
             spark.conf.set(conf, old)
+
+
+def test_stream_minhash_out_of_order_replay_is_byte_identical(spark, sf_dir):
+    """Round-10 verdict #6: the split-independence test forces micro-batch
+    BOUNDARIES but not DISORDER.  Here the corpus is replayed twice under
+    two different adversarial orderings -- docs shuffled by salted hash
+    into 3 micro-batch files, so which docs share a micro-batch AND the
+    order within each file both change between the runs -- and the final
+    verified pair set must be byte-identical between the two replays and
+    equal to q52's batch output.  This is the min-K set-union state's
+    order-freedom proven at the streaming-replay level, not just the unit
+    kernel."""
+    import tempfile
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from sparkstreaming_quickstart_spark.operators.dedup import (
+        bucket_member_pairs,
+        exact_jaccard_verify,
+        hashed_shingle_docs,
+        lsh_band_keys,
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+    from sparkstreaming_quickstart_spark.queries.wave37 import (
+        _SMH_BANDS,
+        _SMH_CAP,
+        _SMH_HASHES,
+        _SMH_N,
+        _SMH_SEED,
+        _SMH_T,
+        _smh_schemas,
+        _smh_update,
+    )
+    from sparkstreaming_quickstart_spark.streaming.pipeline import run_to_memory
+
+    src = load_table(spark, sf_dir, "documents")
+
+    def replay(salt: str) -> pd.DataFrame:
+        splitdir = tempfile.mkdtemp(prefix=f"ssq-ooo372-{salt}-")
+        shuffled = (
+            src.withColumn("__h", F.md5(F.concat_ws("|", F.lit(salt), "doc_id")))
+            .repartition(3, F.col("__h"))
+            .sortWithinPartitions("__h")
+            .drop("__h")
+        )
+        shuffled.write.mode("overwrite").parquet(splitdir)
+        out_schema, state_schema = _smh_schemas()
+        stream = (
+            spark.readStream.schema(src.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(splitdir)
+            .select("doc_id", "text")
+        )
+        docs = hashed_shingle_docs(stream, "text", "doc_id", _SMH_N)
+        sigs = minhash_signatures(docs, _SMH_HASHES, _SMH_SEED, spread=False)
+        banded = lsh_band_keys(sigs, _SMH_HASHES, _SMH_BANDS)
+        res = banded.groupBy("band", "band_key").applyInPandasWithState(
+            _smh_update(_SMH_CAP),
+            out_schema,
+            state_schema,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+        table = run_to_memory(res, output_mode="update")
+        final = (
+            spark.table(table)
+            .groupBy("band", "band_key")
+            .agg(F.max_by(F.struct("ids", "n_ids"), "n_rows").alias("s"))
+            .select(F.col("s.ids").alias("ids"), F.col("s.n_ids").alias("n_ids"))
+        )
+        buckets = final.filter(
+            (F.col("n_ids") >= 2) & (F.col("n_ids") <= _SMH_CAP)
+        ).select("ids")
+        cand = bucket_member_pairs(buckets)
+        return (
+            exact_jaccard_verify(cand, src, "text", "doc_id", _SMH_N, _SMH_T)
+            .orderBy("d1", "d2")
+            .toPandas()
+        )
+
+    got_a = replay("orderA")
+    got_b = replay("orderB")
+    pd.testing.assert_frame_equal(got_a, got_b)
+    want = (
+        minhash_lsh_pairs(src, "text", "doc_id", n=_SMH_N, threshold=_SMH_T)
+        .orderBy("d1", "d2")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(got_a, want)

@@ -286,3 +286,61 @@ def test_ivf_probe_scan_is_partition_pruned(spark, sf_dir):
     probed = re.findall(r"cell#\d+ IN \(([^)]*)\)", m.group(1))
     if probed:
         assert len(probed[0].split(",")) < n_cells_on_disk
+
+
+def test_documents_text_is_pure_ascii_at_every_sf():
+    """q381's value oracle replays dHash payload bytes with per-character
+    ascii(substr(text, ...)) while the Spark kernel hashes UTF-8 bytes;
+    the two agree ONLY while documents.text is pure ASCII.  Pin that
+    fixture property at every driver SF (round-10 advice) so a fixture
+    regen with a non-ASCII vocab fails HERE, not as a silent oracle
+    value mismatch.  (tools/gen_sf.py asserts the same property at
+    generation time for the /tmp scale fixtures.)"""
+    import os
+
+    import duckdb
+
+    checked = 0
+    for sf in ("0.001", "0.01", "0.1"):
+        path = f"/root/testdata/sf{sf}/documents.parquet"
+        if not os.path.exists(path):
+            continue
+        bad = (
+            duckdb.connect()
+            .execute(
+                f"SELECT count(*) FROM '{path}' "
+                "WHERE regexp_matches(text, '[^\\x00-\\x7F]')"
+            )
+            .fetchone()[0]
+        )
+        assert bad == 0, f"sf{sf}: {bad} documents with non-ASCII text"
+        checked += 1
+    assert checked > 0
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abcdef ", min_size=0, max_size=40), min_size=0, max_size=8
+    ),
+    st.lists(
+        st.text(alphabet="abcdef", min_size=1, max_size=5),
+        min_size=1,
+        max_size=6,
+        unique=True,
+    ),
+)
+@settings(max_examples=60, deadline=None)
+def test_dense_automaton_equals_classic(texts, terms):
+    """AhoCorasickDense (the vectorized lockstep-batch DFA, round-11) must
+    produce byte-identical per-term non-overlapping counts to the classic
+    per-char automaton -- which itself is pinned to str.count above."""
+    from sparkstreaming_quickstart_spark.operators.text_scan import (
+        AhoCorasick,
+        AhoCorasickDense,
+    )
+
+    classic = AhoCorasick(terms)
+    dense = AhoCorasickDense(terms)
+    got = dense.count_batch(texts)
+    want = [classic.count_nonoverlapping(t) for t in texts]
+    assert got == want

@@ -1,0 +1,162 @@
+"""Wave-39 tests: per-IVF-cell mutual-kNN (q386).
+
+Pins the three properties the q329->q386 promotion rides on: the shared
+dense kernel is bit-identical to its pre-factoring formula, the per-cell
+output value-matches the DuckDB oracle, and the cell restriction provably
+CONTAINS every within-cell globally-mutual edge (restricting candidates
+can only improve a neighbor's rank)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def test_knn_edges_exact_matches_naive_formula():
+    """The factored kernel (operators/similarity.knn_edges_exact) must be
+    bit-identical to the naive full-lexsort spelling it replaced -- the
+    same regression discipline as the round-10 minhash kernel pin."""
+    from sparkstreaming_quickstart_spark.operators.similarity import (
+        knn_edges_exact,
+    )
+
+    rng = np.random.RandomState(11)
+    n, d, k = 200, 8, 5
+    ids = np.sort(rng.choice(10_000, size=n, replace=False)).astype(np.int64)
+    mat = rng.standard_normal((n, d))
+    # quantize so 9-digit rounding produces REAL ties, exercising the
+    # widened argpartition preselect
+    mat = np.round(mat, 1)
+    nrm = np.sqrt((mat * mat).sum(axis=1))
+
+    got_i, got_j = knn_edges_exact(ids, mat, ids, mat, nrm, k)
+
+    # naive reference: full lexsort per row
+    qn = np.sqrt((mat * mat).sum(axis=1))[:, None]
+    sims = np.round((mat @ mat.T) / (qn * nrm[None, :]), 9)
+    exp = []
+    for row, qid in zip(sims, ids):
+        row = row.copy()
+        row[ids == qid] = -np.inf
+        order = np.lexsort((ids, -row))[:k]
+        exp.extend((int(qid), int(ids[o])) for o in order)
+    assert list(zip(got_i, got_j)) == exp
+
+
+def test_q386_matches_oracle(spark, sf_dir):
+    from sparkstreaming_quickstart_spark.oracle import compare
+    from sparkstreaming_quickstart_spark.queries import oracle_sql
+    from sparkstreaming_quickstart_spark.queries.wave39 import (
+        q386_mutual_knn_ivf_cells,
+    )
+
+    res = compare(
+        spark, sf_dir, q386_mutual_knn_ivf_cells,
+        oracle_sql()["q386_mutual_knn_ivf_cells"],
+    )
+    assert res["ok"], res
+
+
+def test_cell_restriction_contains_within_cell_global_mutual_edges(spark, sf_dir):
+    """If (i, j) is a GLOBAL mutual-kNN edge and i, j share a cell, then
+    (i, j) must appear in q386's per-cell mutual edges: restricting the
+    candidate set to the cell removes competitors only, so j's rank for i
+    within the cell is <= its global rank (and symmetrically).  Cross-cell
+    edges are the documented recall cost; within-cell edges may NOT be
+    lost."""
+    import duckdb
+
+    from sparkstreaming_quickstart_spark.operators.similarity import (
+        ivf_centroids,
+        sql_cell_expr,
+    )
+    from sparkstreaming_quickstart_spark.queries.wave23 import (
+        _KNN_BLOCK_SQL,
+        _KNN_K,
+    )
+    from sparkstreaming_quickstart_spark.queries.wave39 import (
+        _MK_CELLS,
+        _MK_DIM,
+        _MK_SEED,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf_dir}/embeddings.parquet'"
+    )
+    planes = ivf_centroids(_MK_DIM, _MK_CELLS, _MK_SEED)
+    base = f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings),
+    valid AS (SELECT * FROM e WHERE nrm > 0),
+    cand AS ({_KNN_BLOCK_SQL.format(k=_KNN_K)}),
+    ranked AS (
+        SELECT i, j, ROW_NUMBER() OVER (
+            PARTITION BY i ORDER BY c DESC, j) AS rn FROM cand),
+    knn AS (SELECT i, j FROM ranked WHERE rn <= {_KNN_K}),
+    mutual AS (
+        SELECT k1.i, k1.j FROM knn k1 JOIN knn k2
+          ON k1.i = k2.j AND k1.j = k2.i),
+    cells AS (SELECT vec_id, {sql_cell_expr(planes)} AS cell FROM valid)
+    SELECT m.i, m.j FROM mutual m
+    JOIN cells c1 ON c1.vec_id = m.i
+    JOIN cells c2 ON c2.vec_id = m.j
+    WHERE c1.cell = c2.cell
+    """
+    within_cell_global = set(map(tuple, con.execute(base).fetchall()))
+    assert within_cell_global, "fixture should have within-cell mutual edges"
+
+    # per-cell mutual edges from the Spark primary's building blocks
+    from pyspark.sql import functions as F
+
+    from sparkstreaming_quickstart_spark.operators.similarity import dot
+    from sparkstreaming_quickstart_spark.queries.wave39 import (
+        q386_mutual_knn_ivf_cells,  # noqa: F401  (import keeps module loaded)
+    )
+    from sparkstreaming_quickstart_spark.sources.catalog import load_table
+
+    # rebuild the knn+mutual edge stream exactly as q386 does internally
+    import pandas as pd
+
+    from sparkstreaming_quickstart_spark.operators.similarity import (
+        knn_edges_exact,
+    )
+    from sparkstreaming_quickstart_spark.queries.wave39 import _MK_K
+
+    cents = [F.array(*[F.lit(float(x)) for x in row]) for row in planes]
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    valid = e.filter(F.sqrt(dot(F.col("v"), F.col("v"))) > 0)
+    scores = F.array(*[dot(F.col("v"), c) for c in cents])
+    cells_df = valid.withColumn(
+        "cell", F.array_position(scores, F.array_max(scores)).cast("int")
+    )
+
+    def cell_knn(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {"i": pd.Series(dtype="int64"), "j": pd.Series(dtype="int64")}
+            )
+        ids = pdf["vec_id"].to_numpy().astype(np.int64)
+        mat = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        order = np.argsort(ids)
+        ids, mat = ids[order], mat[order]
+        nrm = np.sqrt((mat * mat).sum(axis=1))
+        oi, oj = knn_edges_exact(ids, mat, ids, mat, nrm, _MK_K)
+        return pd.DataFrame(
+            {"i": pd.Series(oi, dtype="int64"), "j": pd.Series(oj, dtype="int64")}
+        )
+
+    knn = cells_df.groupBy("cell").applyInPandas(cell_knn, "i long, j long")
+    rev = knn.select(F.col("j").alias("i"), F.col("i").alias("j"))
+    per_cell_mutual = {
+        (r["i"], r["j"]) for r in knn.join(rev, ["i", "j"]).collect()
+    }
+    missing = within_cell_global - per_cell_mutual
+    assert not missing, (
+        f"{len(missing)} within-cell globally-mutual edges lost by the "
+        f"cell restriction (e.g. {sorted(missing)[:5]})"
+    )

@@ -1,0 +1,96 @@
+"""Measure dictionary-scan throughput: classic per-char Aho-Corasick vs the
+dense lockstep-batch DFA vs pandas .str.count per term (q380's shape).
+
+Round-10 verdict #4: q383's automaton is asymptotically right but its char
+loop is Python -- record chars/sec/core and the |dict| crossover vs q380's
+per-term JVM/pandas scan so SCALING.md states measured numbers, not claims.
+
+Usage: python tools/bench_textscan.py [sf_dir]
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from sparkstreaming_quickstart_spark.operators.text_scan import (
+        AhoCorasick,
+        AhoCorasickDense,
+    )
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    texts = (
+        duckdb.connect()
+        .execute(f"SELECT text FROM '{sf_dir}/documents.parquet'")
+        .df()["text"]
+        .tolist()
+    )
+    total_chars = sum(len(t) for t in texts)
+    # Dictionaries drawn from the corpus vocabulary so matches actually occur
+    vocab = (
+        duckdb.connect()
+        .execute(
+            f"SELECT tok FROM (SELECT unnest(string_split(text, ' ')) AS tok "
+            f"FROM '{sf_dir}/documents.parquet') GROUP BY tok "
+            "ORDER BY count(*) DESC"
+        )
+        .df()["tok"]
+        .tolist()
+    )
+    out: dict[str, object] = {
+        "sf_dir": sf_dir,
+        "n_docs": len(texts),
+        "total_chars": total_chars,
+    }
+    results: dict[str, dict[str, float]] = {}
+    for dict_size in (10, 100, 1000, 5000):
+        terms = [t for t in vocab if t][:dict_size]
+        if len(terms) < dict_size:
+            break
+        r: dict[str, float] = {}
+
+        ac = AhoCorasick(terms)
+        t0 = time.time()
+        ref = [ac.count_nonoverlapping(t) for t in texts]
+        r["classic_sec"] = round(time.time() - t0, 3)
+
+        dense = AhoCorasickDense(terms)
+        t0 = time.time()
+        got = dense.count_batch(texts)
+        r["dense_sec"] = round(time.time() - t0, 3)
+        assert got == ref, f"dense != classic at dict={dict_size}"
+
+        # q380's per-term shape (pandas str.count of the escaped literal --
+        # one full corpus pass PER TERM; the JVM codegen path has the same
+        # asymptotics with a faster constant)
+        import re as _re
+
+        s = pd.Series(texts)
+        t0 = time.time()
+        mat = {t: s.str.count(_re.escape(t)).to_numpy() for t in terms}
+        r["per_term_pandas_sec"] = round(time.time() - t0, 3)
+        # sanity: same totals per term (str.count == non-overlapping count)
+        tot_ref = np.array(ref).sum(axis=0)
+        tot_pd = np.array([mat[t].sum() for t in terms])
+        assert (tot_ref == tot_pd).all()
+
+        r["classic_chars_per_sec"] = round(total_chars / r["classic_sec"], 0)
+        r["dense_chars_per_sec"] = round(total_chars / r["dense_sec"], 0)
+        results[str(dict_size)] = r
+    out["results"] = results
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

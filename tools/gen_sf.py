@@ -252,6 +252,12 @@ def gen(sf: float, out_dir: str, seed: int = 421) -> None:
             src = texts[int(rng.integers(0, i))].split(" ")
             src[int(rng.integers(0, len(src)))] = "dup"
             texts[i] = " ".join(src)
+    # q381's byte-level oracle (ascii(substr(...)) per char) equals Spark's
+    # UTF-8 byte hashing ONLY while text is pure ASCII; pin the property at
+    # generation time so a vocab change can't silently break the parity
+    # (round-10 advice).
+    for t in texts:
+        t.encode("ascii", "strict")
     write(
         "documents",
         {
