@@ -675,11 +675,18 @@ def q382_neardup_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     "str.count exactly (operators/text_scan.py, fuzz-pinned vs "
     "str.count).  Long-form (doc, term, occ>0) rows aggregate per term; "
     "zero-hit terms re-enter via a broadcast right-join with the "
-    "dictionary.  Crossover economics at 100 TB: below ~10 terms the "
-    "JVM replace-diff wins (no Python boundary); beyond a few hundred "
-    "terms (real blocklists: 10k+ phrases) the one-pass automaton is "
-    "the only shape that doesn't multiply corpus scans -- this pair "
-    "registers both, value-locked to each other.",
+    "dictionary.  Crossover economics, MEASURED round 11 "
+    "(tools/bench_textscan.py, SCALING.md): the JVM/per-term path wins "
+    "below ~35 terms; beyond that the one-pass automaton wins and is "
+    "the only shape that doesn't multiply corpus scans (real "
+    "blocklists: 10k+ phrases).  Throughput is Python-compute-bound at "
+    "2.4-12.3 MB/s/core depending on match density -- ~20 min for "
+    "100 TB on a 1000x32-core fleet at the worst measured rate; a C "
+    "automaton buys ~50x where available.  A vectorized lockstep-batch "
+    "variant (AhoCorasickDense) was built, pinned, and measured: it "
+    "wins only for sparse-match cache-resident dictionaries and is "
+    "kept as a library alternative -- this pair registers both "
+    "spellings, value-locked to each other.",
 )
 def q383_dictionary_scan_automaton(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text_scan import dictionary_scan

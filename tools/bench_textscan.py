@@ -54,8 +54,13 @@ def main() -> None:
         "total_chars": total_chars,
     }
     results: dict[str, dict[str, float]] = {}
-    for dict_size in (10, 100, 1000, 5000):
-        terms = [t for t in vocab if t][:dict_size]
+    variants = [("head", [t for t in vocab if t])]
+    # vocab TAIL = rare terms -> sparse matches (the blocklist regime); the
+    # head dicts above are the match-DENSE adversarial case.
+    variants.append(("tail", [t for t in reversed(vocab) if t]))
+    for variant, pool in variants:
+      for dict_size in (10, 100, 1000, 5000):
+        terms = pool[:dict_size]
         if len(terms) < dict_size:
             break
         r: dict[str, float] = {}
@@ -73,21 +78,32 @@ def main() -> None:
 
         # q380's per-term shape (pandas str.count of the escaped literal --
         # one full corpus pass PER TERM; the JVM codegen path has the same
-        # asymptotics with a faster constant)
+        # asymptotics with a faster constant).  Measured on a doc SAMPLE and
+        # scaled linearly (it is exactly docs-linear), because at dict=5000
+        # the full-corpus measurement is the quadratic blowup itself.
         import re as _re
 
-        s = pd.Series(texts)
+        sample = texts[: min(len(texts), 5000)]
+        scale = sum(len(t) for t in texts) / max(
+            1, sum(len(t) for t in sample)
+        )
+        s = pd.Series(sample)
         t0 = time.time()
         mat = {t: s.str.count(_re.escape(t)).to_numpy() for t in terms}
-        r["per_term_pandas_sec"] = round(time.time() - t0, 3)
-        # sanity: same totals per term (str.count == non-overlapping count)
-        tot_ref = np.array(ref).sum(axis=0)
+        r["per_term_pandas_sec"] = round((time.time() - t0) * scale, 3)
+        r["per_term_sampled_docs"] = len(sample)
+        # sanity on the sample: same totals per term (str.count ==
+        # non-overlapping count for these single-token terms)
+        tot_ref = np.array(
+            [ac.count_nonoverlapping(t) for t in sample]
+        ).sum(axis=0)
         tot_pd = np.array([mat[t].sum() for t in terms])
         assert (tot_ref == tot_pd).all()
 
         r["classic_chars_per_sec"] = round(total_chars / r["classic_sec"], 0)
         r["dense_chars_per_sec"] = round(total_chars / r["dense_sec"], 0)
-        results[str(dict_size)] = r
+        r["total_matches"] = int(np.array(ref).sum())
+        results[f"{variant}_{dict_size}"] = r
     out["results"] = results
     print(json.dumps(out))
 
