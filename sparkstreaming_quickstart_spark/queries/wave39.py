@@ -146,7 +146,11 @@ def q386_mutual_knn_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
              "j": pd.Series(out_j, dtype="int64")}
         )
 
-    knn = cells.groupBy("cell").applyInPandas(cell_knn, "i long, j long")
+    # persist: the mutual filter references the edge stream twice (forward +
+    # reversed); without it the per-cell kernel -- the dominant cost -- runs
+    # twice.  (The static plan audit still prints the kernel under both
+    # references of the InMemoryRelation; execution computes it once.)
+    knn = cells.groupBy("cell").applyInPandas(cell_knn, "i long, j long").persist()
     rev = knn.select(F.col("j").alias("i"), F.col("i").alias("j"))
     mutual = knn.join(rev, ["i", "j"])
     mdeg = (
@@ -510,4 +514,350 @@ def q388_semdedup_ivf_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("chars_kept"),
         )
         .orderBy("source")
+    )
+
+# ---------------------------------------------------------------------------
+# q389: cell-restriction recall -- q386's approximate edges vs q329's exact
+# ---------------------------------------------------------------------------
+
+
+def _q389_oracle() -> str:
+    from ..operators.similarity import ivf_centroids, sql_cell_expr
+    from .wave23 import _KNN_BLOCK_SQL, _KNN_K
+
+    planes = ivf_centroids(_MK_DIM, _MK_CELLS, _MK_SEED)
+    cell_branches = "\n        UNION ALL\n".join(
+        f"""
+        SELECT * FROM (
+            SELECT a.vec_id AS i, b.vec_id AS j,
+                   ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 9) AS c
+            FROM cells a JOIN cells b
+              ON a.cell = {cell} AND b.cell = {cell} AND a.vec_id <> b.vec_id
+        ) QUALIFY ROW_NUMBER() OVER (
+              PARTITION BY i ORDER BY c DESC, j) <= {_MK_K}"""
+        for cell in range(1, _MK_CELLS + 1)
+    )
+    return f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings),
+    valid AS (SELECT * FROM e WHERE nrm > 0),
+    cells AS (SELECT vec_id, v, nrm, {sql_cell_expr(planes)} AS cell
+              FROM valid),
+    gcand AS ({_KNN_BLOCK_SQL.format(k=_KNN_K)}),
+    granked AS (
+        SELECT i, j, ROW_NUMBER() OVER (
+            PARTITION BY i ORDER BY c DESC, j) AS rn FROM gcand),
+    gknn AS (SELECT i, j FROM granked WHERE rn <= {_KNN_K}),
+    gmutual AS (
+        SELECT k1.i, k1.j FROM gknn k1 JOIN gknn k2
+          ON k1.i = k2.j AND k1.j = k2.i),
+    cknn AS ({cell_branches}),
+    cmutual AS (
+        SELECT k1.i, k1.j FROM cknn k1 JOIN cknn k2
+          ON k1.i = k2.j AND k1.j = k2.i),
+    shared AS (
+        SELECT g.i, g.j FROM gmutual g JOIN cmutual c
+          ON g.i = c.i AND g.j = c.j),
+    within AS (
+        SELECT g.i, g.j FROM gmutual g
+        JOIN cells c1 ON c1.vec_id = g.i
+        JOIN cells c2 ON c2.vec_id = g.j
+        WHERE c1.cell = c2.cell)
+    SELECT
+        CAST((SELECT COUNT(*) FROM gmutual) AS BIGINT) AS n_exact_edges,
+        CAST((SELECT COUNT(*) FROM cmutual) AS BIGINT) AS n_cell_edges,
+        CAST((SELECT COUNT(*) FROM shared) AS BIGINT) AS n_shared,
+        CAST((SELECT COUNT(*) FROM within) AS BIGINT) AS n_within_cell,
+        ROUND(CAST((SELECT COUNT(*) FROM shared) AS DOUBLE)
+              / NULLIF((SELECT COUNT(*) FROM gmutual), 0), 6) AS recall
+    """
+
+
+@register(
+    "q389_knn_cell_recall",
+    sql=_q389_oracle(),
+    doc="Recall evaluation of the cell restriction: q386's per-IVF-cell "
+    "mutual-kNN edges scored against q329's global-exact edges -- the "
+    "fenced-twin pattern turned into a REGISTERED metric (q297 does "
+    "this for LSH top-k retrieval; this is the graph-construction "
+    "analogue).  Reports exact edge count, cell-restricted edge count, "
+    "shared edges, how many exact edges were within-cell at all (the "
+    "ceiling the containment theorem guarantees is met: n_shared >= "
+    "n_within_cell is impossible below it), and edge recall.  Both "
+    "sides run in BOTH engines: Spark computes the two edge streams "
+    "with the shared knn_edges_exact kernel (broadcast global twin + "
+    "per-cell primary), the oracle replays the blocked global SQL and "
+    "the per-cell branch SQL.  Scale: the eval is run on samples in "
+    "production (it needs the exact side); registering it keeps the "
+    "recall measurable and regression-pinned as parameters change.",
+    scale_class="ground-truth",
+)
+def q389_knn_cell_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.similarity import dot, ivf_centroids, knn_edges_exact
+    from .wave23 import q329_mutual_knn_graph  # noqa: F401 (doc cross-ref)
+
+    planes = ivf_centroids(_MK_DIM, _MK_CELLS, _MK_SEED)
+    cents = [F.array(*[F.lit(float(x)) for x in row]) for row in planes]
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    valid = e.filter(F.sqrt(dot(F.col("v"), F.col("v"))) > 0)
+    scores = F.array(*[dot(F.col("v"), c) for c in cents])
+    cells = valid.withColumn(
+        "cell", F.array_position(scores, F.array_max(scores)).cast("int")
+    )
+
+    # global exact side (the fenced-twin kernel: bounded broadcast)
+    rows = valid.collect()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    mat = np.array([r["v"] for r in rows], dtype=np.float64)
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    nrm = np.sqrt((mat * mat).sum(axis=1))
+    bc = spark.sparkContext.broadcast((ids, mat, nrm))
+
+    def gknn_batches(it):
+        b_ids, b_mat, b_nrm = bc.value
+        for pdf in it:
+            sub = pdf[np.isin(pdf["vec_id"].to_numpy(), b_ids)]
+            if len(sub) == 0:
+                continue
+            q = np.stack(sub["v"].to_numpy()).astype(np.float64)
+            oi, oj = knn_edges_exact(
+                sub["vec_id"].to_numpy(), q, b_ids, b_mat, b_nrm, _MK_K
+            )
+            yield pd.DataFrame({"i": oi, "j": oj})
+
+    gknn = valid.mapInPandas(gknn_batches, "i long, j long").persist()
+    gmutual = gknn.join(
+        gknn.select(F.col("j").alias("i"), F.col("i").alias("j")), ["i", "j"]
+    ).persist()
+
+    def cell_knn(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {"i": pd.Series(dtype="int64"), "j": pd.Series(dtype="int64")}
+            )
+        cid = pdf["vec_id"].to_numpy().astype(np.int64)
+        cmat = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        o = np.argsort(cid)
+        cid, cmat = cid[o], cmat[o]
+        cn = np.sqrt((cmat * cmat).sum(axis=1))
+        oi, oj = knn_edges_exact(cid, cmat, cid, cmat, cn, _MK_K)
+        return pd.DataFrame(
+            {"i": pd.Series(oi, dtype="int64"), "j": pd.Series(oj, dtype="int64")}
+        )
+
+    cknn = cells.groupBy("cell").applyInPandas(cell_knn, "i long, j long").persist()
+    cmutual = cknn.join(
+        cknn.select(F.col("j").alias("i"), F.col("i").alias("j")), ["i", "j"]
+    ).persist()
+
+    shared = gmutual.join(cmutual, ["i", "j"])
+    c1 = cells.select(F.col("vec_id").alias("i"), F.col("cell").alias("cell_i"))
+    c2 = cells.select(F.col("vec_id").alias("j"), F.col("cell").alias("cell_j"))
+    within = (
+        gmutual.join(c1, "i").join(c2, "j").filter(F.col("cell_i") == F.col("cell_j"))
+    )
+    n_exact = gmutual.count()
+    n_cell = cmutual.count()
+    n_shared = shared.count()
+    n_within = within.count()
+    recall = round(n_shared / n_exact, 6) if n_exact else None
+    return spark.createDataFrame(
+        [(n_exact, n_cell, n_shared, n_within, recall)],
+        "n_exact_edges bigint, n_cell_edges bigint, n_shared bigint, "
+        "n_within_cell bigint, recall double",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q390: IVF cell-balance report (quantizer health)
+# ---------------------------------------------------------------------------
+
+
+def _q390_oracle() -> str:
+    from ..operators.similarity import ivf_centroids, sql_cell_expr
+
+    planes = ivf_centroids(_MK_DIM, _MK_CELLS, _MK_SEED)
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cells AS (SELECT vec_id, {sql_cell_expr(planes)} AS cell FROM e),
+    counts AS (
+        SELECT g.cell, COUNT(c.vec_id) AS n
+        FROM (SELECT unnest(range(1, {_MK_CELLS + 1})) AS cell) g
+        LEFT JOIN cells c ON c.cell = g.cell GROUP BY g.cell),
+    stats AS (
+        SELECT SUM(n) AS total, MAX(n) AS mx,
+               SUM(CASE WHEN n = 0 THEN 1 ELSE 0 END) AS n_empty,
+               SUM(n * n) AS sq
+        FROM counts)
+    SELECT CAST(c.cell AS INT) AS cell,
+           CAST(c.n AS BIGINT) AS n_vectors,
+           ROUND(CAST(c.n AS DOUBLE) * {_MK_CELLS} / s.total, 6)
+               AS load_factor,
+           ROUND(CAST(s.mx AS DOUBLE) * {_MK_CELLS} / s.total, 6)
+               AS imbalance_factor,
+           CAST(s.n_empty AS BIGINT) AS n_empty_cells,
+           ROUND(CAST(s.sq AS DOUBLE) * {_MK_CELLS}
+                 / (CAST(s.total AS DOUBLE) * s.total), 6)
+               AS expected_probe_blowup
+    FROM counts c CROSS JOIN stats s
+    ORDER BY c.cell
+    """
+
+
+@register(
+    "q390_ivf_cell_balance",
+    sql=_q390_oracle(),
+    doc=f"IVF quantizer health report over the {_MK_CELLS}-cell layout: "
+    "per-cell population with load factor (n_cell * nlist / n), plus the "
+    "three whole-index diagnostics every ANN operator watches -- "
+    "imbalance factor (max load; FAISS's metric: the hot shard that "
+    "bounds probe latency), empty-cell count (wasted directory "
+    "entries), and expected probe blowup E[cell size of a random "
+    "vector] * nlist / n = nlist * sum(n_c^2) / n^2 (1.0 = perfectly "
+    "balanced; it is the factor by which a single-probe query touches "
+    "more data than n/nlist).  These numbers decide when to retrain "
+    "the quantizer or split cells at 100 TB -- the operational metric "
+    "for q385/q386/q387's shared layout.  Plan: one scan, one "
+    "hash-agg on cell, a broadcast join to the 16-row cell spine "
+    "(empty cells must appear), one 1-row stats cross join.",
+)
+def q390_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import dot, ivf_centroids
+
+    planes = ivf_centroids(_MK_DIM, _MK_CELLS, _MK_SEED)
+    cents = [F.array(*[F.lit(float(x)) for x in row]) for row in planes]
+    e = load_table(spark, sf_dir, "embeddings").select(
+        F.col("embedding").cast("array<double>").alias("v")
+    )
+    scores = F.array(*[dot(F.col("v"), c) for c in cents])
+    cells = e.select(
+        F.array_position(scores, F.array_max(scores)).cast("int").alias("cell")
+    )
+    spine = spark.range(1, _MK_CELLS + 1).select(F.col("id").cast("int").alias("cell"))
+    counts = (
+        spine.join(cells.groupBy("cell").agg(F.count("*").alias("n0")), "cell", "left")
+        .select("cell", F.coalesce("n0", F.lit(0)).alias("n"))
+    )
+    stats = counts.agg(
+        F.sum("n").alias("total"),
+        F.max("n").alias("mx"),
+        F.count_if(F.col("n") == 0).alias("n_empty"),
+        F.sum(F.col("n") * F.col("n")).alias("sq"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(stats))
+        .select(
+            F.col("cell").cast("int").alias("cell"),
+            F.col("n").cast("bigint").alias("n_vectors"),
+            F.round(F.col("n").cast("double") * _MK_CELLS / F.col("total"), 6)
+            .alias("load_factor"),
+            F.round(F.col("mx").cast("double") * _MK_CELLS / F.col("total"), 6)
+            .alias("imbalance_factor"),
+            F.col("n_empty").cast("bigint").alias("n_empty_cells"),
+            F.round(
+                F.col("sq").cast("double") * _MK_CELLS
+                / (F.col("total").cast("double") * F.col("total")),
+                6,
+            ).alias("expected_probe_blowup"),
+        )
+        .orderBy("cell")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q391: PQ codebook distortion report (per-subspace quantization error)
+# ---------------------------------------------------------------------------
+
+
+def _q391_oracle() -> str:
+    sq = " + ".join(
+        f"((vv[ms.m * {_RR_SUB} + {d} + 1]) - (cv[ms.m * {_RR_SUB} + {d} + 1]))"
+        f" * ((vv[ms.m * {_RR_SUB} + {d} + 1]) - (cv[ms.m * {_RR_SUB} + {d} + 1]))"
+        for d in range(_RR_SUB)
+    )
+    return f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+    cb AS (SELECT vec_id AS c, CAST(embedding AS DOUBLE[]) AS cv
+           FROM embeddings WHERE vec_id < {_RR_C}),
+    ms AS (SELECT unnest(generate_series(0, {_RR_M - 1})) AS m),
+    dists AS (
+        SELECT v.vec_id, ms.m, cb.c, {sq} AS dist
+        FROM v, ms, cb),
+    best AS (
+        SELECT vec_id, m, MIN(dist) AS qerr
+        FROM dists GROUP BY vec_id, m)
+    SELECT CAST(m AS INT) AS subspace,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           ROUND(AVG(qerr), 6) AS avg_sq_err,
+           ROUND(MAX(qerr), 6) AS max_sq_err
+    FROM best GROUP BY m ORDER BY subspace
+    """
+
+
+@register(
+    "q391_pq_distortion",
+    sql=_q391_oracle(),
+    doc=f"Product-quantization distortion report for q161/q387's codebook "
+    f"({_RR_M} subspaces x {_RR_C} codewords): per-subspace average and "
+    "max squared quantization error (distance from each vector's "
+    "subvector to its NEAREST codeword -- min over the codebook, so the "
+    "metric is assignment-independent and tie-safe).  This is the "
+    "number that validates an ANN index build: rising avg_sq_err in one "
+    "subspace means that subspace's codewords no longer cover the data "
+    "(retrain trigger), and the per-subspace profile decides codeword "
+    "budget allocation.  Plan: the Arrow kernel computes each row's "
+    f"{_RR_M}x{_RR_C} distance block and emits only (m, min) pairs -- "
+    "one scan, one narrow kernel, one {_RR_M}-group hash-agg; the "
+    "16-row codebook is the only collect (q161's bounded rule).",
+)
+def q391_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb_rows = (
+        emb.filter(F.col("vec_id") < _RR_C)
+        .select("vec_id", "embedding")
+        .limit(_RR_C)
+        .collect()
+    )
+    cb = np.array(
+        [r["embedding"] for r in sorted(cb_rows, key=lambda r: r["vec_id"])],
+        dtype=np.float64,
+    )
+    cbt = cb.reshape(_RR_C, _RR_M, _RR_SUB).transpose(1, 0, 2)  # (M, C, SUB)
+
+    def qerr(batches):
+        for pdf in batches:
+            v = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            v = v.reshape(len(pdf), _RR_M, _RR_SUB)
+            diff = v[:, :, None, :] - cbt[None, :, :, :]
+            dist = np.einsum("nmcd,nmcd->nmc", diff, diff)
+            best = dist.min(axis=2)  # (N, M)
+            n, m = best.shape
+            yield pd.DataFrame(
+                {
+                    "subspace": np.tile(np.arange(m, dtype=np.int32), n),
+                    "qerr": best.ravel(),
+                }
+            )
+
+    per = emb.select("embedding").mapInPandas(qerr, "subspace int, qerr double")
+    return (
+        per.groupBy("subspace")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vectors"),
+            F.round(F.avg("qerr"), 6).alias("avg_sq_err"),
+            F.round(F.max("qerr"), 6).alias("max_sq_err"),
+        )
+        .orderBy("subspace")
     )

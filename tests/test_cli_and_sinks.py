@@ -170,7 +170,7 @@ def test_observation_metrics_single_pass(spark, sf_dir):
 
 
 def test_ground_truth_tags_and_cli_surfacing(sf_dir):
-    """Scale-class fence (round 9, extended rounds 10-11): the six exact/
+    """Scale-class fence (round 9, extended rounds 10-11): the seven exact/
     all-pairs parity entries carry scale_class='ground-truth',
     --list-queries marks them, and --query warns before running one.  No
     untagged registry entry may have a cartesian product in the committed
@@ -194,6 +194,9 @@ def test_ground_truth_tags_and_cli_surfacing(sf_dir):
         # broadcasts + collect()s the corpus by construction; q386's
         # per-IVF-cell form is the registered scale primary
         "q329_mutual_knn_graph",
+        # round 11: the recall eval NEEDS the exact side (it scores q386
+        # against q329's kernel), so it inherits the fence
+        "q389_knn_cell_recall",
     }
     assert {q.scale_class for q in qs.values()} <= {"scale", "ground-truth"}
     with open("/root/repo/tools/plan_audit.json") as fh:
