@@ -76,6 +76,12 @@ def _norm_cell(v: Any) -> Any:
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        if v == 0.0:
+            # IEEE negative zero: '%.12g' renders -0.0 as '-0', and engines
+            # legitimately differ on the sign of a zero result (round-11 sf1
+            # finding: q136's z-score rounds to -0.0 in DuckDB, +0.0 in
+            # Spark).  -0.0 == 0.0, so normalize the rendering.
+            return "0"
         # 12 significant digits absorbs sub-ulp engine differences while
         # still catching real value bugs.
         return f"{v:.12g}"
@@ -130,8 +136,10 @@ def _fast_norm_expr(c: str, cls: str) -> str:
     q = '"' + c.replace('"', '""') + '"'
     if cls == "float":
         # %.12g mirrors the slow path's 12-significant-digit absorption of
-        # sub-ulp engine differences (same C printf semantics).
-        e = f"printf('%.12g', CAST({q} AS DOUBLE))"
+        # sub-ulp engine differences (same C printf semantics); +0.0 added
+        # first so IEEE -0.0 renders '0' like the slow path (q136's sf1
+        # negative-zero finding).
+        e = f"printf('%.12g', CAST({q} AS DOUBLE) + 0.0)"
     elif cls == "ts":
         e = f"strftime(CAST({q} AS TIMESTAMP), '%Y-%m-%dT%H:%M:%S.%f')"
     else:

@@ -83,3 +83,22 @@ def test_compare_uses_fast_path_over_threshold(spark, sf_dir, monkeypatch):
         "SELECT n_nationkey, n_name FROM nation",
     )
     assert res["ok"] and res.get("fast_path") is True
+
+
+def test_negative_zero_normalizes_identically_on_both_paths():
+    """Round-11 sf1 finding: q136's z-score rounded to -0.0 in DuckDB and
+    +0.0 in Spark; '%.12g' renders them '-0' vs '0' and the compare
+    reported a false value mismatch.  -0.0 == 0.0, so both the slow path
+    (_norm_cell) and the columnar fast path's SQL normalization must
+    render any zero as '0'."""
+    import duckdb
+
+    from sparkstreaming_quickstart_spark.oracle import _fast_norm_expr, _norm_cell
+
+    assert _norm_cell(-0.0) == "0"
+    assert _norm_cell(0.0) == "0"
+    expr = _fast_norm_expr("x", "float")
+    got = duckdb.connect().execute(
+        f"SELECT {expr} FROM (SELECT -0.0::DOUBLE AS x UNION ALL SELECT 0.0)"
+    ).fetchall()
+    assert [r[0] for r in got] == ["0", "0"]
