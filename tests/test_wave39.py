@@ -160,3 +160,70 @@ def test_cell_restriction_contains_within_cell_global_mutual_edges(spark, sf_dir
         f"{len(missing)} within-cell globally-mutual edges lost by the "
         f"cell restriction (e.g. {sorted(missing)[:5]})"
     )
+
+
+def test_q387_layout_scan_is_partition_pruned(spark, sf_dir):
+    """q387 inherits q385's storage contract: the candidate scan over the
+    cell-partitioned layout must consume the probed-cell list as a
+    PartitionFilter (directory pruning), never a data filter on the
+    partition column."""
+    import re
+
+    from sparkstreaming_quickstart_spark.queries.wave39 import q387_ivf_adc_rerank
+
+    out = q387_ivf_adc_rerank(spark, sf_dir)
+    rows = out.collect()
+    assert rows
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    layout = [
+        l for l in plan.splitlines()
+        if "FileScan parquet" in l and "ssq-emb-ivf-" in l
+    ]
+    assert layout, plan
+    for line in layout:
+        m = re.search(r"PartitionFilters: \[([^\]]*)", line)
+        assert m and "cell" in m.group(1), line
+        dm = re.search(r"DataFilters: \[([^\]]*)", line)
+        assert dm and "cell" not in dm.group(1), line
+    # output invariants: <= K rows per query, ranks contiguous from 1,
+    # cosine non-increasing in rank within each query (at oracle rounding)
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for r in rows:
+        per[r["query_id"]].append(r)
+    for qid, rs in per.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        coss = [round(r["cos_sim"], 6) for r in rs]
+        assert all(a >= b for a, b in zip(coss, coss[1:])), (qid, coss)
+
+
+def test_q388_semdedup_report_invariants(spark, sf_dir):
+    """Structural invariants of the per-source curation report: dups are a
+    strict subset, kept chars bound total chars, and the totals equal the
+    documents-with-embeddings join cardinality."""
+    import duckdb
+
+    from sparkstreaming_quickstart_spark.queries.wave39 import (
+        q388_semdedup_ivf_report,
+    )
+
+    rows = q388_semdedup_ivf_report(spark, sf_dir).collect()
+    assert rows
+    total_docs = sum(r["n_docs"] for r in rows)
+    want = (
+        duckdb.connect()
+        .execute(
+            f"SELECT count(*) FROM '{sf_dir}/documents.parquet' d "
+            f"JOIN '{sf_dir}/embeddings.parquet' e ON d.doc_id = e.vec_id"
+        )
+        .fetchone()[0]
+    )
+    assert total_docs == want
+    for r in rows:
+        assert 0 <= r["n_dups"] <= r["n_docs"]
+        kept = r["chars_kept"] if r["chars_kept"] is not None else 0
+        assert 0 <= kept <= r["chars_total"]
+        if r["n_dups"] == 0:
+            assert kept == r["chars_total"]
