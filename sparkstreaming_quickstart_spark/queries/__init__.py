@@ -89,6 +89,7 @@ _PRIORITY: list[str] = [
     "q386_mutual_knn_ivf_cells", "q387_ivf_adc_rerank",
     "q388_semdedup_ivf_report", "q389_knn_cell_recall",
     "q390_ivf_cell_balance", "q391_pq_distortion",
+    "q392_stream_ivf_cell_monitor",
     "q329_mutual_knn_graph",
     "q146_stream_stream_left_outer", "q147_salted_skew_join",
     "q148_embedding_gram", "q152_stream_global_topk", "q36_percentiles",

@@ -861,3 +861,105 @@ def q391_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("subspace")
     )
+
+# ---------------------------------------------------------------------------
+# q392: streaming IVF cell-balance monitor (q390's streaming twin)
+# ---------------------------------------------------------------------------
+
+
+def _embeddings_stream(spark: SparkSession, sf_dir: str, max_files: int = 1):
+    """Replay embeddings.parquet as a file-source stream -- the vector-ingest
+    sibling of documents_stream: at 100 TB this is the embedding-service
+    output topic; the file replay is the same unbounded-DataFrame contract
+    without a broker."""
+    from pyspark.sql.types import (
+        ArrayType,
+        FloatType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from ..session import tune
+    from ..streaming.source import _stage_table_dir
+
+    tune(spark)
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+            StructField("label", IntegerType()),
+        ]
+    )
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(_stage_table_dir(sf_dir, "embeddings"))
+    )
+
+
+@register(
+    "q392_stream_ivf_cell_monitor",
+    sql=_q390_oracle(),
+    doc="STREAMING IVF cell-balance monitor -- q390 as a continuous "
+    "aggregation, value-locked to the SAME oracle (the q380/q383 twin "
+    "discipline): embeddings replay as a file stream, each vector is "
+    "quantized to its seeded-centroid cell with the same JVM fold "
+    "expressions (stateless per row, so the quantizer runs inside the "
+    "stream with no Python boundary), and a complete-mode streaming "
+    "count per cell feeds the final spine-joined health report "
+    "(load/imbalance factors, empty cells, expected probe blowup).  "
+    "This is the monitor a vector-ingest pipeline runs NEXT TO the "
+    "index: drifting imbalance on the live stream is the retrain "
+    "trigger BEFORE probe latency degrades.  State is one count per "
+    "cell (bounded by nlist); the drain is the memory-sink harness "
+    "(production: foreachBatch upsert).  The final snapshot equals the "
+    "batch computation exactly -- counts are associative -- which is "
+    "what the shared value oracle proves.",
+)
+def q392_stream_ivf_cell_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import dot, ivf_centroids
+    from ..streaming.pipeline import run_to_memory
+
+    planes = ivf_centroids(_MK_DIM, _MK_CELLS, _MK_SEED)
+    cents = [F.array(*[F.lit(float(x)) for x in row]) for row in planes]
+    stream = _embeddings_stream(spark, sf_dir).select(
+        F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    scores = F.array(*[dot(F.col("v"), c) for c in cents])
+    cells = stream.select(
+        F.array_position(scores, F.array_max(scores)).cast("int").alias("cell")
+    )
+    counts_stream = cells.groupBy("cell").agg(F.count("*").alias("n0"))
+    table = run_to_memory(counts_stream, output_mode="complete")
+    spine = spark.range(1, _MK_CELLS + 1).select(
+        F.col("id").cast("int").alias("cell")
+    )
+    counts = spine.join(spark.table(table), "cell", "left").select(
+        "cell", F.coalesce("n0", F.lit(0)).alias("n")
+    )
+    stats = counts.agg(
+        F.sum("n").alias("total"),
+        F.max("n").alias("mx"),
+        F.count_if(F.col("n") == 0).alias("n_empty"),
+        F.sum(F.col("n") * F.col("n")).alias("sq"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(stats))
+        .select(
+            F.col("cell").cast("int").alias("cell"),
+            F.col("n").cast("bigint").alias("n_vectors"),
+            F.round(F.col("n").cast("double") * _MK_CELLS / F.col("total"), 6)
+            .alias("load_factor"),
+            F.round(F.col("mx").cast("double") * _MK_CELLS / F.col("total"), 6)
+            .alias("imbalance_factor"),
+            F.col("n_empty").cast("bigint").alias("n_empty_cells"),
+            F.round(
+                F.col("sq").cast("double") * _MK_CELLS
+                / (F.col("total").cast("double") * F.col("total")),
+                6,
+            ).alias("expected_probe_blowup"),
+        )
+        .orderBy("cell")
+    )
