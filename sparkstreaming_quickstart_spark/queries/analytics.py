@@ -161,6 +161,14 @@ def q151_fuzzy_title_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = t.select(F.col("doc_id").alias("d1"), F.col("title").alias("t1"), "blk")
     b = t.select(F.col("doc_id").alias("d2"), F.col("title").alias("t2"), "blk")
+    # Catalyst broadcasts b, so pair enumeration runs at a's partition count
+    # -- the parquet SPLIT count (3 at sf1), and a Zipf-hot block (top first
+    # token: 6.4k docs = 20M pairs at sf1) lands in one task.  Hash-spread a
+    # on d1 first: under the broadcast each a-row probes its whole block
+    # from the map, so spreading a's rows spreads the hot block's pair
+    # enumeration evenly -- no salting needed until b outgrows broadcast
+    # (then: blocking + salted_join, see docstring).  Round-11 sf1 finding.
+    a = a.repartition(F.col("d1"))
     pairs = a.join(b, "blk").filter(F.col("d1") < F.col("d2"))
     scored = pairs.select(
         "d1", "d2", F.levenshtein(F.col("t1"), F.col("t2"), 10).alias("edit_dist")
