@@ -176,16 +176,28 @@ def _try_fast_compare(sdf: pd.DataFrame, ddf: pd.DataFrame, cols: list[str]) -> 
 
 
 def compare(spark: SparkSession, sf_dir: str, fn, sql: str) -> dict:
-    """Run query + oracle; return a result dict (ok, counts, first diff)."""
+    """Run query + oracle; return a result dict (ok, counts, first diff).
+
+    Per-engine wall times are reported (spark_sec / duckdb_sec) so sweep
+    outliers attribute to the right side -- a 469 s q151 line at sf1 read
+    as "engine problem" until the split showed where the time went
+    (round-11 note)."""
+    import time as _time
+
+    t0 = _time.time()
     sdf = fn(spark, sf_dir).toPandas()
+    t1 = _time.time()
     con = duckdb_connection(sf_dir)
     ddf = con.sql(sql).df()
     con.close()
+    t2 = _time.time()
     res: dict[str, Any] = {
         "spark_rows": len(sdf),
         "duckdb_rows": len(ddf),
         "spark_cols": sorted(sdf.columns),
         "duckdb_cols": sorted(ddf.columns),
+        "spark_sec": round(t1 - t0, 1),
+        "duckdb_sec": round(t2 - t1, 1),
     }
     if sorted(sdf.columns) != sorted(ddf.columns):
         res["ok"] = False

@@ -33,7 +33,11 @@ def main() -> int:
                 continue
             res = compare(spark, sf_dir, q.fn, q.sql)
             if res["ok"]:
-                print(f"  {name:<28} OK rows={res['spark_rows']} ({time.time()-t0:.1f}s)")
+                split = f" [spark {res['spark_sec']}s / duck {res['duckdb_sec']}s]"
+                print(
+                    f"  {name:<28} OK rows={res['spark_rows']}"
+                    f" ({time.time()-t0:.1f}s){split}"
+                )
             else:
                 failures += 1
                 print(f"  {name:<28} FAIL {res['why']}")
