@@ -227,3 +227,56 @@ def test_q388_semdedup_report_invariants(spark, sf_dir):
         assert 0 <= kept <= r["chars_total"]
         if r["n_dups"] == 0:
             assert kept == r["chars_total"]
+
+
+def test_q392_stream_monitor_multibatch_equals_batch(spark, sf_dir):
+    """q392's complete-mode counts must equal the batch computation (q390's
+    values) under a FORCED multi-batch replay -- counts are associative, so
+    the final snapshot is split-independent.  Mirrors q372's discipline."""
+    import tempfile
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from sparkstreaming_quickstart_spark.operators.similarity import (
+        dot,
+        ivf_centroids,
+    )
+    from sparkstreaming_quickstart_spark.queries.wave39 import (
+        _MK_CELLS,
+        _MK_DIM,
+        _MK_SEED,
+        q390_ivf_cell_balance,
+    )
+    from sparkstreaming_quickstart_spark.sources.catalog import load_table
+    from sparkstreaming_quickstart_spark.streaming.pipeline import run_to_memory
+
+    src = load_table(spark, sf_dir, "embeddings")
+    splitdir = tempfile.mkdtemp(prefix="ssq-392split-")
+    src.repartition(3).write.mode("overwrite").parquet(splitdir)
+
+    planes = ivf_centroids(_MK_DIM, _MK_CELLS, _MK_SEED)
+    cents = [F.array(*[F.lit(float(x)) for x in row]) for row in planes]
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(splitdir)
+        .select(F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    )
+    scores = F.array(*[dot(F.col("v"), c) for c in cents])
+    cells = stream.select(
+        F.array_position(scores, F.array_max(scores)).cast("int").alias("cell")
+    )
+    table = run_to_memory(
+        cells.groupBy("cell").agg(F.count("*").alias("n0")),
+        output_mode="complete",
+    )
+    got = {
+        r["cell"]: r["n0"] for r in spark.table(table).collect()
+    }
+    want = {
+        r["cell"]: r["n_vectors"]
+        for r in q390_ivf_cell_balance(spark, sf_dir).collect()
+        if r["n_vectors"] > 0
+    }
+    assert got == want
