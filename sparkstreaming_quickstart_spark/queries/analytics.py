@@ -167,8 +167,12 @@ def q151_fuzzy_title_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # on d1 first: under the broadcast each a-row probes its whole block
     # from the map, so spreading a's rows spreads the hot block's pair
     # enumeration evenly -- no salting needed until b outgrows broadcast
-    # (then: blocking + salted_join, see docstring).  Round-11 sf1 finding.
-    a = a.repartition(F.col("d1"))
+    # (then: blocking + salted_join, see docstring).  The partition COUNT
+    # must be explicit: an unsized repartition(col) is REPARTITION_BY_COL,
+    # which AQE coalesces right back to ~1 partition because the probe
+    # side's map output is tiny -- the blowup is post-join, invisible to
+    # the coalescer.  Round-11 sf1 finding, both halves.
+    a = a.repartition(spark.sparkContext.defaultParallelism, F.col("d1"))
     pairs = a.join(b, "blk").filter(F.col("d1") < F.col("d2"))
     scored = pairs.select(
         "d1", "d2", F.levenshtein(F.col("t1"), F.col("t2"), 10).alias("edit_dist")
