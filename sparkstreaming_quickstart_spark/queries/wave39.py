@@ -550,12 +550,12 @@ def _q389_oracle() -> str:
     granked AS (
         SELECT i, j, ROW_NUMBER() OVER (
             PARTITION BY i ORDER BY c DESC, j) AS rn FROM gcand),
-    gknn AS (SELECT i, j FROM granked WHERE rn <= {_KNN_K}),
-    gmutual AS (
+    gknn AS MATERIALIZED (SELECT i, j FROM granked WHERE rn <= {_KNN_K}),
+    gmutual AS MATERIALIZED (
         SELECT k1.i, k1.j FROM gknn k1 JOIN gknn k2
           ON k1.i = k2.j AND k1.j = k2.i),
-    cknn AS ({cell_branches}),
-    cmutual AS (
+    cknn AS MATERIALIZED ({cell_branches}),
+    cmutual AS MATERIALIZED (
         SELECT k1.i, k1.j FROM cknn k1 JOIN cknn k2
           ON k1.i = k2.j AND k1.j = k2.i),
     shared AS (
@@ -566,13 +566,21 @@ def _q389_oracle() -> str:
         JOIN cells c1 ON c1.vec_id = g.i
         JOIN cells c2 ON c2.vec_id = g.j
         WHERE c1.cell = c2.cell)
+    -- one cross join of four 1-row aggregates, NOT scalar subqueries: a
+    -- non-materialized CTE referenced from a scalar subquery is INLINED,
+    -- so five subqueries re-evaluated the entire blocked kNN chain five
+    -- times and the combined in-flight state exhausted the container's
+    -- disk at sf1 (round-11 finding; MATERIALIZED + this shape fixes it)
     SELECT
-        CAST((SELECT COUNT(*) FROM gmutual) AS BIGINT) AS n_exact_edges,
-        CAST((SELECT COUNT(*) FROM cmutual) AS BIGINT) AS n_cell_edges,
-        CAST((SELECT COUNT(*) FROM shared) AS BIGINT) AS n_shared,
-        CAST((SELECT COUNT(*) FROM within) AS BIGINT) AS n_within_cell,
-        ROUND(CAST((SELECT COUNT(*) FROM shared) AS DOUBLE)
-              / NULLIF((SELECT COUNT(*) FROM gmutual), 0), 6) AS recall
+        CAST(ge.n AS BIGINT) AS n_exact_edges,
+        CAST(ce.n AS BIGINT) AS n_cell_edges,
+        CAST(sh.n AS BIGINT) AS n_shared,
+        CAST(wi.n AS BIGINT) AS n_within_cell,
+        ROUND(CAST(sh.n AS DOUBLE) / NULLIF(ge.n, 0), 6) AS recall
+    FROM (SELECT COUNT(*) AS n FROM gmutual) ge
+    CROSS JOIN (SELECT COUNT(*) AS n FROM cmutual) ce
+    CROSS JOIN (SELECT COUNT(*) AS n FROM shared) sh
+    CROSS JOIN (SELECT COUNT(*) AS n FROM within) wi
     """
 
 
