@@ -104,8 +104,18 @@ class AhoCorasickDense:
     def __init__(self, terms: list[str]):
         import numpy as np
 
-        ac = AhoCorasick(terms)
-        self.terms = ac.terms
+        # Build the automaton over the terms' UTF-8 BYTES (each byte mapped
+        # to one latin-1 char, so every goto symbol has ord(ch) < 256): the
+        # scanner below steps byte streams, and a char-keyed automaton would
+        # silently never match a term with a codepoint in 128-255 (its
+        # single-"char" transition is unreachable from multi-byte UTF-8
+        # input) and IndexError above 255 (round-11 advice).  UTF-8 is
+        # self-synchronizing, so byte-level matches of an encoded term occur
+        # exactly at its char-level occurrences; term_len is in bytes, the
+        # unit the non-overlap filter's offsets are in.
+        byte_terms = [t.encode("utf-8").decode("latin-1") for t in terms]
+        ac = AhoCorasick(byte_terms)
+        self.terms = list(terms)
         n = len(ac.goto)
         nxt = np.zeros((n, 256), dtype=np.int32)
         # BFS order guarantees fail[state] is resolved before state
@@ -127,7 +137,7 @@ class AhoCorasickDense:
         self.nxt = nxt
         self.out = ac.out
         self.has_out = np.array([bool(o) for o in ac.out], dtype=bool)
-        self.term_len = [len(t) for t in self.terms]
+        self.term_len = [len(t) for t in byte_terms]  # BYTE lengths
 
     def count_batch(self, texts: list[str]) -> list[list[int]]:
         """Per-doc per-term non-overlapping counts for a batch of ASCII/UTF-8

@@ -882,6 +882,16 @@ def _ivf_partitioned_dir(spark: SparkSession, sf_dir: str) -> str:
             import shutil
 
             shutil.rmtree(stage, ignore_errors=True)
+            # rename also fails when `out` exists as a STALE layout without
+            # _SUCCESS (e.g. an interrupted pre-staging overwrite run), not
+            # only when a concurrent winner installed an identical copy --
+            # returning that broken directory unverified would feed a
+            # half-written index to the caller (round-11 advice).
+            if not os.path.exists(os.path.join(out, "_SUCCESS")):
+                raise RuntimeError(
+                    f"IVF layout install failed and {out} has no _SUCCESS "
+                    "marker: remove the stale directory and retry"
+                )
     return out
 
 

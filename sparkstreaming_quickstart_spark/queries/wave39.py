@@ -28,6 +28,8 @@ rest of the registry.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -677,7 +679,11 @@ def q389_knn_cell_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_cell = cmutual.count()
     n_shared = shared.count()
     n_within = within.count()
-    recall = round(n_shared / n_exact, 6) if n_exact else None
+    # half-away-from-zero at 6 digits, matching DuckDB ROUND (Python round()
+    # is banker's: an exactly-representable half like 1/128 -> 0.0078125
+    # would round to ...812 here but ...813 in the oracle); the ratio is
+    # nonnegative so floor(x*1e6 + 0.5) is exactly half-away.
+    recall = math.floor(n_shared / n_exact * 1e6 + 0.5) / 1e6 if n_exact else None
     return spark.createDataFrame(
         [(n_exact, n_cell, n_shared, n_within, recall)],
         "n_exact_edges bigint, n_cell_edges bigint, n_shared bigint, "

@@ -344,3 +344,32 @@ def test_dense_automaton_equals_classic(texts, terms):
     got = dense.count_batch(texts)
     want = [classic.count_nonoverlapping(t) for t in texts]
     assert got == want
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abéλ 中", min_size=0, max_size=40),
+        min_size=0,
+        max_size=6,
+    ),
+    st.lists(
+        st.text(alphabet="abéλ中", min_size=1, max_size=4),
+        min_size=1,
+        max_size=5,
+        unique=True,
+    ),
+)
+@settings(max_examples=60, deadline=None)
+def test_dense_automaton_non_ascii(texts, terms):
+    """Non-ASCII dictionaries: the dense DFA is built from the terms' UTF-8
+    BYTES (round-11 advice -- a char-keyed build gave silent 0 counts for
+    codepoints 128-255 and IndexError above), so 2- and 3-byte codepoints
+    must count exactly like str.count."""
+    from sparkstreaming_quickstart_spark.operators.text_scan import (
+        AhoCorasickDense,
+    )
+
+    dense = AhoCorasickDense(terms)
+    got = dense.count_batch(texts)
+    want = [[t.count(term) for term in terms] for t in texts]
+    assert got == want
