@@ -342,3 +342,153 @@ def ann_lsh_topk(
         .filter(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Adaptive-nlist IVF quantizer (round 12): cells derived from corpus count
+# ---------------------------------------------------------------------------
+#
+# The fixed-16-cell layout matched the fixtures but breaks the 100 TB story:
+# a constant nlist means one cell grows linearly with the corpus, and the
+# per-cell kernels (q386's mutual-kNN block, q388's SemDeDup prune) get the
+# corpus/16 in a single executor's applyInPandas block -- the exact failure
+# the cell restriction exists to remove.  This family derives
+# nlist = max(16, 2^floor(log2(n)/2))  (the largest power of two <= sqrt(n),
+# FAISS's nlist ~ sqrt(n) discipline), so a cell holds ~sqrt(n) vectors at
+# every decade: 16 cells at n=500, 32 at 2k, 128 at 20k, 256 at 200k, ~16k
+# at 100 TB-scale corpora.
+#
+# Centroids can no longer be seeded-numpy literals pasted into the oracle
+# (the literal list would have to change size with the data), so they come
+# from a PURE-INTEGER formula both engines evaluate bit-identically from
+# scratch: component k of centroid j is three Lehmer/LCG steps (one of them
+# a squaring, which breaks the multiplicative lattice) on t = j*dim + k, all
+# mod 2147483647 -- every intermediate fits in int64 in numpy, BIGINT in
+# DuckDB, and the final x/M*2-1 float normalization is the same three
+# correctly-rounded IEEE ops on both sides (pinned bitwise in
+# tests/test_wave40.py).  Cell assignment rounds the centroid dot to 9
+# digits BEFORE the argmax (first-max / smallest-j tie-break), the
+# registry's rank-before-round discipline: it makes the assignment robust
+# to summation-association differences, so the engine side can use a
+# vectorized matmul (V @ W.T) instead of 256x64 literal fold expressions.
+
+_LEHMER_M = 2147483647  # 2^31 - 1
+
+
+def nlist_for(n: int, floor_cells: int = 16) -> int:
+    """Largest power of two <= sqrt(n), floored at `floor_cells` -- mirrored
+    exactly by SQL_NLIST_EXPR (floor(log2(n)) == n.bit_length()-1, and
+    floor(log2(n)/2) == (n.bit_length()-1)//2 because the fractional part
+    of log2(n) is < 1 so halving it cannot cross an integer)."""
+    if n < 1:
+        return floor_cells
+    return max(floor_cells, 1 << ((n.bit_length() - 1) // 2))
+
+
+# DuckDB mirror of nlist_for over a COUNT(*) scalar named `cnt`; double
+# log2/power are exact here (log2 of an exact power of two is exact, and a
+# non-power's log2 sits >= 6.7e-10 away from the next integer at n < 2^40,
+# far outside 1 ulp), verified n-by-n against nlist_for in tests.
+SQL_NLIST_EXPR = (
+    "GREATEST(16, CAST(POWER(2, (CAST(FLOOR(LOG2(cnt)) AS INT) // 2)) AS INT))"
+)
+
+
+def adaptive_centroids(dim: int, nlist: int):
+    """The formula centroid matrix (nlist x dim, components in [-1, 1)),
+    bit-identical to the SQL in sql_adaptive_quantizer_ctes."""
+    t = np.arange(nlist * dim, dtype=np.int64)
+    x1 = (48271 * (t + 1)) % _LEHMER_M
+    x2 = (x1 * x1) % _LEHMER_M
+    x3 = (48271 * x2 + 12345) % _LEHMER_M
+    return (x3 / 2147483647.0 * 2.0 - 1.0).reshape(nlist, dim)
+
+
+def sql_adaptive_quantizer_ctes(dim: int, src: str = "e") -> str:
+    """`nl` (adaptive cell count from COUNT(*)) and `cents` (formula
+    centroids) CTE bodies, to splice into a WITH chain after the `{src}`
+    CTE.  The 65536 range cap bounds the generator, not the index: the
+    sqrt rule reaches it only past 4e9 vectors PER ORACLE RUN, far beyond
+    any DuckDB-checkable fixture."""
+    x1 = f"((48271 * (j*{dim} + k + 1)) % {_LEHMER_M})"
+    expr = (
+        f"((48271 * (({x1} * {x1}) % {_LEHMER_M}) + 12345) % {_LEHMER_M})"
+        " / 2147483647.0 * 2.0 - 1.0"
+    )
+    return f"""
+    nl AS (SELECT {SQL_NLIST_EXPR} AS nlist
+           FROM (SELECT COUNT(*) AS cnt FROM {src})),
+    cents AS (
+        SELECT j, list_transform(range({dim}), k -> {expr}) AS w
+        FROM range(65536) t(j) WHERE j < (SELECT nlist FROM nl))"""
+
+
+def sql_adaptive_cell_cte(src: str, cols: str, vec: str = "v") -> str:
+    """`cells` CTE body: argmax-centroid assignment of `{src}` rows (round
+    the dot to 9 digits BEFORE ranking, smallest-j tie-break -- the exact
+    mirror of assign_cells_arrow)."""
+    return f"""
+    cells AS (
+        SELECT {cols}, cell FROM (
+            SELECT {src}.*, c.j AS cell,
+                   ROW_NUMBER() OVER (PARTITION BY {src}.vec_id
+                       ORDER BY ROUND(list_dot_product({src}.{vec}, c.w), 9)
+                                DESC, c.j) AS rk
+            FROM {src} CROSS JOIN cents c) WHERE rk = 1)"""
+
+
+def assign_cells_arrow(df: DataFrame, vec_col: str, centroids) -> DataFrame:
+    """Append `cell` = argmax_j round(dot(v, w_j), 9) via a vectorized Arrow
+    kernel (one matmul per batch; np.argmax takes the FIRST max, which is
+    the smallest-j tie-break the oracle's ORDER BY ... DESC, j replays).
+    The centroid matrix rides the closure -- nlist x dim doubles, bounded
+    model state exactly like the LSH hyperplanes."""
+    import pandas as pd
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    W = np.ascontiguousarray(centroids, dtype=np.float64)
+    out_schema = StructType(df.schema.fields + [StructField("cell", IntegerType())])
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            s = np.round(V @ W.T, 9)
+            yield pdf.assign(cell=s.argmax(axis=1).astype("int32"))
+
+    return df.mapInPandas(kernel, out_schema)
+
+
+def probe_cells_arrow(
+    df: DataFrame, vec_col: str, centroids, nprobe: int
+) -> DataFrame:
+    """Explode each row into its top-`nprobe` centroid cells (round-9 score,
+    score-desc then smallest-j order) -- the probe-list kernel for the
+    partition-pruned IVF scan."""
+    import pandas as pd
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    W = np.ascontiguousarray(centroids, dtype=np.float64)
+    nl = W.shape[0]
+    out_schema = StructType(df.schema.fields + [StructField("cell", IntegerType())])
+    take = min(nprobe, nl)
+
+    def kernel(batches):
+        j_idx = np.arange(nl)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            s = np.round(V @ W.T, 9)
+            frames = []
+            for r in range(len(pdf)):
+                order = np.lexsort((j_idx, -s[r]))[:take]
+                rep = pdf.iloc[[r] * take].copy()
+                rep["cell"] = order.astype("int32")
+                frames.append(rep)
+            yield pd.concat(frames, ignore_index=True)
+
+    return df.mapInPandas(kernel, out_schema)

@@ -837,43 +837,58 @@ def q384_filter_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q385: partition-pruned IVF probe (the vector-index-as-table layout)
 # ---------------------------------------------------------------------------
 
-_IVF_CELLS = 16
-_IVF_SEED = 7
 _IVF_DIM = 64
 _IVF_NPROBE = 2
 _IVF_K = 3
 _IVF_QMOD = 199  # probe queries: vec_id % 199 == 0
 
 
+def _ivf_layout(spark: SparkSession, sf_dir: str):
+    """(layout_dir, nlist, centroid_matrix) for the ADAPTIVE IVF index over
+    this corpus: nlist = max(16, 2^floor(log2(n)/2)) ~ sqrt(n) (round-12 --
+    a fixed 16 meant one cell grew linearly with the corpus) and the
+    formula centroids of operators.similarity.adaptive_centroids, so the
+    same layout family runs 16 cells at n=500 and 256 at n=200k."""
+    from ..operators.similarity import adaptive_centroids, nlist_for
+
+    n = load_table(spark, sf_dir, "embeddings").count()
+    nlist = nlist_for(n)
+    return _ivf_partitioned_dir(spark, sf_dir), nlist, adaptive_centroids(
+        _IVF_DIM, nlist
+    )
+
+
 def _ivf_partitioned_dir(spark: SparkSession, sf_dir: str) -> str:
     """Write embeddings once as cell=<c>/ hive partitions (cell = the shared
-    seeded-centroid argmax), content-keyed like q374's staging."""
+    adaptive-quantizer argmax), content-keyed like q374's staging."""
     import hashlib as _h
     import tempfile
 
-    from ..operators.similarity import dot, ivf_centroids
+    from ..operators.similarity import (
+        adaptive_centroids,
+        assign_cells_arrow,
+        nlist_for,
+    )
 
+    nlist = nlist_for(load_table(spark, sf_dir, "embeddings").count())
     st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
     key = _h.md5(
-        f"{sf_dir}|ivf{_IVF_CELLS}s{_IVF_SEED}|{st.st_mtime_ns}|{st.st_size}".encode()
+        f"{sf_dir}|ivfa{nlist}|{st.st_mtime_ns}|{st.st_size}".encode()
     ).hexdigest()[:12]
     out = os.path.join(tempfile.gettempdir(), f"ssq-emb-ivf-{key}")
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
-        planes = ivf_centroids(_IVF_DIM, _IVF_CELLS, _IVF_SEED)
-        cents = [F.array(*[F.lit(float(x)) for x in row]) for row in planes]
-        e = load_table(spark, sf_dir, "embeddings").select(
-            "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
-        )
-        scores = F.array(*[dot(F.col("v"), c) for c in cents])
-        cell = F.array_position(scores, F.array_max(scores)).cast("int")
+        W = adaptive_centroids(_IVF_DIM, nlist)
         # Write to a unique staging dir, then atomically rename into place
         # (round-10 advice: mode='overwrite' straight onto `out` deletes the
         # directory first, so a concurrent process mid-scan would read a
         # half-written layout).  The key is content-derived, so whichever
         # process wins the rename produced identical bytes; the loser just
         # discards its staging copy.
+        e = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+        )
         stage = f"{out}.stage-{os.getpid()}"
-        e.withColumn("cell", cell).write.partitionBy("cell").mode(
+        assign_cells_arrow(e, "v", W).write.partitionBy("cell").mode(
             "overwrite"
         ).parquet(stage)
         try:
@@ -895,23 +910,36 @@ def _ivf_partitioned_dir(spark: SparkSession, sf_dir: str) -> str:
     return out
 
 
-def _q385_oracle() -> str:
-    from ..operators.similarity import ivf_centroids, sql_cell_expr, sql_vec
+def _sql_ivf_probe_ctes() -> str:
+    """Shared q385/q387 oracle CTEs: adaptive quantizer (nl + cents), the
+    corpus cell assignment, the probe batch, and its top-nprobe cell
+    ranking (round-9 score, smallest-j tie-break -- the exact mirror of
+    probe_cells_arrow)."""
+    from ..operators.similarity import (
+        sql_adaptive_cell_cte,
+        sql_adaptive_quantizer_ctes,
+    )
 
-    planes = ivf_centroids(_IVF_DIM, _IVF_CELLS, _IVF_SEED)
-    scores = ", ".join(f"list_dot_product(v, {sql_vec(r)})" for r in planes)
-    return f"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    corpus AS (SELECT vec_id, v, {sql_cell_expr(planes)} AS cell FROM e),
-    q AS (SELECT vec_id AS query_id, v AS qv, [{scores}] AS s
+    cells = sql_adaptive_cell_cte("e", "vec_id, v").replace(
+        "cells AS", "corpus AS", 1
+    )
+    return f"""{sql_adaptive_quantizer_ctes(_IVF_DIM, src="e")},
+    {cells},
+    q AS (SELECT vec_id AS query_id, v AS qv
           FROM e WHERE vec_id % {_IVF_QMOD} = 0),
     probes AS (
-        SELECT query_id, qv, u.cell FROM (
-            SELECT query_id, qv, cell, ROW_NUMBER() OVER (
-                PARTITION BY query_id ORDER BY sc DESC, cell) AS rk
-            FROM (SELECT query_id, qv, i AS cell, s[i] AS sc
-                  FROM q, UNNEST(range(1, {_IVF_CELLS + 1})) AS t(i))
-        ) u WHERE u.rk <= {_IVF_NPROBE}),
+        SELECT query_id, qv, cell FROM (
+            SELECT q.query_id, q.qv, c.j AS cell,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id
+                       ORDER BY ROUND(list_dot_product(q.qv, c.w), 9)
+                                DESC, c.j) AS rk
+            FROM q CROSS JOIN cents c) WHERE rk <= {_IVF_NPROBE})"""
+
+
+def _q385_oracle() -> str:
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    {_sql_ivf_probe_ctes()},
     cand AS (
         SELECT p.query_id, c.vec_id AS neighbor_id,
                list_dot_product(p.qv, c.v)
@@ -937,11 +965,13 @@ def _q385_oracle() -> str:
     doc=f"Partition-pruned IVF probe -- the VECTOR-INDEX-AS-TABLE layout "
     "that completes the storage family (q373 bucketed join, q374 "
     "partitioned scan, now the ANN shard): embeddings are written ONCE "
-    f"as cell=<c>/ hive partitions ({_IVF_CELLS} seeded-centroid cells, "
-    "the shared ivf_centroids assignment), and a probe batch "
+    "as cell=<c>/ hive partitions (ADAPTIVE nlist ~ sqrt(n) cells, "
+    "round-12: the count rule + formula centroids shared with q386, so "
+    "the layout holds ~sqrt(n)-row shards at every decade instead of "
+    "corpus/16), and a probe batch "
     f"(vec_id % {_IVF_QMOD} = 0) reads ONLY its top-{_IVF_NPROBE} "
     "centroid cells: the probed-cell set (bounded driver state, <= "
-    f"{_IVF_CELLS} ints -- the probe list a FAISS-style index hands the "
+    "nlist ints -- the probe list a FAISS-style index hands the "
     "scanner) becomes a PartitionFilter, so the scan never lists the "
     "other shards -- at 100 TB with thousands of cells this is the "
     "difference between touching 1/nprobe-th of the corpus and all of "
@@ -958,11 +988,9 @@ def _q385_oracle() -> str:
 def q385_ivf_partition_pruned_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    from ..operators.similarity import dot, ivf_centroids
+    from ..operators.similarity import dot, probe_cells_arrow
 
-    planes = ivf_centroids(_IVF_DIM, _IVF_CELLS, _IVF_SEED)
-    cents = [F.array(*[F.lit(float(x)) for x in row]) for row in planes]
-    part_dir = _ivf_partitioned_dir(spark, sf_dir)
+    part_dir, _nlist, W = _ivf_layout(spark, sf_dir)
 
     q = (
         load_table(spark, sf_dir, "embeddings")
@@ -972,17 +1000,7 @@ def q385_ivf_partition_pruned_probe(spark: SparkSession, sf_dir: str) -> DataFra
             F.transform("embedding", lambda x: x.cast("double")).alias("qv"),
         )
     )
-    scores = F.array(*[dot(F.col("qv"), c) for c in cents])
-    probe_rk = Window.partitionBy("query_id").orderBy(
-        F.col("sc").desc(), F.col("cell")
-    )
-    probes = (
-        q.select("query_id", "qv", F.posexplode(scores).alias("cell0", "sc"))
-        .withColumn("cell", F.col("cell0") + 1)
-        .withColumn("rk", F.row_number().over(probe_rk))
-        .filter(F.col("rk") <= _IVF_NPROBE)
-        .select("query_id", "qv", "cell")
-    )
+    probes = probe_cells_arrow(q, "qv", W, _IVF_NPROBE)
     # the probe list is bounded driver state (<= n_cells ints), exactly what
     # an ANN index hands the storage layer; it becomes a static partition
     # filter so pruning happens at directory-listing time.

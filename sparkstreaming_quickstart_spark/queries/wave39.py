@@ -11,14 +11,16 @@ compositions.
 - q386 per-IVF-cell mutual-kNN graph: the round-10 verdict's #1 -- q329's
   GLOBAL-exact kernel collects the corpus to the driver and broadcasts it
   (now fenced ground-truth); this is the registered scale primary.  The
-  corpus is quantized into seeded-centroid IVF cells (the q64/q385
-  assignment), and the SAME dense top-k kernel (`knn_edges_exact`) runs
-  per cell via applyInPandas -- no driver collect, no corpus broadcast,
-  one hash shuffle on cell.  Restricting candidates to a cell is the
-  standard ANN-graph construction (FAISS/kNN-Descent seeding); every
-  within-cell globally-mutual edge provably survives the restriction
-  (restriction only improves a neighbor's rank -- tests/test_wave39.py
-  pins the containment against q329's global edges).
+  corpus is quantized into ADAPTIVE IVF cells (round-12: nlist ~ sqrt(n)
+  from the corpus count, formula centroids -- operators/similarity.py),
+  and the SAME dense top-k kernel (`knn_edges_exact`) runs per cell via
+  applyInPandas -- no driver collect, no corpus broadcast, one hash
+  shuffle on cell, executor memory one ~sqrt(n)-row block at every
+  decade.  Restricting candidates to a cell is the standard ANN-graph
+  construction (FAISS/kNN-Descent seeding); every within-cell
+  globally-mutual edge provably survives the restriction (restriction
+  only improves a neighbor's rank -- tests/test_wave39.py pins the
+  containment against q329's global edges).
 
 Reference parity note: the reference computes none of this (its single
 pipeline is Kafka->println, Processor.java:118-139); these are engine-surface
@@ -41,42 +43,39 @@ from . import register
 # ---------------------------------------------------------------------------
 
 _MK_K = 5  # top-k per point (matches q329)
-_MK_CELLS = 16  # IVF cells (matches q385's layout family)
-_MK_SEED = 7
 _MK_DIM = 64
 
 
 def _q386_oracle() -> str:
-    from ..operators.similarity import ivf_centroids, sql_cell_expr
-
-    planes = ivf_centroids(_MK_DIM, _MK_CELLS, _MK_SEED)
-    # One UNION ALL branch per cell: each branch joins ONLY that cell's
-    # rows and takes its per-i top-k.  Branches are complete per i (a
-    # point's candidates all live in its own cell), so no global re-rank
-    # is needed -- and DuckDB's peak state is one cell's pair stream, the
-    # same bound the Spark kernel has (q329's blocked-oracle discipline,
-    # here the blocking IS the query's own cell restriction).
-    branches = "\n        UNION ALL\n".join(
-        f"""
-        SELECT * FROM (
-            SELECT a.vec_id AS i, b.vec_id AS j,
-                   ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 9) AS c
-            FROM cells a JOIN cells b
-              ON a.cell = {cell} AND b.cell = {cell} AND a.vec_id <> b.vec_id
-        ) QUALIFY ROW_NUMBER() OVER (
-              PARTITION BY i ORDER BY c DESC, j) <= {_MK_K}"""
-        for cell in range(1, _MK_CELLS + 1)
+    from ..operators.similarity import (
+        sql_adaptive_cell_cte,
+        sql_adaptive_quantizer_ctes,
     )
+
+    # Adaptive nlist (round 12): the cell count comes from COUNT(*) inside
+    # the SQL itself (nl CTE) and the centroids from the integer formula
+    # (cents CTE), so ONE static oracle string replays the quantizer at
+    # every scale factor -- 16 cells at sf0.01, 32 at sf0.1, 128 at sf1,
+    # 256 at sf10.  The per-cell top-k is a generic same-cell join (cells
+    # shrink as sqrt(n), so the pair stream is n^1.5, not n^2/16).
     return f"""
     WITH e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
                sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                      CAST(embedding AS DOUBLE[]))) AS nrm
         FROM embeddings),
+    {sql_adaptive_quantizer_ctes(_MK_DIM, src="e")},
     valid AS (SELECT * FROM e WHERE nrm > 0),
-    cells AS (SELECT vec_id, v, nrm, {sql_cell_expr(planes)} AS cell
-              FROM valid),
-    knn AS ({branches}),
+    {sql_adaptive_cell_cte("valid", "vec_id, v, nrm")},
+    knn AS (
+        SELECT i, j FROM (
+            SELECT a.vec_id AS i, b.vec_id AS j,
+                   ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+                       ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 9)
+                       DESC, b.vec_id) AS rn
+            FROM cells a JOIN cells b
+              ON a.cell = b.cell AND a.vec_id <> b.vec_id)
+        WHERE rn <= {_MK_K}),
     mutual AS (
         SELECT k1.i, k1.j FROM knn k1 JOIN knn k2 ON k1.i = k2.j AND k1.j = k2.i),
     mdeg AS (
@@ -92,46 +91,57 @@ def _q386_oracle() -> str:
 @register(
     "q386_mutual_knn_ivf_cells",
     sql=_q386_oracle(),
-    doc=f"Per-IVF-cell mutual-kNN graph (k={_MK_K}, cosine, {_MK_CELLS} "
-    "seeded-centroid cells) -- q329's registered SCALE PRIMARY (round-10 "
-    "verdict #1): the global-exact form collects and broadcasts the "
-    "corpus by construction, so it is now the fenced ground-truth twin, "
-    "and graph construction here is cell-restricted like every other "
-    "production ANN-graph builder (FAISS IVF seeding, kNN-Descent "
-    "initialization).  Plan: ONE hash shuffle of the corpus on its "
-    "quantizer cell (groupBy(cell).applyInPandas), then the SAME dense "
-    "`knn_edges_exact` kernel (raw-vector dot/(na*nb), ROUND(cos,9) "
-    "before ranking, vec_id tie-break) runs independently per cell -- "
-    "executor memory is one cell's (m x d) block, never the corpus; "
-    "mutual filter and the degree histogram are hash-partitioned "
-    "equi-joins on (i, j).  At 100 TB the cell count scales with the "
-    "corpus (FAISS-style nlist ~ sqrt(n)) so cells stay executor-sized, "
-    "and the layout can be the q385 persisted cell=<c>/ partitioning -- "
-    "the kernel then reads each shard in place with zero shuffle.  "
-    "Semantics vs q329: candidates restricted to the point's own cell; "
-    "every within-cell globally-mutual edge survives (restriction only "
-    "improves ranks -- containment test pinned), cross-cell edges are "
-    "the recall cost, measurable against the fenced twin.  The oracle "
-    "replays centroid literals, the argmax cell assignment, and the "
-    "per-cell exact top-k as one UNION ALL branch per cell (complete "
-    "per i since candidates never leave the cell; peak state = one "
-    "cell's pair stream).",
+    doc=f"Per-IVF-cell mutual-kNN graph (k={_MK_K}, cosine, ADAPTIVE cell "
+    "count nlist = max(16, 2^floor(log2(n)/2)) ~ sqrt(n), round-12: the "
+    "round-11 verdict's #1 -- a FIXED nlist puts corpus/16 in one "
+    "executor's applyInPandas block at scale, so the cell count now "
+    "derives from the corpus count on BOTH sides: the engine counts the "
+    "table, the oracle computes the same rule from COUNT(*) in its nl "
+    "CTE, and centroids come from a pure-integer Lehmer formula both "
+    "engines evaluate bit-identically instead of pasted literals) -- "
+    "q329's registered SCALE PRIMARY: the global-exact form collects "
+    "and broadcasts the corpus by construction, so it is the fenced "
+    "ground-truth twin, and graph construction here is cell-restricted "
+    "like every production ANN-graph builder (FAISS IVF seeding, "
+    "kNN-Descent initialization).  Plan: cell assignment is ONE "
+    "vectorized Arrow matmul against the nlist x 64 centroid matrix "
+    "(round-9 score then first-max argmax, the rank-before-round "
+    "discipline -- robust to summation association, so no 256-literal "
+    "fold expressions), then ONE hash shuffle of the corpus on cell "
+    "(groupBy(cell).applyInPandas) runs the SAME dense knn_edges_exact "
+    "kernel per cell -- executor memory is one ~sqrt(n)-row cell block "
+    "at EVERY decade (16 cells at n=500, 128 at 20k, 256 at 200k), "
+    "never the corpus; mutual filter and the degree histogram are "
+    "hash-partitioned equi-joins on (i, j).  Semantics vs q329: "
+    "candidates restricted to the point's own cell; every within-cell "
+    "globally-mutual edge survives (restriction only improves ranks -- "
+    "containment test pinned), cross-cell edges are the recall cost, "
+    "measurable via q389.  The oracle replays the count rule, the "
+    "formula centroids, the round-9 argmax assignment, and the per-cell "
+    "exact top-k as one generic same-cell join (pair stream n^1.5, not "
+    "n^2/nlist_fixed).",
 )
 def q386_mutual_knn_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    from ..operators.similarity import dot, ivf_centroids, knn_edges_exact
+    from ..operators.similarity import (
+        adaptive_centroids,
+        assign_cells_arrow,
+        dot,
+        knn_edges_exact,
+        nlist_for,
+    )
 
-    planes = ivf_centroids(_MK_DIM, _MK_CELLS, _MK_SEED)
-    cents = [F.array(*[F.lit(float(x)) for x in row]) for row in planes]
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
+    # corpus count -> cell count (the FAISS nlist ~ sqrt(n) rule); the
+    # count is a column-pruned metadata scan, the oracle's nl CTE mirrors it
+    nlist = nlist_for(e.count())
+    W = adaptive_centroids(_MK_DIM, nlist)
     valid = e.filter(F.sqrt(dot(F.col("v"), F.col("v"))) > 0)
-    scores = F.array(*[dot(F.col("v"), c) for c in cents])
-    cell = F.array_position(scores, F.array_max(scores)).cast("int")
-    cells = valid.withColumn("cell", cell)
+    cells = assign_cells_arrow(valid, "v", W)
 
     def cell_knn(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) < 2:
@@ -179,11 +189,8 @@ _RR_K = 3  # final reranked top-k
 
 
 def _q387_oracle() -> str:
-    from ..operators.similarity import ivf_centroids, sql_cell_expr, sql_vec
-    from .wave38 import _IVF_CELLS, _IVF_DIM, _IVF_NPROBE, _IVF_QMOD, _IVF_SEED
+    from .wave38 import _sql_ivf_probe_ctes
 
-    planes = ivf_centroids(_IVF_DIM, _IVF_CELLS, _IVF_SEED)
-    scores = ", ".join(f"list_dot_product(v, {sql_vec(r)})" for r in planes)
     # squared L2 between subvector m of two DOUBLE[] columns, m a column
     sq = " + ".join(
         f"((a[k.m * {_RR_SUB} + {d} + 1]) - (b[k.m * {_RR_SUB} + {d} + 1]))"
@@ -197,18 +204,9 @@ def _q387_oracle() -> str:
     )
     return f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    corpus AS (SELECT vec_id, v, {sql_cell_expr(planes)} AS cell FROM e),
+    {_sql_ivf_probe_ctes()},
     cb AS (SELECT vec_id AS c, CAST(embedding AS DOUBLE[]) AS cv
            FROM embeddings WHERE vec_id < {_RR_C}),
-    q AS (SELECT vec_id AS query_id, v AS qv, [{scores}] AS s
-          FROM e WHERE vec_id % {_IVF_QMOD} = 0),
-    probes AS (
-        SELECT query_id, qv, u.cell FROM (
-            SELECT query_id, qv, cell, ROW_NUMBER() OVER (
-                PARTITION BY query_id ORDER BY sc DESC, cell) AS rk
-            FROM (SELECT query_id, qv, i AS cell, s[i] AS sc
-                  FROM q, UNNEST(range(1, {_IVF_CELLS + 1})) AS t(i))
-        ) u WHERE u.rk <= {_IVF_NPROBE}),
     cand AS (
         SELECT p.query_id, p.qv, c.vec_id AS neighbor_id, c.v AS nv
         FROM probes p JOIN corpus c ON c.cell = p.cell
@@ -282,19 +280,10 @@ def q387_ivf_adc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql import Window
 
-    from ..operators.similarity import dot, ivf_centroids
-    from .wave38 import (
-        _IVF_CELLS,
-        _IVF_DIM,
-        _IVF_NPROBE,
-        _IVF_QMOD,
-        _IVF_SEED,
-        _ivf_partitioned_dir,
-    )
+    from ..operators.similarity import dot, probe_cells_arrow
+    from .wave38 import _IVF_NPROBE, _IVF_QMOD, _ivf_layout
 
-    planes = ivf_centroids(_IVF_DIM, _IVF_CELLS, _IVF_SEED)
-    cents = [F.array(*[F.lit(float(x)) for x in row]) for row in planes]
-    part_dir = _ivf_partitioned_dir(spark, sf_dir)
+    part_dir, _nlist, W = _ivf_layout(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
 
     q = (
@@ -304,17 +293,7 @@ def q387_ivf_adc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("embedding").cast("array<double>").alias("qv"),
         )
     )
-    scores = F.array(*[dot(F.col("qv"), c) for c in cents])
-    probe_rk = Window.partitionBy("query_id").orderBy(
-        F.col("sc").desc(), F.col("cell")
-    )
-    probes = (
-        q.select("query_id", "qv", F.posexplode(scores).alias("cell0", "sc"))
-        .withColumn("cell", F.col("cell0") + 1)
-        .withColumn("rk", F.row_number().over(probe_rk))
-        .filter(F.col("rk") <= _IVF_NPROBE)
-        .select("query_id", "qv", "cell")
-    )
+    probes = probe_cells_arrow(q, "qv", W, _IVF_NPROBE)
     probed_cells = [r["cell"] for r in probes.select("cell").distinct().collect()]
     corpus = spark.read.parquet(part_dir).filter(F.col("cell").isin(probed_cells))
 
@@ -416,27 +395,28 @@ _SD_T = 0.35  # q186's SemDeDup threshold
 
 
 def _q388_oracle() -> str:
-    from ..operators.similarity import ivf_centroids, sql_cell_expr
-
-    planes = ivf_centroids(_MK_DIM, _MK_CELLS, _MK_SEED)
-    # blocked per cell (the q386 oracle discipline): peak = one cell's pairs
-    branches = "\n        UNION ALL\n".join(
-        f"""
-        SELECT DISTINCT y.vec_id
-        FROM cells x JOIN cells y
-          ON x.cell = {cell} AND y.cell = {cell} AND x.vec_id < y.vec_id
-        WHERE ROUND(list_dot_product(x.v, y.v)
-                    / NULLIF(x.nrm * y.nrm, 0), 9) >= {_SD_T}"""
-        for cell in range(1, _MK_CELLS + 1)
+    from ..operators.similarity import (
+        sql_adaptive_cell_cte,
+        sql_adaptive_quantizer_ctes,
     )
+
+    # adaptive nlist (round 12, same discipline as q386): generic same-cell
+    # pair join instead of per-cell UNION branches -- the sqrt(n) cell rule
+    # bounds the pair stream to n^1.5 at every decade
     return f"""
     WITH e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
                sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                      CAST(embedding AS DOUBLE[]))) AS nrm
         FROM embeddings),
-    cells AS (SELECT vec_id, v, nrm, {sql_cell_expr(planes)} AS cell FROM e),
-    dropped AS ({branches}),
+    {sql_adaptive_quantizer_ctes(_MK_DIM, src="e")},
+    {sql_adaptive_cell_cte("e", "vec_id, v, nrm")},
+    dropped AS (
+        SELECT DISTINCT y.vec_id
+        FROM cells x JOIN cells y
+          ON x.cell = y.cell AND x.vec_id < y.vec_id
+        WHERE ROUND(list_dot_product(x.v, y.v)
+                    / NULLIF(x.nrm * y.nrm, 0), 9) >= {_SD_T}),
     flagged AS (
         SELECT e.vec_id,
                (e.vec_id IN (SELECT vec_id FROM dropped)) AS is_dup
@@ -457,35 +437,36 @@ def _q388_oracle() -> str:
     sql=_q388_oracle(),
     doc=f"Semantic-dedup curation report over the IVF layout: q186's "
     "SemDeDup (greedy-by-id within-cluster cosine prune, threshold "
-    f"{_SD_T}) run with clusters = the COMPUTED {_MK_CELLS}-cell seeded-"
-    "centroid quantizer (the q385/q386 layout) instead of the fixture's "
-    "given labels, then joined documents-side to report, per source, the "
-    "docs and characters a semantic dedup pass would keep -- the "
-    "end-to-end loop from index layout to curation decision (round-10 "
-    "verdict #8's second composition).  Only docs WITH an embedding "
-    "row participate (inner join on doc_id = vec_id; at 100 TB the "
-    "embedding table is the curated subset by construction).  Plan: one "
-    "corpus shuffle on cell for the dense per-cell prune kernel "
-    "(executor memory = one cell's block, q186's kernel), one "
-    "broadcast-able equi-join to documents, one hash-agg on source; the "
-    "oracle replays the centroid literals, argmax cells, and the prune "
-    "as one blocked UNION ALL branch per cell.",
+    f"{_SD_T}) run with clusters = the COMPUTED adaptive quantizer "
+    "(q386's nlist ~ sqrt(n) rule + formula centroids, round-12) "
+    "instead of the fixture's given labels, then joined documents-side "
+    "to report, per source, the docs and characters a semantic dedup "
+    "pass would keep -- the end-to-end loop from index layout to "
+    "curation decision.  Only docs WITH an embedding row participate "
+    "(inner join on doc_id = vec_id; at 100 TB the embedding table is "
+    "the curated subset by construction).  Plan: one Arrow matmul for "
+    "cell assignment, one corpus shuffle on cell for the dense per-cell "
+    "prune kernel (executor memory = one ~sqrt(n)-row cell block at "
+    "every decade, q186's kernel), one broadcast-able equi-join to "
+    "documents, one hash-agg on source; the oracle replays the count "
+    "rule, formula centroids, round-9 argmax cells, and the prune as a "
+    "generic same-cell pair join.",
 )
 def q388_semdedup_ivf_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    from ..operators.similarity import dot, ivf_centroids
+    from ..operators.similarity import (
+        adaptive_centroids,
+        assign_cells_arrow,
+        nlist_for,
+    )
 
-    planes = ivf_centroids(_MK_DIM, _MK_CELLS, _MK_SEED)
-    cents = [F.array(*[F.lit(float(x)) for x in row]) for row in planes]
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    scores = F.array(*[dot(F.col("v"), c) for c in cents])
-    cells = e.withColumn(
-        "cell", F.array_position(scores, F.array_max(scores)).cast("int")
-    )
+    W = adaptive_centroids(_MK_DIM, nlist_for(e.count()))
+    cells = assign_cells_arrow(e, "v", W)
 
     def prune(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("vec_id").reset_index(drop=True)
@@ -524,30 +505,32 @@ def q388_semdedup_ivf_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q389_oracle() -> str:
-    from ..operators.similarity import ivf_centroids, sql_cell_expr
+    from ..operators.similarity import (
+        sql_adaptive_cell_cte,
+        sql_adaptive_quantizer_ctes,
+    )
     from .wave23 import _KNN_BLOCK_SQL, _KNN_K
 
-    planes = ivf_centroids(_MK_DIM, _MK_CELLS, _MK_SEED)
-    cell_branches = "\n        UNION ALL\n".join(
-        f"""
-        SELECT * FROM (
+    # adaptive nlist (round 12): cell side uses q386's count-rule/formula
+    # CTEs and a generic same-cell join; the exact side is unchanged
+    cell_knn_sql = f"""
+        SELECT i, j FROM (
             SELECT a.vec_id AS i, b.vec_id AS j,
-                   ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 9) AS c
+                   ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+                       ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 9)
+                       DESC, b.vec_id) AS rn
             FROM cells a JOIN cells b
-              ON a.cell = {cell} AND b.cell = {cell} AND a.vec_id <> b.vec_id
-        ) QUALIFY ROW_NUMBER() OVER (
-              PARTITION BY i ORDER BY c DESC, j) <= {_MK_K}"""
-        for cell in range(1, _MK_CELLS + 1)
-    )
+              ON a.cell = b.cell AND a.vec_id <> b.vec_id)
+        WHERE rn <= {_MK_K}"""
     return f"""
     WITH e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
                sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                      CAST(embedding AS DOUBLE[]))) AS nrm
         FROM embeddings),
+    {sql_adaptive_quantizer_ctes(_MK_DIM, src="e")},
     valid AS (SELECT * FROM e WHERE nrm > 0),
-    cells AS (SELECT vec_id, v, nrm, {sql_cell_expr(planes)} AS cell
-              FROM valid),
+    {sql_adaptive_cell_cte("valid", "vec_id, v, nrm")},
     gcand AS ({_KNN_BLOCK_SQL.format(k=_KNN_K)}),
     granked AS (
         SELECT i, j, ROW_NUMBER() OVER (
@@ -556,7 +539,7 @@ def _q389_oracle() -> str:
     gmutual AS MATERIALIZED (
         SELECT k1.i, k1.j FROM gknn k1 JOIN gknn k2
           ON k1.i = k2.j AND k1.j = k2.i),
-    cknn AS MATERIALIZED ({cell_branches}),
+    cknn AS MATERIALIZED ({cell_knn_sql}),
     cmutual AS MATERIALIZED (
         SELECT k1.i, k1.j FROM cknn k1 JOIN cknn k2
           ON k1.i = k2.j AND k1.j = k2.i),
@@ -609,19 +592,21 @@ def q389_knn_cell_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    from ..operators.similarity import dot, ivf_centroids, knn_edges_exact
+    from ..operators.similarity import (
+        adaptive_centroids,
+        assign_cells_arrow,
+        dot,
+        knn_edges_exact,
+        nlist_for,
+    )
     from .wave23 import q329_mutual_knn_graph  # noqa: F401 (doc cross-ref)
 
-    planes = ivf_centroids(_MK_DIM, _MK_CELLS, _MK_SEED)
-    cents = [F.array(*[F.lit(float(x)) for x in row]) for row in planes]
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
+    W = adaptive_centroids(_MK_DIM, nlist_for(e.count()))
     valid = e.filter(F.sqrt(dot(F.col("v"), F.col("v"))) > 0)
-    scores = F.array(*[dot(F.col("v"), c) for c in cents])
-    cells = valid.withColumn(
-        "cell", F.array_position(scores, F.array_max(scores)).cast("int")
-    )
+    cells = assign_cells_arrow(valid, "v", W)
 
     # global exact side (the fenced-twin kernel: bounded broadcast)
     rows = valid.collect()
@@ -697,29 +682,33 @@ def q389_knn_cell_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q390_oracle() -> str:
-    from ..operators.similarity import ivf_centroids, sql_cell_expr
+    from ..operators.similarity import (
+        sql_adaptive_cell_cte,
+        sql_adaptive_quantizer_ctes,
+    )
 
-    planes = ivf_centroids(_MK_DIM, _MK_CELLS, _MK_SEED)
     return f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    cells AS (SELECT vec_id, {sql_cell_expr(planes)} AS cell FROM e),
+    {sql_adaptive_quantizer_ctes(_MK_DIM, src="e")},
+    {sql_adaptive_cell_cte("e", "vec_id")},
     counts AS (
         SELECT g.cell, COUNT(c.vec_id) AS n
-        FROM (SELECT unnest(range(1, {_MK_CELLS + 1})) AS cell) g
+        FROM (SELECT j AS cell FROM range(65536) t(j)
+              WHERE j < (SELECT nlist FROM nl)) g
         LEFT JOIN cells c ON c.cell = g.cell GROUP BY g.cell),
     stats AS (
         SELECT SUM(n) AS total, MAX(n) AS mx,
                SUM(CASE WHEN n = 0 THEN 1 ELSE 0 END) AS n_empty,
-               SUM(n * n) AS sq
+               SUM(n * n) AS sq, COUNT(*) AS nlist
         FROM counts)
     SELECT CAST(c.cell AS INT) AS cell,
            CAST(c.n AS BIGINT) AS n_vectors,
-           ROUND(CAST(c.n AS DOUBLE) * {_MK_CELLS} / s.total, 6)
+           ROUND(CAST(c.n AS DOUBLE) * s.nlist / s.total, 6)
                AS load_factor,
-           ROUND(CAST(s.mx AS DOUBLE) * {_MK_CELLS} / s.total, 6)
+           ROUND(CAST(s.mx AS DOUBLE) * s.nlist / s.total, 6)
                AS imbalance_factor,
            CAST(s.n_empty AS BIGINT) AS n_empty_cells,
-           ROUND(CAST(s.sq AS DOUBLE) * {_MK_CELLS}
+           ROUND(CAST(s.sq AS DOUBLE) * s.nlist
                  / (CAST(s.total AS DOUBLE) * s.total), 6)
                AS expected_probe_blowup
     FROM counts c CROSS JOIN stats s
@@ -730,8 +719,9 @@ def _q390_oracle() -> str:
 @register(
     "q390_ivf_cell_balance",
     sql=_q390_oracle(),
-    doc=f"IVF quantizer health report over the {_MK_CELLS}-cell layout: "
-    "per-cell population with load factor (n_cell * nlist / n), plus the "
+    doc="IVF quantizer health report over the ADAPTIVE layout (round-12: "
+    "nlist ~ sqrt(n), q386's count rule + formula centroids): per-cell "
+    "population with load factor (n_cell * nlist / n), plus the "
     "three whole-index diagnostics every ANN operator watches -- "
     "imbalance factor (max load; FAISS's metric: the hot shard that "
     "bounds probe latency), empty-cell count (wasted directory "
@@ -740,23 +730,25 @@ def _q390_oracle() -> str:
     "balanced; it is the factor by which a single-probe query touches "
     "more data than n/nlist).  These numbers decide when to retrain "
     "the quantizer or split cells at 100 TB -- the operational metric "
-    "for q385/q386/q387's shared layout.  Plan: one scan, one "
-    "hash-agg on cell, a broadcast join to the 16-row cell spine "
-    "(empty cells must appear), one 1-row stats cross join.",
+    "for q385/q386/q387's shared layout.  Plan: one Arrow-matmul "
+    "assignment scan, one hash-agg on cell, a broadcast join to the "
+    "nlist-row cell spine (empty cells must appear), one 1-row stats "
+    "cross join.",
 )
 def q390_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import dot, ivf_centroids
+    from ..operators.similarity import (
+        adaptive_centroids,
+        assign_cells_arrow,
+        nlist_for,
+    )
 
-    planes = ivf_centroids(_MK_DIM, _MK_CELLS, _MK_SEED)
-    cents = [F.array(*[F.lit(float(x)) for x in row]) for row in planes]
     e = load_table(spark, sf_dir, "embeddings").select(
-        F.col("embedding").cast("array<double>").alias("v")
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    scores = F.array(*[dot(F.col("v"), c) for c in cents])
-    cells = e.select(
-        F.array_position(scores, F.array_max(scores)).cast("int").alias("cell")
-    )
-    spine = spark.range(1, _MK_CELLS + 1).select(F.col("id").cast("int").alias("cell"))
+    nlist = nlist_for(e.count())
+    W = adaptive_centroids(_MK_DIM, nlist)
+    cells = assign_cells_arrow(e, "v", W).select("cell")
+    spine = spark.range(0, nlist).select(F.col("id").cast("int").alias("cell"))
     counts = (
         spine.join(cells.groupBy("cell").agg(F.count("*").alias("n0")), "cell", "left")
         .select("cell", F.coalesce("n0", F.lit(0)).alias("n"))
@@ -772,13 +764,13 @@ def q390_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("cell").cast("int").alias("cell"),
             F.col("n").cast("bigint").alias("n_vectors"),
-            F.round(F.col("n").cast("double") * _MK_CELLS / F.col("total"), 6)
+            F.round(F.col("n").cast("double") * nlist / F.col("total"), 6)
             .alias("load_factor"),
-            F.round(F.col("mx").cast("double") * _MK_CELLS / F.col("total"), 6)
+            F.round(F.col("mx").cast("double") * nlist / F.col("total"), 6)
             .alias("imbalance_factor"),
             F.col("n_empty").cast("bigint").alias("n_empty_cells"),
             F.round(
-                F.col("sq").cast("double") * _MK_CELLS
+                F.col("sq").cast("double") * nlist
                 / (F.col("total").cast("double") * F.col("total")),
                 6,
             ).alias("expected_probe_blowup"),
@@ -933,21 +925,27 @@ def _embeddings_stream(spark: SparkSession, sf_dir: str, max_files: int = 1):
     "what the shared value oracle proves.",
 )
 def q392_stream_ivf_cell_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import dot, ivf_centroids
+    from ..operators.similarity import (
+        adaptive_centroids,
+        assign_cells_arrow,
+        nlist_for,
+    )
     from ..streaming.pipeline import run_to_memory
 
-    planes = ivf_centroids(_MK_DIM, _MK_CELLS, _MK_SEED)
-    cents = [F.array(*[F.lit(float(x)) for x in row]) for row in planes]
+    # the monitor's quantizer is SIZED BY THE INDEXED CORPUS (the batch
+    # table the index was built from), not by the stream -- production
+    # semantics: nlist is fixed at index build time, the live stream is
+    # scored against that layout; the Arrow kernel runs stateless inside
+    # the stream (mapInPandas is streaming-legal)
+    nlist = nlist_for(load_table(spark, sf_dir, "embeddings").count())
+    W = adaptive_centroids(_MK_DIM, nlist)
     stream = _embeddings_stream(spark, sf_dir).select(
         F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
-    scores = F.array(*[dot(F.col("v"), c) for c in cents])
-    cells = stream.select(
-        F.array_position(scores, F.array_max(scores)).cast("int").alias("cell")
-    )
+    cells = assign_cells_arrow(stream, "v", W).select("cell")
     counts_stream = cells.groupBy("cell").agg(F.count("*").alias("n0"))
     table = run_to_memory(counts_stream, output_mode="complete")
-    spine = spark.range(1, _MK_CELLS + 1).select(
+    spine = spark.range(0, nlist).select(
         F.col("id").cast("int").alias("cell")
     )
     counts = spine.join(spark.table(table), "cell", "left").select(
@@ -964,13 +962,13 @@ def q392_stream_ivf_cell_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("cell").cast("int").alias("cell"),
             F.col("n").cast("bigint").alias("n_vectors"),
-            F.round(F.col("n").cast("double") * _MK_CELLS / F.col("total"), 6)
+            F.round(F.col("n").cast("double") * nlist / F.col("total"), 6)
             .alias("load_factor"),
-            F.round(F.col("mx").cast("double") * _MK_CELLS / F.col("total"), 6)
+            F.round(F.col("mx").cast("double") * nlist / F.col("total"), 6)
             .alias("imbalance_factor"),
             F.col("n_empty").cast("bigint").alias("n_empty_cells"),
             F.round(
-                F.col("sq").cast("double") * _MK_CELLS
+                F.col("sq").cast("double") * nlist
                 / (F.col("total").cast("double") * F.col("total")),
                 6,
             ).alias("expected_probe_blowup"),

@@ -66,30 +66,26 @@ def test_cell_restriction_contains_within_cell_global_mutual_edges(spark, sf_dir
     import duckdb
 
     from sparkstreaming_quickstart_spark.operators.similarity import (
-        ivf_centroids,
-        sql_cell_expr,
+        sql_adaptive_cell_cte,
+        sql_adaptive_quantizer_ctes,
     )
     from sparkstreaming_quickstart_spark.queries.wave23 import (
         _KNN_BLOCK_SQL,
         _KNN_K,
     )
-    from sparkstreaming_quickstart_spark.queries.wave39 import (
-        _MK_CELLS,
-        _MK_DIM,
-        _MK_SEED,
-    )
+    from sparkstreaming_quickstart_spark.queries.wave39 import _MK_DIM
 
     con = duckdb.connect()
     con.execute(
         f"CREATE VIEW embeddings AS SELECT * FROM '{sf_dir}/embeddings.parquet'"
     )
-    planes = ivf_centroids(_MK_DIM, _MK_CELLS, _MK_SEED)
     base = f"""
     WITH e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
                sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                      CAST(embedding AS DOUBLE[]))) AS nrm
         FROM embeddings),
+    {sql_adaptive_quantizer_ctes(_MK_DIM, src="e")},
     valid AS (SELECT * FROM e WHERE nrm > 0),
     cand AS ({_KNN_BLOCK_SQL.format(k=_KNN_K)}),
     ranked AS (
@@ -99,7 +95,7 @@ def test_cell_restriction_contains_within_cell_global_mutual_edges(spark, sf_dir
     mutual AS (
         SELECT k1.i, k1.j FROM knn k1 JOIN knn k2
           ON k1.i = k2.j AND k1.j = k2.i),
-    cells AS (SELECT vec_id, {sql_cell_expr(planes)} AS cell FROM valid)
+    {sql_adaptive_cell_cte("valid", "vec_id")}
     SELECT m.i, m.j FROM mutual m
     JOIN cells c1 ON c1.vec_id = m.i
     JOIN cells c2 ON c2.vec_id = m.j
@@ -125,15 +121,18 @@ def test_cell_restriction_contains_within_cell_global_mutual_edges(spark, sf_dir
     )
     from sparkstreaming_quickstart_spark.queries.wave39 import _MK_K
 
-    cents = [F.array(*[F.lit(float(x)) for x in row]) for row in planes]
+    from sparkstreaming_quickstart_spark.operators.similarity import (
+        adaptive_centroids,
+        assign_cells_arrow,
+        nlist_for,
+    )
+
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
+    W = adaptive_centroids(_MK_DIM, nlist_for(e.count()))
     valid = e.filter(F.sqrt(dot(F.col("v"), F.col("v"))) > 0)
-    scores = F.array(*[dot(F.col("v"), c) for c in cents])
-    cells_df = valid.withColumn(
-        "cell", F.array_position(scores, F.array_max(scores)).cast("int")
-    )
+    cells_df = assign_cells_arrow(valid, "v", W)
 
     def cell_knn(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) < 2:
@@ -239,13 +238,12 @@ def test_q392_stream_monitor_multibatch_equals_batch(spark, sf_dir):
     from pyspark.sql import functions as F
 
     from sparkstreaming_quickstart_spark.operators.similarity import (
-        dot,
-        ivf_centroids,
+        adaptive_centroids,
+        assign_cells_arrow,
+        nlist_for,
     )
     from sparkstreaming_quickstart_spark.queries.wave39 import (
-        _MK_CELLS,
         _MK_DIM,
-        _MK_SEED,
         q390_ivf_cell_balance,
     )
     from sparkstreaming_quickstart_spark.sources.catalog import load_table
@@ -255,18 +253,14 @@ def test_q392_stream_monitor_multibatch_equals_batch(spark, sf_dir):
     splitdir = tempfile.mkdtemp(prefix="ssq-392split-")
     src.repartition(3).write.mode("overwrite").parquet(splitdir)
 
-    planes = ivf_centroids(_MK_DIM, _MK_CELLS, _MK_SEED)
-    cents = [F.array(*[F.lit(float(x)) for x in row]) for row in planes]
+    W = adaptive_centroids(_MK_DIM, nlist_for(src.count()))
     stream = (
         spark.readStream.schema(src.schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(splitdir)
         .select(F.transform("embedding", lambda x: x.cast("double")).alias("v"))
     )
-    scores = F.array(*[dot(F.col("v"), c) for c in cents])
-    cells = stream.select(
-        F.array_position(scores, F.array_max(scores)).cast("int").alias("cell")
-    )
+    cells = assign_cells_arrow(stream, "v", W).select("cell")
     table = run_to_memory(
         cells.groupBy("cell").agg(F.count("*").alias("n0")),
         output_mode="complete",

@@ -1,0 +1,111 @@
+"""Round-12 pins: the adaptive-nlist IVF quantizer's cross-engine contract.
+
+The adaptive family (q385-q392) moved from fixed-16-cell seeded-numpy
+centroid literals to (a) a cell count derived from COUNT(*) on both sides
+and (b) centroids from a pure-integer formula both engines evaluate from
+scratch.  These tests pin the two cross-engine equalities everything else
+rests on -- if either drifts, every adaptive-family oracle fails at once,
+so fail HERE first with a readable message.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pytest
+
+from sparkstreaming_quickstart_spark.operators.similarity import (
+    SQL_NLIST_EXPR,
+    adaptive_centroids,
+    nlist_for,
+    sql_adaptive_cell_cte,
+    sql_adaptive_quantizer_ctes,
+)
+
+
+def test_nlist_rule_matches_duckdb_across_decades():
+    """nlist_for (bit-twiddling, exact) == the SQL expression (double
+    log2/power) for every corpus size up to 2^22 that the rule could see
+    in a fixture, plus the exact power-of-two boundaries where a 1-ulp
+    log2 error would flip the floor."""
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT n, {SQL_NLIST_EXPR.replace('cnt', 'n')} FROM range(1, 300000) t(n)"
+    ).fetchall()
+    bad = [(n, got, nlist_for(n)) for n, got in rows if got != nlist_for(n)]
+    assert not bad, bad[:5]
+    boundaries = [1 << k for k in range(1, 41)]
+    edge = [v for b in boundaries for v in (b - 1, b, b + 1)]
+    rows = con.execute(
+        f"SELECT n, {SQL_NLIST_EXPR.replace('cnt', 'n')} "
+        f"FROM (SELECT unnest({edge}) AS n)"
+    ).fetchall()
+    bad = [(n, got, nlist_for(n)) for n, got in rows if got != nlist_for(n)]
+    assert not bad, bad
+
+
+def test_formula_centroids_bitwise_equal_to_sql():
+    """adaptive_centroids == the cents CTE, double-for-double (not approx:
+    the integer chain is exact in both engines and the float normalization
+    is the same three correctly-rounded IEEE ops)."""
+    dim, nlist = 64, 256
+    con = duckdb.connect()
+    # splice the cents CTE against a dummy src whose count forces `nlist`
+    ctes = sql_adaptive_quantizer_ctes(dim, src="e")
+    rows = con.execute(
+        f"WITH e AS (SELECT * FROM range({nlist * nlist})), {ctes} "
+        "SELECT j, w FROM cents ORDER BY j"
+    ).fetchall()
+    assert len(rows) == nlist
+    got = np.array([r[1] for r in rows])
+    want = adaptive_centroids(dim, nlist)
+    assert got.shape == want.shape
+    assert np.array_equal(got, want), np.argwhere(got != want)[:5]
+
+
+def test_assign_cells_arrow_matches_sql_assignment(spark, sf_dir):
+    """The Arrow matmul argmax (round-9, first-max) reproduces the oracle's
+    ROW_NUMBER ... ORDER BY ROUND(dot, 9) DESC, j assignment row-for-row
+    on the real fixture."""
+    from pyspark.sql import functions as F
+
+    from sparkstreaming_quickstart_spark.operators.similarity import (
+        assign_cells_arrow,
+    )
+    from sparkstreaming_quickstart_spark.sources.catalog import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    n = e.count()
+    W = adaptive_centroids(64, nlist_for(n))
+    got = {
+        r["vec_id"]: r["cell"]
+        for r in assign_cells_arrow(e, "v", W).select("vec_id", "cell").collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf_dir}/embeddings.parquet'"
+    )
+    sql = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    {sql_adaptive_quantizer_ctes(64, src="e")},
+    {sql_adaptive_cell_cte("e", "vec_id")}
+    SELECT vec_id, cell FROM cells
+    """
+    want = dict(con.execute(sql).fetchall())
+    assert len(got) == n == len(want)
+    diff = {k for k in want if got[k] != want[k]}
+    assert not diff, sorted(diff)[:5]
+
+
+def test_nlist_for_decades():
+    """The rule's concrete values at the fixture decades (the SCALING.md
+    table): a moved decade means layouts silently re-key."""
+    assert nlist_for(500) == 16
+    assert nlist_for(2000) == 32
+    assert nlist_for(20000) == 128
+    assert nlist_for(200000) == 256
+    assert nlist_for(1) == 16
+    with pytest.raises(TypeError):
+        nlist_for(None)
