@@ -204,3 +204,82 @@ def dictionary_scan(
     return df.select(id_col, text_col).mapInPandas(
         run, schema="doc_id bigint, term_idx int, occ bigint"
     )
+
+
+# Measured crossover (round 11, tools/bench_textscan.py -> tools/
+# textscan_r11.json, SCALING.md): the per-term JVM replace-diff rescans the
+# corpus once PER TERM but each pass is codegen'd; the one-pass automaton
+# pays the Python boundary once.  On the sf1 corpus the replace-diff wins
+# up to ~35 terms on both head- and tail-skewed dictionaries and loses
+# ~linearly beyond (5000-term head dict: 277s sampled per-term vs 7.6s
+# automaton).  At 100 TB picking the wrong branch costs ~10x, so the
+# dispatcher -- not the caller -- applies the policy table.
+TAG_DICTIONARY_CROSSOVER = 35
+
+
+def tag_dictionary(
+    df: DataFrame,
+    text_col: str,
+    dictionary: list[tuple[str, str]],
+    crossover: int = TAG_DICTIONARY_CROSSOVER,
+) -> DataFrame:
+    """Dictionary tagging with MEASURED auto-dispatch (round-12, verdict #3):
+    per (term, category) report n_docs / total_occ / max_occ of exact
+    non-overlapping str.count occurrences.
+
+    Below `crossover` terms: the q380 spelling -- docs CROSS JOIN
+    broadcast(dict) with the replace-diff identity, pure whole-stage
+    codegen, zero Python.  At or above: the q383 spelling -- ONE pass per
+    doc through the broadcast Aho-Corasick automaton in an Arrow kernel,
+    O(n_chars + matches) regardless of dictionary size.  Both branches are
+    value-identical (q380/q383 are locked to the same oracle); the policy
+    constant comes from the committed round-11 measurement, not a guess.
+    """
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    meta = spark.createDataFrame(
+        [(i, t, c) for i, (t, c) in enumerate(dictionary)],
+        "term_idx int, term string, category string",
+    )
+    if len(dictionary) < crossover:
+        occ = F.expr(
+            f"(length({text_col}) - length(replace({text_col}, term, '')))"
+            " DIV length(term)"
+        )
+        return (
+            df.crossJoin(F.broadcast(meta.select("term", "category")))
+            .select("term", "category", occ.alias("occ"))
+            .groupBy("term", "category")
+            .agg(
+                F.count_if(F.col("occ") > 0).alias("n_docs"),
+                F.sum("occ").cast("bigint").alias("total_occ"),
+                F.max("occ").cast("bigint").alias("max_occ"),
+            )
+            .orderBy("term")
+        )
+    scanned = dictionary_scan(
+        df.withColumn("_tag_id", F.monotonically_increasing_id()),
+        text_col,
+        [t for t, _ in dictionary],
+        id_col="_tag_id",
+    )
+    agg = scanned.groupBy("term_idx").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("occ").alias("total_occ"),
+        F.max("occ").alias("max_occ"),
+    )
+    return (
+        F.broadcast(meta)
+        .join(agg, "term_idx", "left")
+        .select(
+            "term",
+            "category",
+            F.coalesce(F.col("n_docs"), F.lit(0)).cast("bigint").alias("n_docs"),
+            F.coalesce(F.col("total_occ"), F.lit(0)).cast("bigint").alias(
+                "total_occ"
+            ),
+            F.coalesce(F.col("max_occ"), F.lit(0)).cast("bigint").alias("max_occ"),
+        )
+        .orderBy("term")
+    )

@@ -78,6 +78,35 @@ _LOADED = False
 # guards this: with fewer than 50 unchecked entries remaining, the head must
 # be exactly that set.
 _PRIORITY: list[str] = [
+    # Round-12 head (50 = 2 new + 7 adaptive-family rewrites + 31 r4-era +
+    # 10 r3-era staleness rotations).  New never-driver-checked entries
+    # FIRST (rotation contract), then the queries whose VALUES changed this
+    # round (the adaptive-nlist IVF family -- q391 is untouched), then the
+    # round-11 verdict #6 rotation: 31 entries whose last hash proof is the
+    # r4 sample (q208-q259 families, 62% of the head) and the 10 stalest
+    # r3 leftovers.
+    "q393_tag_dictionary_auto", "q394_stream_session_append",
+    "q385_ivf_partition_pruned_probe", "q386_mutual_knn_ivf_cells",
+    "q387_ivf_adc_rerank", "q388_semdedup_ivf_report",
+    "q389_knn_cell_recall", "q390_ivf_cell_balance",
+    "q392_stream_ivf_cell_monitor",
+    "q208_train_val_test_split", "q209_weighted_sample",
+    "q210_grouping_sets_api", "q211_stream_window_distinct",
+    "q212_sql_pipe_syntax", "q213_dq_checks", "q214_column_profile",
+    "q215_binned_interval_join", "q216_variant_explode",
+    "q218_transition_matrix", "q219_keyset_pagination",
+    "q220_classifier_eval", "q221_benford_digits",
+    "q223_session_entry_exit", "q224_record_linkage", "q225_golden_record",
+    "q226_rag_index_build", "q227_decayed_engagement", "q228_growth_curve",
+    "q229_ab_test_ztest", "q230_gini_concentration",
+    "q231_chi_square_independence", "q232_psi_drift",
+    "q233_dedup_provenance", "q234_share_of_parent", "q235_cluster_sample",
+    "q236_multiclass_eval", "q237_kaplan_meier", "q238_zipf_fit",
+    "q239_burstiness", "q240_heaps_law",
+    "q183_c4_span_dedup", "q184_gopher_quality", "q186_semdedup",
+    "q187_table_checksum", "q188_snapshot_diff", "q189_mode_countif",
+    "q190_window_median", "q191_bm25_search", "q192_inverted_index",
+    "q193_contiguous_ids",
     # Round-11 head (50 = new + edited + 48 staleness rotations).  New
     # never-driver-checked entries FIRST (rotation contract), then q329
     # (its dense kernel was factored into operators/similarity.
@@ -387,6 +416,7 @@ def _ensure_loaded() -> None:
     from . import wave37  # noqa: F401
     from . import wave38  # noqa: F401
     from . import wave39  # noqa: F401
+    from . import wave40  # noqa: F401
     from . import livejars  # noqa: F401
 
     # First occurrence wins: a rotation may promote a name to the head while

@@ -109,3 +109,107 @@ def test_nlist_for_decades():
     assert nlist_for(1) == 16
     with pytest.raises(TypeError):
         nlist_for(None)
+
+
+def test_tag_dictionary_dispatch_regimes(spark, sf_dir):
+    """The dispatcher must compile the small-dict call to pure JVM codegen
+    (NO Arrow/Python node anywhere in the plan) and the large-dict call to
+    the Arrow automaton kernel -- and both branches must produce identical
+    values for the same dictionary (forced by crossover override)."""
+    from sparkstreaming_quickstart_spark.operators.text_scan import (
+        tag_dictionary,
+    )
+    from sparkstreaming_quickstart_spark.sources.catalog import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    small = [("hash join", "ops"), ("table scan", "ops"), ("gpu kernel", "absent")]
+
+    jvm = tag_dictionary(d, "text", small)
+    plan = jvm._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "FlatMapsInPandas" not in plan
+    assert "MapInPandas" not in plan, plan
+
+    arrow = tag_dictionary(d, "text", small, crossover=1)
+    plan2 = arrow._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan2 or "ArrowEvalPython" in plan2, plan2
+
+    as_rows = lambda df: [tuple(r) for r in df.collect()]  # noqa: E731
+    assert as_rows(jvm) == as_rows(arrow)
+
+
+def test_q394_append_sessions_are_split_independent(spark, sf_dir):
+    """Force 3 micro-batches (contiguous time slices, mtime-pinned replay
+    order: each batch only ADVANCES the watermark, so nothing is
+    late-dropped) -- the appended session set must equal the registered
+    single-file drain AND the oracle's closed-session rule.  This is the
+    time-based-state analogue of q372's split-independence pin."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from pyspark.sql import functions as F
+
+    from sparkstreaming_quickstart_spark.queries.wave40 import (
+        q394_stream_session_append,
+    )
+    from sparkstreaming_quickstart_spark.sources.catalog import load_table
+    from sparkstreaming_quickstart_spark.streaming.pipeline import run_to_memory
+
+    src = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    qs = src.approxQuantile("value", [0.0], 0)  # force materialization once
+    assert qs
+    t1, t2 = (
+        src.selectExpr(
+            "percentile(cast(ts as double), 0.33) as a",
+            "percentile(cast(ts as double), 0.66) as b",
+        )
+        .collect()[0]
+    )
+    slices = [
+        src.filter(F.col("ts").cast("double") < t1),
+        src.filter(
+            (F.col("ts").cast("double") >= t1) & (F.col("ts").cast("double") < t2)
+        ),
+        src.filter(F.col("ts").cast("double") >= t2),
+    ]
+    workdir = tempfile.mkdtemp(prefix="ssq-394-parts-")
+    stage = tempfile.mkdtemp(prefix="ssq-394-stage-")
+    now = time.time()
+    for i, part in enumerate(slices):
+        part.coalesce(1).write.parquet(os.path.join(workdir, f"p{i}"))
+        f = glob.glob(os.path.join(workdir, f"p{i}", "*.parquet"))[0]
+        tgt = os.path.join(stage, f"{i}.parquet")
+        shutil.copy(f, tgt)
+        os.utime(tgt, (now - 300 + i * 100, now - 300 + i * 100))
+
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .withWatermark("ts", "2 hours")
+    )
+    agg = (
+        stream.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    table = run_to_memory(agg, output_mode="append")
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.table(table).collect()
+    }
+    want = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in q394_stream_session_append(spark, sf_dir).collect()
+    }
+    assert got == want
+    shutil.rmtree(workdir, ignore_errors=True)
