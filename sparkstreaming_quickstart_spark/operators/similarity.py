@@ -423,18 +423,40 @@ def sql_adaptive_quantizer_ctes(dim: int, src: str = "e") -> str:
         FROM range(65536) t(j) WHERE j < (SELECT nlist FROM nl))"""
 
 
-def sql_adaptive_cell_cte(src: str, cols: str, vec: str = "v") -> str:
+def sql_adaptive_cell_cte(
+    src: str,
+    cols: str,
+    vec: str = "v",
+    dim: int = 64,
+    materialized: bool = False,
+) -> str:
     """`cells` CTE body: argmax-centroid assignment of `{src}` rows (round
     the dot to 9 digits BEFORE ranking, smallest-j tie-break -- the exact
-    mirror of assign_cells_arrow)."""
+    mirror of assign_cells_arrow).
+
+    Shape matters at sf10 (round-12 lesson: the first spelling OOM'd a
+    44.7 GB DuckDB budget): the n x nlist window ranks a SLIM projection
+    (vec_id, j, score -- the 512-byte vector must NOT ride through the
+    51M-row sort), scores use the SIMD fixed-array kernel
+    (array_inner_product over DOUBLE[dim], measured bit-identical to
+    list_dot_product's sequential fold and ~50x faster), both sides of
+    the cross join cast to the fixed array ONCE in subqueries, and the
+    winning (vec_id, cell) pairs join back to `{src}` for the caller's
+    columns.  `materialized` stops DuckDB re-running the whole
+    assignment when the caller references `cells` twice (pair joins)."""
+    kw = "AS MATERIALIZED" if materialized else "AS"
     return f"""
-    cells AS (
-        SELECT {cols}, cell FROM (
-            SELECT {src}.*, c.j AS cell,
-                   ROW_NUMBER() OVER (PARTITION BY {src}.vec_id
-                       ORDER BY ROUND(list_dot_product({src}.{vec}, c.w), 9)
-                                DESC, c.j) AS rk
-            FROM {src} CROSS JOIN cents c) WHERE rk = 1)"""
+    cells {kw} (
+        SELECT {cols}, a.cell FROM {src} JOIN (
+            SELECT vec_id, j AS cell FROM (
+                SELECT s.vec_id, c.j,
+                       ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                           ORDER BY ROUND(array_inner_product(s.vv, c.wa), 9)
+                                    DESC, c.j) AS rk
+                FROM (SELECT vec_id, CAST({vec} AS DOUBLE[{dim}]) AS vv
+                      FROM {src}) s
+                CROSS JOIN (SELECT j, CAST(w AS DOUBLE[{dim}]) AS wa
+                            FROM cents) c) WHERE rk = 1) a USING (vec_id))"""
 
 
 def assign_cells_arrow(df: DataFrame, vec_col: str, centroids) -> DataFrame:

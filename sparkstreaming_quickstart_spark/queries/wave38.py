@@ -920,9 +920,9 @@ def _sql_ivf_probe_ctes() -> str:
         sql_adaptive_quantizer_ctes,
     )
 
-    cells = sql_adaptive_cell_cte("e", "vec_id, v").replace(
-        "cells AS", "corpus AS", 1
-    )
+    cells = sql_adaptive_cell_cte(
+        "e", "vec_id, v", dim=_IVF_DIM, materialized=True
+    ).replace("cells AS", "corpus AS", 1)
     return f"""{sql_adaptive_quantizer_ctes(_IVF_DIM, src="e")},
     {cells},
     q AS (SELECT vec_id AS query_id, v AS qv
@@ -931,20 +931,21 @@ def _sql_ivf_probe_ctes() -> str:
         SELECT query_id, qv, cell FROM (
             SELECT q.query_id, q.qv, c.j AS cell,
                    ROW_NUMBER() OVER (PARTITION BY q.query_id
-                       ORDER BY ROUND(list_dot_product(q.qv, c.w), 9)
+                       ORDER BY ROUND(array_inner_product(q.qv,
+                           CAST(c.w AS DOUBLE[{_IVF_DIM}])), 9)
                                 DESC, c.j) AS rk
             FROM q CROSS JOIN cents c) WHERE rk <= {_IVF_NPROBE})"""
 
 
 def _q385_oracle() -> str:
     return f"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[64]) AS v FROM embeddings),
     {_sql_ivf_probe_ctes()},
     cand AS (
         SELECT p.query_id, c.vec_id AS neighbor_id,
-               list_dot_product(p.qv, c.v)
-                 / (sqrt(list_dot_product(p.qv, p.qv))
-                    * sqrt(list_dot_product(c.v, c.v))) AS cos
+               array_inner_product(p.qv, c.v)
+                 / (sqrt(array_inner_product(p.qv, p.qv))
+                    * sqrt(array_inner_product(c.v, c.v))) AS cos
         FROM probes p JOIN corpus c ON c.cell = p.cell
         WHERE c.vec_id <> p.query_id),
     ranked AS (

@@ -60,18 +60,19 @@ def _q386_oracle() -> str:
     # shrink as sqrt(n), so the pair stream is n^1.5, not n^2/16).
     return f"""
     WITH e AS (
-        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-                                     CAST(embedding AS DOUBLE[]))) AS nrm
+        SELECT vec_id, CAST(embedding AS DOUBLE[{_MK_DIM}]) AS v,
+               sqrt(array_inner_product(CAST(embedding AS DOUBLE[{_MK_DIM}]),
+                                        CAST(embedding AS DOUBLE[{_MK_DIM}])))
+                   AS nrm
         FROM embeddings),
     {sql_adaptive_quantizer_ctes(_MK_DIM, src="e")},
     valid AS (SELECT * FROM e WHERE nrm > 0),
-    {sql_adaptive_cell_cte("valid", "vec_id, v, nrm")},
+    {sql_adaptive_cell_cte("valid", "vec_id, v, nrm", dim=_MK_DIM, materialized=True)},
     knn AS (
         SELECT i, j FROM (
             SELECT a.vec_id AS i, b.vec_id AS j,
                    ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
-                       ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 9)
+                       ROUND(array_inner_product(a.v, b.v) / (a.nrm * b.nrm), 9)
                        DESC, b.vec_id) AS rn
             FROM cells a JOIN cells b
               ON a.cell = b.cell AND a.vec_id <> b.vec_id)
@@ -203,7 +204,7 @@ def _q387_oracle() -> str:
         for d in range(_RR_SUB)
     )
     return f"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[64]) AS v FROM embeddings),
     {_sql_ivf_probe_ctes()},
     cb AS (SELECT vec_id AS c, CAST(embedding AS DOUBLE[]) AS cv
            FROM embeddings WHERE vec_id < {_RR_C}),
@@ -233,9 +234,9 @@ def _q387_oracle() -> str:
             FROM adc) WHERE rs <= {_RR_SHORT}),
     rerank AS (
         SELECT s.query_id, s.neighbor_id, s.adc_dist,
-               list_dot_product(c.qv, c.nv)
-                 / (sqrt(list_dot_product(c.qv, c.qv))
-                    * sqrt(list_dot_product(c.nv, c.nv))) AS cos
+               array_inner_product(c.qv, c.nv)
+                 / (sqrt(array_inner_product(c.qv, c.qv))
+                    * sqrt(array_inner_product(c.nv, c.nv))) AS cos
         FROM short s JOIN cand c
           ON c.query_id = s.query_id AND c.neighbor_id = s.neighbor_id)
     SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
@@ -405,17 +406,18 @@ def _q388_oracle() -> str:
     # bounds the pair stream to n^1.5 at every decade
     return f"""
     WITH e AS (
-        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-                                     CAST(embedding AS DOUBLE[]))) AS nrm
+        SELECT vec_id, CAST(embedding AS DOUBLE[{_MK_DIM}]) AS v,
+               sqrt(array_inner_product(CAST(embedding AS DOUBLE[{_MK_DIM}]),
+                                        CAST(embedding AS DOUBLE[{_MK_DIM}])))
+                   AS nrm
         FROM embeddings),
     {sql_adaptive_quantizer_ctes(_MK_DIM, src="e")},
-    {sql_adaptive_cell_cte("e", "vec_id, v, nrm")},
+    {sql_adaptive_cell_cte("e", "vec_id, v, nrm", dim=_MK_DIM, materialized=True)},
     dropped AS (
         SELECT DISTINCT y.vec_id
         FROM cells x JOIN cells y
           ON x.cell = y.cell AND x.vec_id < y.vec_id
-        WHERE ROUND(list_dot_product(x.v, y.v)
+        WHERE ROUND(array_inner_product(x.v, y.v)
                     / NULLIF(x.nrm * y.nrm, 0), 9) >= {_SD_T}),
     flagged AS (
         SELECT e.vec_id,
@@ -530,7 +532,7 @@ def _q389_oracle() -> str:
         FROM embeddings),
     {sql_adaptive_quantizer_ctes(_MK_DIM, src="e")},
     valid AS (SELECT * FROM e WHERE nrm > 0),
-    {sql_adaptive_cell_cte("valid", "vec_id, v, nrm")},
+    {sql_adaptive_cell_cte("valid", "vec_id, v, nrm", dim=_MK_DIM, materialized=True)},
     gcand AS ({_KNN_BLOCK_SQL.format(k=_KNN_K)}),
     granked AS (
         SELECT i, j, ROW_NUMBER() OVER (
@@ -690,7 +692,7 @@ def _q390_oracle() -> str:
     return f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     {sql_adaptive_quantizer_ctes(_MK_DIM, src="e")},
-    {sql_adaptive_cell_cte("e", "vec_id")},
+    {sql_adaptive_cell_cte("e", "vec_id", dim=_MK_DIM)},
     counts AS (
         SELECT g.cell, COUNT(c.vec_id) AS n
         FROM (SELECT j AS cell FROM range(65536) t(j)
