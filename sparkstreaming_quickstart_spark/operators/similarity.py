@@ -445,18 +445,25 @@ def sql_adaptive_cell_cte(
     columns.  `materialized` stops DuckDB re-running the whole
     assignment when the caller references `cells` twice (pair joins)."""
     kw = "AS MATERIALIZED" if materialized else "AS"
+    # The score is computed in its OWN projection below the window: DuckDB
+    # materializes a window's whole input frame, so an ORDER BY expression
+    # that still references the two 512-byte array columns drags them into
+    # the n x nlist sort -- 51 GB at sf10, the round-12 OOM.  Projected
+    # first, the window frame is 24 bytes/row.
     return f"""
     cells {kw} (
         SELECT {cols}, a.cell FROM {src} JOIN (
             SELECT vec_id, j AS cell FROM (
-                SELECT s.vec_id, c.j,
-                       ROW_NUMBER() OVER (PARTITION BY s.vec_id
-                           ORDER BY ROUND(array_inner_product(s.vv, c.wa), 9)
-                                    DESC, c.j) AS rk
-                FROM (SELECT vec_id, CAST({vec} AS DOUBLE[{dim}]) AS vv
-                      FROM {src}) s
-                CROSS JOIN (SELECT j, CAST(w AS DOUBLE[{dim}]) AS wa
-                            FROM cents) c) WHERE rk = 1) a USING (vec_id))"""
+                SELECT vec_id, j,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                           ORDER BY sc DESC, j) AS rk
+                FROM (
+                    SELECT s.vec_id, c.j,
+                           ROUND(array_inner_product(s.vv, c.wa), 9) AS sc
+                    FROM (SELECT vec_id, CAST({vec} AS DOUBLE[{dim}]) AS vv
+                          FROM {src}) s
+                    CROSS JOIN (SELECT j, CAST(w AS DOUBLE[{dim}]) AS wa
+                                FROM cents) c)) WHERE rk = 1) a USING (vec_id))"""
 
 
 def assign_cells_arrow(df: DataFrame, vec_col: str, centroids) -> DataFrame:

@@ -70,12 +70,14 @@ def _q386_oracle() -> str:
     {sql_adaptive_cell_cte("valid", "vec_id, v, nrm", dim=_MK_DIM, materialized=True)},
     knn AS (
         SELECT i, j FROM (
-            SELECT a.vec_id AS i, b.vec_id AS j,
-                   ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
-                       ROUND(array_inner_product(a.v, b.v) / (a.nrm * b.nrm), 9)
-                       DESC, b.vec_id) AS rn
-            FROM cells a JOIN cells b
-              ON a.cell = b.cell AND a.vec_id <> b.vec_id)
+            SELECT i, j, ROW_NUMBER() OVER (PARTITION BY i
+                       ORDER BY c DESC, j) AS rn
+            FROM (
+                SELECT a.vec_id AS i, b.vec_id AS j,
+                       ROUND(array_inner_product(a.v, b.v)
+                             / (a.nrm * b.nrm), 9) AS c
+                FROM cells a JOIN cells b
+                  ON a.cell = b.cell AND a.vec_id <> b.vec_id))
         WHERE rn <= {_MK_K}),
     mutual AS (
         SELECT k1.i, k1.j FROM knn k1 JOIN knn k2 ON k1.i = k2.j AND k1.j = k2.i),
@@ -517,12 +519,14 @@ def _q389_oracle() -> str:
     # CTEs and a generic same-cell join; the exact side is unchanged
     cell_knn_sql = f"""
         SELECT i, j FROM (
-            SELECT a.vec_id AS i, b.vec_id AS j,
-                   ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
-                       ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 9)
-                       DESC, b.vec_id) AS rn
-            FROM cells a JOIN cells b
-              ON a.cell = b.cell AND a.vec_id <> b.vec_id)
+            SELECT i, j, ROW_NUMBER() OVER (PARTITION BY i
+                       ORDER BY c DESC, j) AS rn
+            FROM (
+                SELECT a.vec_id AS i, b.vec_id AS j,
+                       ROUND(list_dot_product(a.v, b.v)
+                             / (a.nrm * b.nrm), 9) AS c
+                FROM cells a JOIN cells b
+                  ON a.cell = b.cell AND a.vec_id <> b.vec_id))
         WHERE rn <= {_MK_K}"""
     return f"""
     WITH e AS (
