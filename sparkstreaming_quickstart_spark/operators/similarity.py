@@ -495,14 +495,19 @@ def probe_cells_arrow(
 ) -> DataFrame:
     """Explode each row into its top-`nprobe` centroid cells (round-9 score,
     score-desc then smallest-j order) -- the probe-list kernel for the
-    partition-pruned IVF scan."""
+    partition-pruned IVF scan.  `probe_rank` (1-based) is emitted
+    explicitly so depth-sweep consumers (q395) never reconstruct the
+    ranking from row emission order."""
     import pandas as pd
 
     from pyspark.sql.types import IntegerType, StructField, StructType
 
     W = np.ascontiguousarray(centroids, dtype=np.float64)
     nl = W.shape[0]
-    out_schema = StructType(df.schema.fields + [StructField("cell", IntegerType())])
+    out_schema = StructType(
+        df.schema.fields
+        + [StructField("cell", IntegerType()), StructField("probe_rank", IntegerType())]
+    )
     take = min(nprobe, nl)
 
     def kernel(batches):
@@ -517,6 +522,7 @@ def probe_cells_arrow(
                 order = np.lexsort((j_idx, -s[r]))[:take]
                 rep = pdf.iloc[[r] * take].copy()
                 rep["cell"] = order.astype("int32")
+                rep["probe_rank"] = np.arange(1, len(order) + 1, dtype="int32")
                 frames.append(rep)
             yield pd.concat(frames, ignore_index=True)
 

@@ -86,6 +86,7 @@ _PRIORITY: list[str] = [
     # r4 sample (q208-q259 families, 62% of the head) and the 10 stalest
     # r3 leftovers.
     "q393_tag_dictionary_auto", "q394_stream_session_append",
+    "q395_ivf_nprobe_recall_curve", "q396_stream_dictionary_monitor",
     "q385_ivf_partition_pruned_probe", "q386_mutual_knn_ivf_cells",
     "q387_ivf_adc_rerank", "q388_semdedup_ivf_report",
     "q389_knn_cell_recall", "q390_ivf_cell_balance",

@@ -16,6 +16,14 @@ emission.
   extending the split-independence evidence (q340/q367/q372/q392 prove it
   for commutative-merge state) to TIME-based state, q146/q159's oracle
   discipline applied to session windows.
+- q395 IVF nprobe-recall tuning curve: recall@k at probe depths 1/2/4 on
+  a FIXED evaluation panel against the exact top-k -- the q389 recall
+  discipline turned into the operational knob curve (panel x corpus is
+  linear in n, how production actually tunes an index).
+- q396 streaming dictionary-tag monitor: q393's automaton scan run
+  statelessly inside the document stream with complete-mode per-term
+  aggregation, value-locked to the same replace-diff oracle (the
+  q390/q392 twin discipline applied to text curation).
 
 Reference parity note: the reference computes none of this (its single
 pipeline is Kafka->println, Processor.java:118-139); these are engine-surface
@@ -174,3 +182,268 @@ def q394_stream_session_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     table = run_to_memory(agg, output_mode="append")
     return spark.table(table).orderBy("user_id", "session_start")
+
+
+# ---------------------------------------------------------------------------
+# q395: IVF nprobe-recall tuning curve (fixed eval panel, linear in n)
+# ---------------------------------------------------------------------------
+
+_NP_CAP = 20000  # eval panel: vec_id % QMOD == 0 AND vec_id < cap
+_NP_K = 3  # top-k scored at each probe depth
+_NP_DEPTHS = [1, 2, 4]
+
+
+def _q395_oracle() -> str:
+    from ..operators.similarity import (
+        sql_adaptive_cell_cte,
+        sql_adaptive_quantizer_ctes,
+    )
+    from .wave38 import _IVF_QMOD
+
+    cells = sql_adaptive_cell_cte("e", "vec_id, v", materialized=True).replace(
+        "cells AS", "corpus AS", 1
+    )
+    depth_rows = ", ".join(f"({d})" for d in _NP_DEPTHS)
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[64]) AS v FROM embeddings),
+    {sql_adaptive_quantizer_ctes(64, src="e")},
+    {cells},
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e
+          WHERE vec_id % {_IVF_QMOD} = 0 AND vec_id < {_NP_CAP}),
+    pr AS (
+        SELECT query_id, j AS cell, rk FROM (
+            SELECT q.query_id, c.j,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id
+                       ORDER BY ROUND(array_inner_product(q.qv,
+                           CAST(c.w AS DOUBLE[64])), 9) DESC, c.j) AS rk
+            FROM q CROSS JOIN cents c)),
+    exacts AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY c DESC, neighbor_id) AS rn
+            FROM (
+                SELECT q.query_id, x.vec_id AS neighbor_id,
+                       ROUND(array_inner_product(q.qv, x.v)
+                             / (sqrt(array_inner_product(q.qv, q.qv))
+                                * sqrt(array_inner_product(x.v, x.v))), 9) AS c
+                FROM q JOIN e x ON x.vec_id <> q.query_id))
+        WHERE rn <= {_NP_K}),
+    depths(np) AS (VALUES {depth_rows}),
+    approx AS (
+        SELECT np, query_id, neighbor_id FROM (
+            SELECT d.np, t.query_id, t.neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY d.np, t.query_id
+                       ORDER BY t.c DESC, t.neighbor_id) AS rn
+            FROM depths d JOIN (
+                SELECT p.query_id, p.rk, x.vec_id AS neighbor_id,
+                       ROUND(array_inner_product(q.qv, x.v)
+                             / (sqrt(array_inner_product(q.qv, q.qv))
+                                * sqrt(array_inner_product(x.v, x.v))), 9) AS c
+                FROM pr p
+                JOIN q ON q.query_id = p.query_id
+                JOIN corpus x ON x.cell = p.cell AND x.vec_id <> p.query_id
+            ) t ON t.rk <= d.np)
+        WHERE rn <= {_NP_K}),
+    hits AS (
+        SELECT d.np,
+               CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits,
+               CAST(COUNT(*) AS BIGINT) AS n_truth
+        FROM depths d
+        CROSS JOIN exacts g
+        LEFT JOIN approx a
+          ON a.np = d.np AND a.query_id = g.query_id
+         AND a.neighbor_id = g.neighbor_id
+        GROUP BY d.np)
+    SELECT np AS nprobe, n_truth, n_hits,
+           ROUND(CAST(n_hits AS DOUBLE) / n_truth, 6) AS recall_at_{_NP_K}
+    FROM hits ORDER BY nprobe
+    """
+
+
+@register(
+    "q395_ivf_nprobe_recall_curve",
+    sql=_q395_oracle(),
+    doc=f"IVF nprobe-recall tuning curve: recall@{_NP_K} of the "
+    f"partition-pruned probe at depths {_NP_DEPTHS} against the exact "
+    "top-k, on a FIXED evaluation panel (vec_id % 199 = 0 AND vec_id < "
+    f"{_NP_CAP} -- a constant-size query set, so the exact side is "
+    "panel x corpus, LINEAR in n, not the corpus-pair square; this is "
+    "how production tunes an index: a pinned eval panel re-scored as "
+    "nprobe/nlist/quantizer change, the q389 recall discipline turned "
+    "into the operational knob curve).  Engine plan: ONE probe ranking "
+    "per query (Arrow kernel, all depths share it -- depth d's cells "
+    "are the rank<=d prefix), one candidate join per depth against the "
+    "adaptive cell assignment, rank-before-round top-k, then a "
+    "broadcast-able join against the exact panel top-k for hit "
+    "counting.  The oracle replays the count rule, formula centroids, "
+    "probe ranking, per-depth candidate restriction, and both top-k "
+    "stages.  At 100 TB: panel size is an operator constant (100-1k "
+    "queries), the exact side is a panel-broadcast corpus scan, the "
+    "curve costs one pass per depth over nprobe/nlist of the corpus.",
+)
+def q395_ivf_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.similarity import (
+        adaptive_centroids,
+        assign_cells_arrow,
+        dot,
+        nlist_for,
+        probe_cells_arrow,
+    )
+    from .wave38 import _IVF_QMOD
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    nlist = nlist_for(e.count())
+    W = adaptive_centroids(64, nlist)
+    corpus = assign_cells_arrow(e, "v", W)
+    q = e.filter(
+        (F.col("vec_id") % _IVF_QMOD == 0) & (F.col("vec_id") < _NP_CAP)
+    ).select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+
+    max_d = max(_NP_DEPTHS)
+    pr = probe_cells_arrow(q, "qv", W, max_d).withColumnRenamed(
+        "probe_rank", "rk"
+    )
+    qn = F.sqrt(dot(F.col("qv"), F.col("qv")))
+    cos = F.round(
+        F.try_divide(
+            dot(F.col("qv"), F.col("cv")),
+            qn * F.sqrt(dot(F.col("cv"), F.col("cv"))),
+        ),
+        9,
+    )
+    depths = spark.createDataFrame([(d,) for d in _NP_DEPTHS], "np int")
+
+    cand = (
+        pr.join(
+            corpus.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("v").alias("cv"),
+                F.col("cell"),
+            ),
+            "cell",
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "rk", "neighbor_id", cos.alias("c"))
+    )
+    a_w = Window.partitionBy("np", "query_id").orderBy(
+        F.col("c").desc(), F.col("neighbor_id")
+    )
+    approx = (
+        cand.join(F.broadcast(depths), F.col("rk") <= F.col("np"))
+        .withColumn("rn", F.row_number().over(a_w))
+        .filter(F.col("rn") <= _NP_K)
+        .select("np", "query_id", "neighbor_id")
+    )
+    ex_w = Window.partitionBy("query_id").orderBy(
+        F.col("c").desc(), F.col("neighbor_id")
+    )
+    exacts = (
+        F.broadcast(q)
+        .join(
+            e.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv")),
+            F.col("neighbor_id") != F.col("query_id"),
+        )
+        .select("query_id", "neighbor_id", cos.alias("c"))
+        .withColumn("rn", F.row_number().over(ex_w))
+        .filter(F.col("rn") <= _NP_K)
+        .select("query_id", "neighbor_id")
+    )
+    hits = (
+        F.broadcast(depths)
+        .crossJoin(exacts)
+        .join(
+            approx.withColumnRenamed("np", "anp"),
+            (F.col("anp") == F.col("np"))
+            & (approx["query_id"] == exacts["query_id"])
+            & (approx["neighbor_id"] == exacts["neighbor_id"]),
+            "left",
+        )
+        .groupBy("np")
+        .agg(
+            F.count(F.col("anp")).cast("bigint").alias("n_hits"),
+            F.count("*").cast("bigint").alias("n_truth"),
+        )
+    )
+    return hits.select(
+        F.col("np").alias("nprobe"),
+        "n_truth",
+        "n_hits",
+        F.round(F.col("n_hits").cast("double") / F.col("n_truth"), 6).alias(
+            f"recall_at_{_NP_K}"
+        ),
+    ).orderBy("nprobe")
+
+
+# ---------------------------------------------------------------------------
+# q396: streaming dictionary-tag monitor (q393's streaming twin)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q396_stream_dictionary_monitor",
+    sql=f"""
+    WITH dict(term, category) AS (VALUES {_TAG_VALUES}),
+    m AS (
+        SELECT d.term, d.category,
+               (length(doc.text) - length(replace(doc.text, d.term, '')))
+                 // length(d.term) AS occ
+        FROM documents doc CROSS JOIN dict d)
+    SELECT term, category,
+           CAST(COUNT(*) FILTER (WHERE occ > 0) AS BIGINT) AS n_docs,
+           CAST(SUM(occ) AS BIGINT) AS total_occ,
+           CAST(MAX(occ) AS BIGINT) AS max_occ
+    FROM m GROUP BY 1, 2 ORDER BY term
+    """,
+    doc=f"STREAMING dictionary-tag monitor -- q393 as a continuous "
+    "aggregation, value-locked to the SAME replace-diff oracle (the "
+    "q390/q392 twin discipline applied to text curation): documents "
+    "replay as a file stream, each micro-batch streams once through "
+    f"the broadcast {len(_TAG_DICT)}-term Aho-Corasick automaton inside "
+    "a stateless Arrow kernel (mapInPandas is streaming-legal; the "
+    "automaton rides the closure exactly as in batch), and a "
+    "complete-mode per-term count/sum/max aggregation feeds the final "
+    "report.  This is the safety/blocklist monitor a corpus-ingest "
+    "pipeline runs NEXT TO curation: per-term document counts and "
+    "occurrence totals on the live firehose, drift in a blocked term's "
+    "rate being the alert.  State is one (count, sum, max) triple per "
+    "term -- bounded by dictionary size; counts/sums/maxes are "
+    "associative so the drained snapshot equals the batch computation "
+    "exactly, which is what the shared value oracle proves.  Zero-hit "
+    "terms re-enter via the broadcast dictionary join after the drain.",
+)
+def q396_stream_dictionary_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text_scan import dictionary_scan
+    from ..streaming.pipeline import run_to_memory
+    from ..streaming.source import documents_stream
+
+    stream = documents_stream(spark, sf_dir)
+    scanned = dictionary_scan(stream, "text", [t for t, _ in _TAG_DICT])
+    agg = scanned.groupBy("term_idx").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("occ").alias("total_occ"),
+        F.max("occ").alias("max_occ"),
+    )
+    table = run_to_memory(agg, output_mode="complete")
+    meta = spark.createDataFrame(
+        [(i, t, c) for i, (t, c) in enumerate(_TAG_DICT)],
+        "term_idx int, term string, category string",
+    )
+    return (
+        F.broadcast(meta)
+        .join(spark.table(table), "term_idx", "left")
+        .select(
+            "term",
+            "category",
+            F.coalesce(F.col("n_docs"), F.lit(0)).cast("bigint").alias("n_docs"),
+            F.coalesce(F.col("total_occ"), F.lit(0)).cast("bigint").alias(
+                "total_occ"
+            ),
+            F.coalesce(F.col("max_occ"), F.lit(0)).cast("bigint").alias("max_occ"),
+        )
+        .orderBy("term")
+    )
