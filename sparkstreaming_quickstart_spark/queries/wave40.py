@@ -318,8 +318,12 @@ def q395_ivf_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     depths = spark.createDataFrame([(d,) for d in _NP_DEPTHS], "np int")
 
+    # the probe list is a fixed panel x nprobe rows -- broadcast it
+    # explicitly: it comes out of an Arrow kernel with no stats, so the
+    # static planner would sort-merge the corpus for a kilobyte-sized side
     cand = (
-        pr.join(
+        F.broadcast(pr)
+        .join(
             corpus.select(
                 F.col("vec_id").alias("neighbor_id"),
                 F.col("v").alias("cv"),
@@ -357,7 +361,8 @@ def q395_ivf_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(depths)
         .crossJoin(exacts)
         .join(
-            approx.withColumnRenamed("np", "anp"),
+            # right side of the left-outer: panel x K x depths rows, broadcast
+            F.broadcast(approx.withColumnRenamed("np", "anp")),
             (F.col("anp") == F.col("np"))
             & (approx["query_id"] == exacts["query_id"])
             & (approx["neighbor_id"] == exacts["neighbor_id"]),
