@@ -527,3 +527,73 @@ def probe_cells_arrow(
             yield pd.concat(frames, ignore_index=True)
 
     return df.mapInPandas(kernel, out_schema)
+
+
+def panel_topk_arrow(
+    corpus: DataFrame,
+    corpus_id: str,
+    corpus_vec: str,
+    panel_ids,
+    panel_mat,
+    k: int,
+    round_digits: int = 9,
+) -> DataFrame:
+    """Exact top-k cosine CANDIDATES of a small fixed query panel against a
+    corpus scan, as one Arrow kernel: the panel matrix rides the closure
+    (an eval panel is bounded model state, like the PQ codebook), each
+    corpus batch is scored with one matmul, and the kernel emits at most
+    k rows per (query, batch) under the registry's exact tie-break
+    (round-9 score desc, neighbor id asc).  Batch-local top-k is lossless
+    for the global top-k -- the global winners are each batch-locally
+    among the best k -- so the caller finishes with one tiny window over
+    <= k * n_batches rows per query.  This replaces a per-pair JVM fold
+    (q395's exact side: 376 s -> seconds at sf10) while keeping the
+    one-scan, no-shuffle-of-the-corpus plan shape.  Zero-norm vectors
+    score -inf (the try_divide-null-sorts-last convention)."""
+    import pandas as pd
+
+    P = np.ascontiguousarray(panel_mat, dtype=np.float64)
+    pids = np.asarray(panel_ids, dtype=np.int64)
+    pn = np.sqrt((P * P).sum(axis=1))
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            bids = pdf[corpus_id].to_numpy().astype(np.int64)
+            B = np.stack(pdf[corpus_vec].to_numpy()).astype(np.float64)
+            bn = np.sqrt((B * B).sum(axis=1))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = np.round(
+                    (P @ B.T) / (pn[:, None] * bn[None, :]), round_digits
+                )
+            sims[~np.isfinite(sims)] = -np.inf
+            n = sims.shape[1]
+            kk = min(k, n)
+            frames = []
+            for qi in range(len(pids)):
+                row = sims[qi].copy()
+                row[bids == pids[qi]] = -np.inf
+                if n > kk:
+                    kth = np.partition(row, n - kk)[n - kk]
+                    cand = np.flatnonzero(row >= kth)
+                else:
+                    cand = np.arange(n)
+                order = np.lexsort((bids[cand], -row[cand]))[:kk]
+                idx = cand[order]
+                idx = idx[row[idx] > -np.inf]
+                if len(idx) == 0:
+                    continue
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.full(len(idx), pids[qi], dtype=np.int64),
+                            "neighbor_id": bids[idx],
+                            "c": row[idx],
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    return corpus.mapInPandas(kernel, "query_id long, neighbor_id long, c double")
