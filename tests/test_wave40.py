@@ -213,3 +213,47 @@ def test_q394_append_sessions_are_split_independent(spark, sf_dir):
     }
     assert got == want
     shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_panel_topk_arrow_equals_jvm_topk(spark, sf_dir):
+    """The Arrow panel kernel + global window must select exactly the same
+    (query, rank) -> neighbor assignments as the JVM-fold topk_cosine on
+    the same panel: batch-local top-k is lossless for the global top-k,
+    and both sides share the round-9/neighbor-id tie-break.  Neighbor IDS
+    are compared (not cosines -- fold vs matmul differ in last-ulp
+    association, which ranking absorbs but value equality would not)."""
+    import numpy as np
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from sparkstreaming_quickstart_spark.operators.similarity import (
+        panel_topk_arrow,
+        topk_cosine,
+    )
+    from sparkstreaming_quickstart_spark.sources.catalog import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = e.filter(F.col("vec_id") % 50 == 0).limit(20)
+    panel = sorted(q.collect(), key=lambda r: r["vec_id"])
+    p_ids = [r["vec_id"] for r in panel]
+    p_mat = np.array([r["v"] for r in panel], dtype=np.float64)
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("c").desc(), F.col("neighbor_id")
+    )
+    got = {
+        (r["query_id"], r["rn"]): r["neighbor_id"]
+        for r in panel_topk_arrow(e, "vec_id", "v", p_ids, p_mat, 5)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .collect()
+    }
+    want = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in topk_cosine(
+            q, e, "vec_id", "v", "vec_id", "v", k=5
+        ).collect()
+    }
+    assert got == want
