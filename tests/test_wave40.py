@@ -257,3 +257,35 @@ def test_panel_topk_arrow_equals_jvm_topk(spark, sf_dir):
         ).collect()
     }
     assert got == want
+
+
+def test_seq_dot_block_bitwise_equals_left_fold():
+    """The Arrow pair kernel's k-loop accumulation must be BIT-IDENTICAL to
+    the scalar left fold (the JVM aggregate/zip_with association and
+    DuckDB's list_dot_product) -- this equality is what makes it legal in
+    q65, whose OUTPUT contains the cosine value (matmul association would
+    leak into values there, unlike the rank-only q386 family)."""
+    import numpy as np
+
+    from sparkstreaming_quickstart_spark.operators.similarity import (
+        _seq_dot_block,
+        _seq_self_dot,
+    )
+
+    rng = np.random.default_rng(7)
+    A = rng.standard_normal((50, 64)) * rng.integers(1, 1000, (50, 1))
+    B = rng.standard_normal((40, 64))
+
+    def fold(x, y):
+        acc = 0.0
+        for k in range(len(x)):
+            acc = acc + float(x[k]) * float(y[k])
+        return acc
+
+    got = _seq_dot_block(A, B)
+    for i in range(0, 50, 7):
+        for j in range(0, 40, 3):
+            assert got[i, j] == fold(A[i], B[j])
+    self_got = _seq_self_dot(A)
+    for i in range(0, 50, 7):
+        assert self_got[i] == fold(A[i], A[i])
