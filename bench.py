@@ -283,11 +283,13 @@ def main() -> None:
     # discarded and retried (up to 4 passes).  They still run AFTER the
     # interleaved headline passes and stay out of the headline total.
     sentinel_passes: dict[str, int] = {}
+    sentinel_dirty: list[str] = []
     for name in sentinels:
         q = registry.get(name)
         if q is None:
             continue
         best_t: float | None = None
+        best_dirty_t: float | None = None
         done = 0
         for attempt in range(4):
             s0, f0 = _steal_jiffies(), _foreign_jiffies()
@@ -307,13 +309,25 @@ def main() -> None:
                 clean_pass &= (s1 - s0) / 100.0 <= 0.02 * wall * ncpu
             if f0 is not None and f1 is not None:
                 clean_pass &= max(0, f1 - f0) / 100.0 <= 0.02 * wall * ncpu
-            if best_t is None or wall < best_t:
-                best_t = wall
+            # "Discarded and retried" means exactly that: a dirty pass
+            # never enters the committed minimum (round-12 ADVICE -- the
+            # old code min'd over dirty walls, contradicting the stated
+            # protocol).  Dirty walls are tracked separately only as the
+            # last-resort fallback when all 4 passes were contended, and
+            # that fallback is flagged explicitly in the output.
             if clean_pass:
+                if best_t is None or wall < best_t:
+                    best_t = wall
                 done += 1
+            elif best_dirty_t is None or wall < best_dirty_t:
+                best_dirty_t = wall
             if done >= 2:
                 break
-        timings[name] = round(best_t, 3)
+        if best_t is None:
+            timings[name] = round(best_dirty_t, 3)
+            sentinel_dirty.append(name)
+        else:
+            timings[name] = round(best_t, 3)
         sentinel_passes[name] = attempt + 1
     print(
         json.dumps(
@@ -328,6 +342,7 @@ def main() -> None:
                 "dirty_foreign_passes": dirty_foreign,
                 "sentinels": sentinels,
                 "sentinel_passes": sentinel_passes,
+                "sentinel_dirty": sentinel_dirty,
             }
         )
     )

@@ -636,6 +636,19 @@ def _seq_self_dot(A):
     return acc
 
 
+def _round_half_away(x: np.ndarray, digits: int) -> np.ndarray:
+    """Half-AWAY-from-zero rounding, elementwise: sign(x)*floor(|x|*10^d+0.5)
+    /10^d.  np.round is banker's (half-to-even), but both DuckDB ROUND and
+    Spark F.round are half-up -- a value whose scaled magnitude lands exactly
+    on a representable half-integer diverges in the last emitted digit under
+    np.round (q389 hit this on its recall scalar; this is the same rule for
+    value-emitting array kernels).  NaN/inf pass through unchanged."""
+    scale = 10.0 ** digits
+    t = np.abs(x) * scale
+    out = np.copysign(np.floor(t + 0.5) / scale, x)
+    return np.where(np.isfinite(t), out, x)
+
+
 def bucketed_cosine_pairs_arrow(
     bucketed: DataFrame,
     id_col: str,
@@ -674,7 +687,7 @@ def bucketed_cosine_pairs_arrow(
             hi = min(lo + chunk, m)
             dots = _seq_dot_block(M[lo:hi], M)
             with np.errstate(divide="ignore", invalid="ignore"):
-                cos = np.round(
+                cos = _round_half_away(
                     dots / (nrm[lo:hi][:, None] * nrm[None, :]), round_digits
                 )
             # strict upper triangle in SORTED-id space == id1 < id2

@@ -237,15 +237,29 @@ def tag_dictionary(
     """
     from pyspark.sql import functions as F
 
+    # Validate up front so BOTH branches see identical well-formed input
+    # (round-12 ADVICE: duplicate (term, category) entries double
+    # n_docs/total_occ in the replace-diff branch -- the cross-join rows
+    # collapse in the groupBy -- but emit two separate rows in the automaton
+    # branch; an empty term divides by zero under ANSI in the fast path).
+    if any(not t for t, _ in dictionary):
+        raise ValueError("tag_dictionary: empty term in dictionary")
+    if len({(t, c) for t, c in dictionary}) != len(dictionary):
+        raise ValueError("tag_dictionary: duplicate (term, category) entry")
+
     spark = df.sparkSession
     meta = spark.createDataFrame(
         [(i, t, c) for i, (t, c) in enumerate(dictionary)],
         "term_idx int, term string, category string",
     )
     if len(dictionary) < crossover:
+        # coalesce: a NULL text counts as zero occurrences, matching the
+        # automaton branch (which never emits rows for NULL docs and
+        # coalesces missing terms to 0) -- without it an all-NULL corpus
+        # yields NULL sum/max here but 0 there (round-12 ADVICE).
         occ = F.expr(
-            f"(length({text_col}) - length(replace({text_col}, term, '')))"
-            " DIV length(term)"
+            f"coalesce((length({text_col}) - length(replace({text_col},"
+            " term, ''))) DIV length(term), 0)"
         )
         return (
             df.crossJoin(F.broadcast(meta.select("term", "category")))

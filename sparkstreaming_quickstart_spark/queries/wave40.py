@@ -225,8 +225,8 @@ def _q395_oracle() -> str:
             FROM (
                 SELECT q.query_id, x.vec_id AS neighbor_id,
                        ROUND(array_inner_product(q.qv, x.v)
-                             / (sqrt(array_inner_product(q.qv, q.qv))
-                                * sqrt(array_inner_product(x.v, x.v))), 9) AS c
+                             / NULLIF(sqrt(array_inner_product(q.qv, q.qv))
+                                * sqrt(array_inner_product(x.v, x.v)), 0), 9) AS c
                 FROM q JOIN e x ON x.vec_id <> q.query_id))
         WHERE rn <= {_NP_K}),
     depths(np) AS (VALUES {depth_rows}),
@@ -238,8 +238,8 @@ def _q395_oracle() -> str:
             FROM depths d JOIN (
                 SELECT p.query_id, p.rk, x.vec_id AS neighbor_id,
                        ROUND(array_inner_product(q.qv, x.v)
-                             / (sqrt(array_inner_product(q.qv, q.qv))
-                                * sqrt(array_inner_product(x.v, x.v))), 9) AS c
+                             / NULLIF(sqrt(array_inner_product(q.qv, q.qv))
+                                * sqrt(array_inner_product(x.v, x.v)), 0), 9) AS c
                 FROM pr p
                 JOIN q ON q.query_id = p.query_id
                 JOIN corpus x ON x.cell = p.cell AND x.vec_id <> p.query_id

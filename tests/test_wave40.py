@@ -126,8 +126,9 @@ def test_tag_dictionary_dispatch_regimes(spark, sf_dir):
 
     jvm = tag_dictionary(d, "text", small)
     plan = jvm._jdf.queryExecution().executedPlan().toString()
-    assert "ArrowEvalPython" not in plan and "FlatMapsInPandas" not in plan
-    assert "MapInPandas" not in plan, plan
+    # "InPandas" covers MapInPandas AND FlatMapGroupsInPandas (the round-12
+    # pin misspelled the latter as "FlatMapsInPandas", a vacuous clause)
+    assert "ArrowEvalPython" not in plan and "InPandas" not in plan, plan
 
     arrow = tag_dictionary(d, "text", small, crossover=1)
     plan2 = arrow._jdf.queryExecution().executedPlan().toString()
