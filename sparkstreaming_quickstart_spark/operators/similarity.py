@@ -170,6 +170,7 @@ def embedding_cosine_pairs(
     prefilter_bits: int = 0,
     dim: int | None = None,
     seed: int = 42,
+    planes: np.ndarray | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine similarity (id1 < id2).
 
@@ -189,6 +190,8 @@ def embedding_cosine_pairs(
     d = corpus.select(
         F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"), norm(F.col(vec_col)).alias("n2")
     )
+    if planes is not None:
+        prefilter_bits = len(planes)
     if prefilter_bits > 0:
         if dim is None:
             raise ValueError("dim is required when prefilter_bits > 0")
@@ -207,6 +210,7 @@ def embedding_cosine_pairs(
             dim,
             prefilter_bits,
             seed,
+            planes,
         ).select("bid", F.col("bv").cast("array<double>").alias("bv"), "bucket")
         return bucketed_cosine_pairs_arrow(
             b, "bid", "bv", threshold, round_digits
@@ -293,9 +297,20 @@ def sql_bucket_expr(planes: np.ndarray, vec: str = "v") -> str:
     )
 
 
-def bucketize(df: DataFrame, vec: str, dim: int, nbits: int = 8, seed: int = 42) -> DataFrame:
-    """Append an LSH bucket id: sign bits of `nbits` hyperplane projections."""
-    planes = _hyperplanes(dim, nbits, seed)
+def bucketize(
+    df: DataFrame,
+    vec: str,
+    dim: int,
+    nbits: int = 8,
+    seed: int = 42,
+    planes: np.ndarray | None = None,
+) -> DataFrame:
+    """Append an LSH bucket id: sign bits of `nbits` hyperplane projections.
+    Pass `planes` explicitly (e.g. adaptive_hyperplanes) to override the
+    seeded-Gaussian default; the sign bits stay JVM fold expressions either
+    way so they mirror the oracle's fold dot exactly."""
+    if planes is None:
+        planes = _hyperplanes(dim, nbits, seed)
     plane_cols = [F.array(*[F.lit(float(v)) for v in row]) for row in planes]
     bucket = sum(
         [
@@ -318,9 +333,11 @@ def ann_lsh_topk(
     k: int = 5,
     nbits: int = 8,
     seed: int = 42,
+    planes: np.ndarray | None = None,
 ) -> DataFrame:
     """Approximate top-k: exact cosine ranking restricted to same-LSH-bucket
-    candidates.  Deterministic (seeded hyperplanes); recall < 1 by design."""
+    candidates.  Deterministic (seeded or formula hyperplanes); recall < 1
+    by design."""
     from pyspark.sql import Window
 
     q = bucketize(
@@ -331,6 +348,7 @@ def ann_lsh_topk(
         dim,
         nbits,
         seed,
+        planes,
     )
     c = bucketize(
         corpus.select(
@@ -340,6 +358,7 @@ def ann_lsh_topk(
         dim,
         nbits,
         seed,
+        planes,
     )
     scored = (
         F.broadcast(q)
@@ -436,6 +455,105 @@ def sql_adaptive_quantizer_ctes(dim: int, src: str = "e") -> str:
     cents AS (
         SELECT j, list_transform(range({dim}), k -> {expr}) AS w
         FROM range(65536) t(j) WHERE j < (SELECT nlist FROM nl))"""
+
+
+# --- adaptive hyperplane-LSH bits (round 13) --------------------------------
+# The random-hyperplane bucket family (q55/q65/q297/q300) was the last
+# fixed-capacity constant after round 12 made the IVF nlist adaptive: with a
+# hard-coded bit count the candidate stream is Theta(n^2 / 2^bits) -- at
+# 100x the data each bucket's pair block is doing the quadratic work again.
+# The rule here keeps the EXPECTED BUCKET SIZE constant instead:
+# bits = ceil(log2(ceil(n / target_bucket))), floored at the family's
+# historical constant and capped at HP_MAX_BITS, derived from COUNT(*) on
+# BOTH engine and oracle sides (the round-12 nlist discipline).  Per-bucket
+# work is then Theta(target^2 * 2^bits) = Theta(n * target): linear.
+# The planes themselves come from the same Lehmer-squared integer formula as
+# the adaptive centroids -- evaluated from scratch by numpy AND DuckDB on a
+# DISJOINT stream (offset below), bit-identical (pinned in tests) -- so no
+# plane literals need shipping into oracle SQL and the plane COUNT can be
+# data-derived in SQL (gated range scan, like the cents CTE).
+
+_HP_STREAM_OFFSET = 1_000_000  # disjoint Lehmer stream vs. the centroid t's
+HP_MAX_BITS = 30  # bucket id stays a positive int32; 2^30 buckets ~ 1e9
+
+
+def nbits_for(n: int, target_bucket: int, floor_bits: int,
+              cap: int = HP_MAX_BITS) -> int:
+    """ceil(log2(ceil(n / target_bucket))) clamped to [floor_bits, cap]:
+    the smallest bit count whose expected bucket size is <= target_bucket.
+    Mirrored exactly by sql_nbits_expr -- ceil_log2(m) == (m-1).bit_length()
+    for m >= 1, the same no-fractional-crossing argument as nlist_for."""
+    if n < 1:
+        return floor_bits
+    m = -(-n // target_bucket)
+    return max(floor_bits, min(cap, (m - 1).bit_length()))
+
+
+def sql_nbits_expr(target_bucket: int, floor_bits: int,
+                   cap: int = HP_MAX_BITS) -> str:
+    """DuckDB mirror of nbits_for over a COUNT(*) scalar named `cnt`.
+    target_bucket must be a power of two so cnt/target is exact binary
+    scaling (CEIL then exact); LOG2 is exact on powers of two and a
+    non-power's log2 sits far outside 1 ulp of an integer below 2^40."""
+    if target_bucket & (target_bucket - 1):
+        raise ValueError("target_bucket must be a power of two")
+    m = f"GREATEST(CAST(CEIL(cnt / {target_bucket}.0) AS BIGINT), 1)"
+    return (
+        f"GREATEST({floor_bits}, LEAST({cap}, "
+        f"CAST(CEIL(LOG2({m})) AS INT)))"
+    )
+
+
+def adaptive_hyperplanes(dim: int, nbits: int) -> np.ndarray:
+    """Formula hyperplanes (nbits x dim, components in [-1, 1)): the
+    adaptive_centroids Lehmer-squared chain on an OFFSET integer stream
+    (so planes never coincide with centroid rows), bit-identical to the
+    planes CTE in sql_adaptive_hyperplane_ctes.  Row-major in t means the
+    first b rows for any larger bit count equal adaptive_hyperplanes(dim,
+    b) -- growing the corpus only APPENDS planes, it never re-randomizes
+    the existing bucket bits."""
+    t = np.arange(nbits * dim, dtype=np.int64) + _HP_STREAM_OFFSET
+    x1 = (48271 * (t + 1)) % _LEHMER_M
+    x2 = (x1 * x1) % _LEHMER_M
+    x3 = (48271 * x2 + 12345) % _LEHMER_M
+    return (x3 / 2147483647.0 * 2.0 - 1.0).reshape(nbits, dim)
+
+
+def sql_adaptive_hyperplane_ctes(
+    dim: int, src: str = "e", target_bucket: int = 256, floor_bits: int = 8
+) -> str:
+    """`hb` (adaptive bit count from COUNT(*)) and `planes` (formula
+    hyperplanes) CTE bodies, to splice after the `{src}` CTE."""
+    t = f"(i*{dim} + k + {_HP_STREAM_OFFSET})"
+    x1 = f"((48271 * ({t} + 1)) % {_LEHMER_M})"
+    expr = (
+        f"((48271 * (({x1} * {x1}) % {_LEHMER_M}) + 12345) % {_LEHMER_M})"
+        " / 2147483647.0 * 2.0 - 1.0"
+    )
+    return f"""
+    hb AS (SELECT {sql_nbits_expr(target_bucket, floor_bits)} AS bits
+           FROM (SELECT COUNT(*) AS cnt FROM {src})),
+    planes AS (
+        SELECT i, list_transform(range({dim}), k -> {expr}) AS w
+        FROM range({HP_MAX_BITS}) t(i) WHERE i < (SELECT bits FROM hb))"""
+
+
+def sql_adaptive_bucket_cte(
+    src: str, id_col: str = "vec_id", vec: str = "v", dim: int = 64
+) -> str:
+    """`bkt` CTE body: per-row sign-bit bucket id against `planes` (from
+    sql_adaptive_hyperplane_ctes).  array_inner_product over DOUBLE[dim]
+    is the SIMD kernel measured bit-identical to list_dot_product's
+    sequential fold -- the same double fold the engine's JVM `dot` runs --
+    so the SIGN (all that reaches the bucket id) agrees exactly."""
+    return f"""
+    bkt AS (
+        SELECT s.{id_col},
+               CAST(SUM(CASE WHEN array_inner_product(
+                        CAST(s.{vec} AS DOUBLE[{dim}]),
+                        CAST(p.w AS DOUBLE[{dim}])) > 0
+                    THEN (1 << p.i) ELSE 0 END) AS INT) AS bucket
+        FROM {src} s CROSS JOIN planes p GROUP BY s.{id_col})"""
 
 
 def sql_adaptive_cell_cte(
@@ -552,6 +670,7 @@ def panel_topk_arrow(
     panel_mat,
     k: int,
     round_digits: int = 9,
+    fold_values: bool = False,
 ) -> DataFrame:
     """Exact top-k cosine CANDIDATES of a small fixed query panel against a
     corpus scan, as one Arrow kernel: the panel matrix rides the closure
@@ -564,12 +683,21 @@ def panel_topk_arrow(
     <= k * n_batches rows per query.  This replaces a per-pair JVM fold
     (q395's exact side: 376 s -> seconds at sf10) while keeping the
     one-scan, no-shuffle-of-the-corpus plan shape.  Zero-norm vectors
-    score -inf (the try_divide-null-sorts-last convention)."""
+    score -inf (the try_divide-null-sorts-last convention).
+
+    ``fold_values=True`` switches the scoring to fold-association vector
+    ops (_seq_dot_block) + half-away-from-zero rounding -- bit-identical
+    to the JVM `_pair_cosine` / DuckDB ROUND(list_dot_product ...)
+    spelling -- for consumers whose OUTPUT contains the cosine value
+    (q307), where matmul association and banker's rounding would leak
+    into emitted values.  Rank-only consumers (q297/q300/q395 exact
+    sides, where only neighbor IDS survive) keep the ~2-3x faster matmul
+    under the rank-before-round discipline."""
     import pandas as pd
 
     P = np.ascontiguousarray(panel_mat, dtype=np.float64)
     pids = np.asarray(panel_ids, dtype=np.int64)
-    pn = np.sqrt((P * P).sum(axis=1))
+    pn = np.sqrt(_seq_self_dot(P)) if fold_values else np.sqrt((P * P).sum(axis=1))
 
     def kernel(batches):
         for pdf in batches:
@@ -577,11 +705,18 @@ def panel_topk_arrow(
                 continue
             bids = pdf[corpus_id].to_numpy().astype(np.int64)
             B = np.stack(pdf[corpus_vec].to_numpy()).astype(np.float64)
-            bn = np.sqrt((B * B).sum(axis=1))
             with np.errstate(divide="ignore", invalid="ignore"):
-                sims = np.round(
-                    (P @ B.T) / (pn[:, None] * bn[None, :]), round_digits
-                )
+                if fold_values:
+                    bn = np.sqrt(_seq_self_dot(B))
+                    sims = _round_half_away(
+                        _seq_dot_block(P, B) / (pn[:, None] * bn[None, :]),
+                        round_digits,
+                    )
+                else:
+                    bn = np.sqrt((B * B).sum(axis=1))
+                    sims = np.round(
+                        (P @ B.T) / (pn[:, None] * bn[None, :]), round_digits
+                    )
             sims[~np.isfinite(sims)] = -np.inf
             n = sims.shape[1]
             kk = min(k, n)
@@ -612,6 +747,47 @@ def panel_topk_arrow(
                 yield pd.concat(frames, ignore_index=True)
 
     return corpus.mapInPandas(kernel, "query_id long, neighbor_id long, c double")
+
+
+def panel_exact_topk(
+    corpus: DataFrame,
+    corpus_id: str,
+    corpus_vec: str,
+    panel_df: DataFrame,
+    panel_id: str,
+    panel_vec: str,
+    k: int,
+    fold_values: bool = False,
+) -> DataFrame:
+    """Exact global top-k of a query panel against the corpus: collect the
+    panel (the eval-sample discipline -- |panel| x dim doubles ride the
+    kernel closure; 2 MB at sf10's n/50 sample, a fixed few hundred rows in
+    a production eval set), one panel_topk_arrow corpus scan emitting <= k
+    batch-local candidates per query, one window over the tiny candidate
+    stream.  Returns (query_id, neighbor_id, cos_sim, rank) -- the drop-in
+    vectorization of `topk_cosine(sample, corpus)` (round-13: q297 80.8 s /
+    q300 74.5 s / q307 89.9 s sf1 Spark sides were per-pair JVM folds of
+    exactly this shape).  Use fold_values=True when the cosine VALUE is
+    part of the caller's output."""
+    from pyspark.sql import Window
+
+    panel = sorted(
+        panel_df.select(panel_id, panel_vec).collect(), key=lambda r: r[0]
+    )
+    p_ids = [r[0] for r in panel]
+    p_mat = np.array([r[1] for r in panel], dtype=np.float64)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("c").desc(), F.col("neighbor_id")
+    )
+    return (
+        panel_topk_arrow(
+            corpus, corpus_id, corpus_vec, p_ids, p_mat, k,
+            fold_values=fold_values,
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("c").alias("cos_sim"), "rank")
+    )
 
 
 def _seq_dot_block(A, B):

@@ -148,16 +148,30 @@ _EMBED_EXACT_PAIRS_ORACLE = """
     """
 
 
-def _q65_oracle_sql() -> str:
-    # Mirror the LSH prefilter: the seeded hyperplanes are literals, so the
-    # DuckDB oracle replays the identical bucket restriction.
-    from ..operators.similarity import _hyperplanes, sql_bucket_expr
+# adaptive hyperplane bits (round 13): expected bucket size pinned at
+# _Q65_TARGET vectors, floored at the historical 4 bits -- bits derived from
+# COUNT(*) on BOTH sides, so the candidate stream stays Theta(n * target)
+# instead of Theta(n^2 / 16) (the round-12 fixed-nlist critique applied to
+# the hyperplane family).
+_Q65_TARGET = 1024
+_Q65_FLOOR = 4
 
-    bucket = sql_bucket_expr(_hyperplanes(dim=64, nbits=4))
+
+def _q65_oracle_sql() -> str:
+    # Mirror the LSH prefilter: formula hyperplanes + a COUNT(*)-derived bit
+    # count, both evaluated from scratch by DuckDB (no plane literals).
+    from ..operators.similarity import (
+        sql_adaptive_bucket_cte,
+        sql_adaptive_hyperplane_ctes,
+    )
+
     return f"""
-    WITH b AS (
-        SELECT vec_id, v, {bucket} AS bucket, sqrt(list_dot_product(v, v)) AS nrm
-        FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings))
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    {sql_adaptive_hyperplane_ctes(64, src="e", target_bucket=_Q65_TARGET, floor_bits=_Q65_FLOOR)},
+    {sql_adaptive_bucket_cte("e")},
+    b AS (
+        SELECT e.vec_id, e.v, k.bucket, sqrt(list_dot_product(e.v, e.v)) AS nrm
+        FROM e JOIN bkt k USING (vec_id))
     SELECT x.vec_id AS id1, y.vec_id AS id2,
            ROUND(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 9) AS cos_sim
     FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
@@ -170,16 +184,22 @@ def _q65_oracle_sql() -> str:
     "q65_dedup_embedding_cosine",
     sql=_q65_oracle_sql(),
     doc="Embedding-cosine near-dup pairs, LSH-bucketed (the 100 TB path): "
-    "candidates restricted to pairs sharing a 4-bit random-hyperplane "
-    "bucket, exact cosine verify on candidates only -- each vector is "
-    "compared against ~n/16 others instead of all n.  The oracle replays "
-    "the identical (seeded, literal) bucket restriction in DuckDB; the "
-    "unrestricted exact formulation is the oracle twin q114.",
+    "candidates restricted to pairs sharing a random-hyperplane bucket, "
+    "exact cosine verify on candidates only.  The bit count is ADAPTIVE "
+    f"(ceil(log2(n/{_Q65_TARGET})), floor {_Q65_FLOOR} bits), derived from "
+    "COUNT(*) on both engine and oracle sides, so the expected bucket size "
+    "-- and with it the per-bucket Arrow slab -- stays constant as the "
+    "corpus grows; the formula planes are replayed from scratch in DuckDB "
+    "(no literals).  The unrestricted exact twin is q114.",
 )
 def q65_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import adaptive_hyperplanes, nbits_for
+
     e = load_table(spark, sf_dir, "embeddings")
+    bits = nbits_for(e.count(), _Q65_TARGET, _Q65_FLOOR)
     return embedding_cosine_pairs(
-        e, "vec_id", "embedding", threshold=0.42, prefilter_bits=4, dim=64
+        e, "vec_id", "embedding", threshold=0.42, dim=64,
+        planes=adaptive_hyperplanes(64, bits),
     ).orderBy("id1", "id2")
 
 
@@ -224,16 +244,43 @@ def q54_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_cosine(q, e, "vec_id", "embedding", "vec_id", "embedding", k=5)
 
 
-def _q55_oracle_sql() -> str:
-    # Seeded hyperplanes embedded as literals -> DuckDB replays the identical
-    # bucket assignment (sign bits probed bitwise-equal at sf0.01).
-    from ..operators.similarity import _hyperplanes, sql_bucket_expr
+# adaptive bits for the ANN/top-k family (q55/q297/q300): expected bucket
+# size _ANN_TARGET, floored at the historical 8 bits.  At the small sfs the
+# floor holds (values unchanged from the fixed-bit era); at sf10's 200k
+# vectors the rule yields 10 bits -- the adaptivity the fixed constant
+# lacked.
+_ANN_TARGET = 256
+_ANN_FLOOR = 8
 
-    bucket = sql_bucket_expr(_hyperplanes(dim=64, nbits=8))
+
+def _ann_bucket_ctes() -> str:
+    """Shared oracle preamble for the adaptive-bits ANN family: e (vectors),
+    hb/planes (COUNT(*)-derived formula hyperplanes), bkt (bucket ids), b
+    (vectors + bucket + norm)."""
+    from ..operators.similarity import (
+        sql_adaptive_bucket_cte,
+        sql_adaptive_hyperplane_ctes,
+    )
+
+    return f"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    {sql_adaptive_hyperplane_ctes(64, src="e", target_bucket=_ANN_TARGET, floor_bits=_ANN_FLOOR)},
+    {sql_adaptive_bucket_cte("e")},
+    b AS (
+        SELECT e.vec_id, e.v, k.bucket, sqrt(list_dot_product(e.v, e.v)) AS nrm
+        FROM e JOIN bkt k USING (vec_id))"""
+
+
+def ann_planes(e) -> "np.ndarray":
+    """Engine-side mirror of _ann_bucket_ctes' plane set for a loaded
+    embeddings DataFrame."""
+    from ..operators.similarity import adaptive_hyperplanes, nbits_for
+
+    return adaptive_hyperplanes(64, nbits_for(e.count(), _ANN_TARGET, _ANN_FLOOR))
+
+
+def _q55_oracle_sql() -> str:
     return f"""
-    WITH b AS (
-        SELECT vec_id, v, {bucket} AS bucket, sqrt(list_dot_product(v, v)) AS nrm
-        FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)),
+    WITH {_ann_bucket_ctes()},
     q AS (SELECT * FROM b WHERE vec_id % 50 = 0),
     scored AS (
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -250,15 +297,20 @@ def _q55_oracle_sql() -> str:
 @register(
     "q55_similarity_ann_lsh",
     sql=_q55_oracle_sql(),
-    doc="ANN top-5 via random-hyperplane LSH buckets (seeded) -- restricts "
-    "candidate generation to same-bucket pairs.  Full value oracle: the "
-    "seeded hyperplanes are embedded as literals in the DuckDB SQL, which "
-    "replays the identical bucket assignment.",
+    doc="ANN top-5 via random-hyperplane LSH buckets -- restricts candidate "
+    "generation to same-bucket pairs.  The bit count is ADAPTIVE "
+    f"(ceil(log2(n/{_ANN_TARGET})), floor {_ANN_FLOOR} bits) from COUNT(*) "
+    "on both sides, keeping the expected per-bucket candidate list "
+    "constant as the corpus grows; the formula hyperplanes are replayed "
+    "from scratch in the DuckDB oracle (no literals).",
 )
 def q55_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") % 50 == 0)
-    return ann_lsh_topk(q, e, "vec_id", "embedding", "vec_id", "embedding", dim=64, k=5, nbits=8)
+    return ann_lsh_topk(
+        q, e, "vec_id", "embedding", "vec_id", "embedding",
+        dim=64, k=5, planes=ann_planes(e),
+    )
 
 
 @register(

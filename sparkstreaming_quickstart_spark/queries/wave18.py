@@ -254,13 +254,10 @@ def q296_pca_scree(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q297_oracle_sql() -> str:
-    from ..operators.similarity import _hyperplanes, sql_bucket_expr
+    from .llm import _ann_bucket_ctes
 
-    bucket = sql_bucket_expr(_hyperplanes(dim=_DIMS, nbits=8))
     return f"""
-    WITH b AS (
-        SELECT vec_id, v, {bucket} AS bucket, sqrt(list_dot_product(v, v)) AS nrm
-        FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)),
+    WITH {_ann_bucket_ctes()},
     q AS (SELECT * FROM b WHERE vec_id % 50 = 0),
     exact AS (
         SELECT query_id, neighbor_id FROM (
@@ -298,18 +295,27 @@ def _q297_oracle_sql() -> str:
     "the SAMPLED query set only (every 50th vector) -- the standard "
     "ANN-benchmark discipline, so the exact side costs |sample| x corpus "
     "with the sample broadcast, never corpus x corpus; the ANN side is the "
-    "same bucket-equi-join the index itself runs.  The per-query join of "
-    "the two top-5 lists is sample-sized.  Seeded hyperplanes are embedded "
-    "as literals in the oracle, which replays both rankings bit-for-bit.",
+    "same bucket-equi-join the index itself runs.  Round-13: the exact "
+    "side is the panel_exact_topk Arrow kernel (one matmul per corpus "
+    "batch, rank-only consumer -- only IDS survive into the recall join) "
+    "replacing the per-pair JVM fold (80.8 s sf1 Spark side), and the LSH "
+    "bit count is adaptive from COUNT(*), oracle-replayed via the formula-"
+    "plane CTEs.",
 )
 def q297_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import ann_lsh_topk, topk_cosine
+    from ..operators.similarity import ann_lsh_topk, panel_exact_topk
+
+    from .llm import ann_planes
 
     e = load_table(spark, sf_dir, "embeddings")
+    ev = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     q = e.filter(F.col("vec_id") % 50 == 0)
-    exact = topk_cosine(q, e, "vec_id", "embedding", "vec_id", "embedding", k=5)
+    exact = panel_exact_topk(
+        ev, "vec_id", "v", ev.filter(F.col("vec_id") % 50 == 0), "vec_id", "v", k=5
+    )
     ann = ann_lsh_topk(
-        q, e, "vec_id", "embedding", "vec_id", "embedding", dim=_DIMS, k=5, nbits=8
+        q, e, "vec_id", "embedding", "vec_id", "embedding",
+        dim=_DIMS, k=5, planes=ann_planes(e),
     )
     hits = exact.select("query_id", "neighbor_id").join(
         ann.select("query_id", "neighbor_id", F.lit(1).alias("hit")),
@@ -515,13 +521,10 @@ def q299_quality_classifier_inference(spark: SparkSession, sf_dir: str) -> DataF
 
 
 def _q300_oracle_sql() -> str:
-    from ..operators.similarity import _hyperplanes, sql_bucket_expr
+    from .llm import _ann_bucket_ctes
 
-    bucket = sql_bucket_expr(_hyperplanes(dim=_DIMS, nbits=8))
     return f"""
-    WITH b AS (
-        SELECT vec_id, v, {bucket} AS bucket, sqrt(list_dot_product(v, v)) AS nrm
-        FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)),
+    WITH {_ann_bucket_ctes()},
     q AS (SELECT * FROM b WHERE vec_id % 50 = 0),
     exact AS (
         SELECT query_id, neighbor_id FROM (
@@ -559,23 +562,32 @@ def _q300_oracle_sql() -> str:
     "q55 bucket equi-join (never all-pairs); the exact top-5 exclusion "
     "list is computed only for the anchor sample and anti-joined; one "
     "window rank picks the hardest survivor.  Anchors with no same-bucket "
-    "non-top-5 candidate yield no row in both engines.  Seeded hyperplanes "
-    "as shared literals make the full pipeline value-replayable in DuckDB.",
+    "non-top-5 candidate yield no row in both engines.  Round-13: the "
+    "exclusion list comes from the panel_exact_topk Arrow kernel (rank-"
+    "only -- the anti-join consumes IDS; the EMITTED cos_sim still comes "
+    "from the JVM fold on the bucket-bounded candidate join, so values "
+    "keep the fold association), and the LSH bit count is adaptive from "
+    "COUNT(*), formula-plane-replayed in DuckDB.",
 )
 def q300_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    from ..operators.similarity import ann_lsh_topk, topk_cosine
+    from ..operators.similarity import ann_lsh_topk, panel_exact_topk
+
+    from .llm import ann_planes
 
     e = load_table(spark, sf_dir, "embeddings")
+    ev = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     q = e.filter(F.col("vec_id") % 50 == 0)
-    exact = topk_cosine(q, e, "vec_id", "embedding", "vec_id", "embedding", k=5)
+    exact = panel_exact_topk(
+        ev, "vec_id", "v", ev.filter(F.col("vec_id") % 50 == 0), "vec_id", "v", k=5
+    )
     # All same-bucket candidates with scores: k large enough to keep every
     # candidate (bucket sizes at any sf are far below corpus size; rank is
     # recomputed below after the exclusion anyway).
     cand = ann_lsh_topk(
         q, e, "vec_id", "embedding", "vec_id", "embedding",
-        dim=_DIMS, k=1 << 30, nbits=8,
+        dim=_DIMS, k=1 << 30, planes=ann_planes(e),
     ).select("query_id", "neighbor_id", "cos_sim")
     negs = cand.join(
         exact.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"], "anti"

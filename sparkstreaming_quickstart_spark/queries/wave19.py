@@ -711,15 +711,19 @@ def _q307_oracle_sql() -> str:
     "sample pass, identical to q297's.",
 )
 def q307_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import dot, topk_cosine
+    from ..operators.similarity import dot, panel_exact_topk
 
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     q = e.filter(F.col("vec_id") % 50 == 0)
-    top = topk_cosine(q, e, "vec_id", "v", "vec_id", "v", k=5).select(
-        "query_id", "neighbor_id", F.col("cos_sim").alias("cos_full")
-    )
+    # fold_values=True: cos_full is EMITTED (averaged into the report), so
+    # the kernel scores with fold-association ops + half-away rounding --
+    # bit-identical to the topk_cosine JVM spelling it replaces (89.9 s
+    # sf1 Spark side was the per-pair fold).
+    top = panel_exact_topk(
+        e, "vec_id", "v", q, "vec_id", "v", k=5, fold_values=True
+    ).select("query_id", "neighbor_id", F.col("cos_sim").alias("cos_full"))
     qv = e.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
     cv = e.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"))
     # Broadcast the sample-sized pair list; the corpus vector frames stream.

@@ -47,6 +47,147 @@ def test_round_half_away_matches_duckdb_at_half_boundaries():
     assert np.isnan(weird[0]) and weird[1] == np.inf and weird[2] == -np.inf
 
 
+def test_nbits_rule_matches_duckdb_across_decades():
+    """nbits_for (integer bit-twiddling, exact) == sql_nbits_expr (double
+    ceil/log2) for every corpus size the rule could see, plus the exact
+    bucket-count boundaries where a 1-ulp log2 error would flip the CEIL
+    -- the wave-40 nlist pin applied to the hyperplane family."""
+    from sparkstreaming_quickstart_spark.operators.similarity import (
+        nbits_for,
+        sql_nbits_expr,
+    )
+
+    con = duckdb.connect()
+    for target, floor in [(1024, 4), (256, 8)]:
+        expr = sql_nbits_expr(target, floor).replace("cnt", "n")
+        rows = con.execute(
+            f"SELECT n, {expr} FROM range(1, 300000) t(n)"
+        ).fetchall()
+        bad = [
+            (n, got, nbits_for(n, target, floor))
+            for n, got in rows
+            if got != nbits_for(n, target, floor)
+        ]
+        assert not bad, (target, floor, bad[:5])
+        edges = [
+            v
+            for k in range(1, 31)
+            for v in ((1 << k) * target - 1, (1 << k) * target, (1 << k) * target + 1)
+        ]
+        rows = con.execute(
+            f"SELECT n, {expr} FROM (SELECT unnest({edges}) AS n)"
+        ).fetchall()
+        bad = [
+            (n, got, nbits_for(n, target, floor))
+            for n, got in rows
+            if got != nbits_for(n, target, floor)
+        ]
+        assert not bad, (target, floor, bad)
+
+
+def test_formula_hyperplanes_bitwise_equal_to_sql():
+    """adaptive_hyperplanes == the planes CTE double-for-double, and the
+    offset stream never collides with the centroid stream (growing bits
+    only APPENDS planes -- prefix property)."""
+    from sparkstreaming_quickstart_spark.operators.similarity import (
+        HP_MAX_BITS,
+        adaptive_centroids,
+        adaptive_hyperplanes,
+        sql_adaptive_hyperplane_ctes,
+    )
+
+    dim = 64
+    con = duckdb.connect()
+    # pin all HP_MAX_BITS planes: splice a literal bit count in place of the
+    # COUNT(*)-derived scalar (a count large enough to reach the cap would
+    # need a 1e11-row range table; the bits RULE itself is pinned separately
+    # above) -- the formula expr under test is untouched
+    ctes = sql_adaptive_hyperplane_ctes(
+        dim, src="e", target_bucket=256, floor_bits=8
+    ).replace("(SELECT bits FROM hb)", str(HP_MAX_BITS))
+    rows = con.execute(
+        f"WITH e AS (SELECT 1), {ctes} SELECT i, w FROM planes ORDER BY i"
+    ).fetchall()
+    assert len(rows) == HP_MAX_BITS
+    got = np.array([r[1] for r in rows])
+    want = adaptive_hyperplanes(dim, HP_MAX_BITS)
+    assert np.array_equal(got, want), np.argwhere(got != want)[:5]
+    # prefix property + stream disjointness
+    assert np.array_equal(adaptive_hyperplanes(dim, 4), want[:4])
+    cents = adaptive_centroids(dim, 16)
+    assert not np.isin(want[:, 0], cents[:, 0]).any()
+
+
+def test_adaptive_buckets_engine_matches_oracle(spark, sf_dir):
+    """The JVM sign-bit bucket expression over adaptive_hyperplanes
+    reproduces the oracle's planes/bkt CTE assignment row-for-row on the
+    real fixture (COUNT(*)-derived bit count on both sides)."""
+    from pyspark.sql import functions as F
+
+    from sparkstreaming_quickstart_spark.operators.similarity import (
+        adaptive_hyperplanes,
+        bucketize,
+        nbits_for,
+        sql_adaptive_bucket_cte,
+        sql_adaptive_hyperplane_ctes,
+    )
+    from sparkstreaming_quickstart_spark.sources.catalog import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    bits = nbits_for(e.count(), 256, 8)
+    got = {
+        (r["vec_id"], r["bucket"])
+        for r in bucketize(
+            e.select("vec_id", F.col("embedding").alias("v")),
+            "v", 64, planes=adaptive_hyperplanes(64, bits),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf_dir}/embeddings.parquet'"
+    )
+    want = set(
+        con.execute(
+            f"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                           FROM embeddings),
+            {sql_adaptive_hyperplane_ctes(64, src="e", target_bucket=256, floor_bits=8)},
+            {sql_adaptive_bucket_cte("e")}
+            SELECT vec_id, bucket FROM bkt"""
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_panel_exact_topk_fold_values_bitwise_equals_jvm(spark, sf_dir):
+    """panel_exact_topk(fold_values=True) must reproduce the JVM
+    topk_cosine rows INCLUDING the emitted cosine values bit-for-bit
+    (fold association + half-away rounding) -- the q65/q395 pin
+    discipline for the q307 port, whose output averages cos_full."""
+    from pyspark.sql import functions as F
+
+    from sparkstreaming_quickstart_spark.operators.similarity import (
+        panel_exact_topk,
+        topk_cosine,
+    )
+    from sparkstreaming_quickstart_spark.sources.catalog import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = e.filter(F.col("vec_id") % 50 == 0)
+    want = {
+        (r["query_id"], r["neighbor_id"], r["cos_sim"], r["rank"])
+        for r in topk_cosine(q, e, "vec_id", "v", "vec_id", "v", k=5).collect()
+    }
+    got = {
+        tuple(r)
+        for r in panel_exact_topk(
+            e, "vec_id", "v", q, "vec_id", "v", k=5, fold_values=True
+        ).collect()
+    }
+    assert got == want
+
+
 def test_tag_dictionary_rejects_malformed_input(spark):
     """Empty terms (ANSI div-by-zero in the fast branch) and duplicate
     (term, category) entries (double-counted in the fast branch, two rows
