@@ -3,8 +3,9 @@ emission.
 
 - q393 dictionary tagging with AUTO-DISPATCH (round-11 verdict #3): q380
   (JVM replace-diff) and q383 (Aho-Corasick automaton) are value-locked
-  twins whose crossover was MEASURED in round 11 (~35 terms,
-  tools/textscan_r11.json) -- but a caller had to pick by hand, and at
+  twins whose crossover is MEASURED, not guessed (round 11: ~35 terms;
+  re-derived ~5 in round 13 after the lockstep-numpy kernel,
+  tools/textscan_r13.json) -- a caller had to pick by hand, and at
   100 TB the wrong pick costs ~10x.  `tag_dictionary` applies the policy
   table inside the operator; this entry registers it with a dictionary
   large enough to select the automaton branch, value-locked to the same
@@ -44,8 +45,9 @@ from . import register
 
 # A production-shaped dictionary: every fixture vocabulary word, a band of
 # multi-word phrases, and four vocabulary-absent terms (zero-hit rows must
-# survive to the output).  56 terms > the measured ~35-term crossover, so
-# the dispatcher must pick the automaton branch (plan-pinned in tests).
+# survive to the output).  56 terms > the measured crossover (~35 in r11,
+# ~5 since the round-13 lockstep kernel), so the dispatcher must pick the
+# automaton branch (plan-pinned in tests).
 _TAG_WORDS = [
     "join", "hash", "row", "batch", "scan", "customer", "column", "filter",
     "small", "slow", "merge", "order", "vector", "line", "data", "table",
@@ -86,10 +88,10 @@ _TAG_VALUES = ", ".join(f"('{t}', '{c}')" for t, c in _TAG_DICT)
     """,
     doc=f"Dictionary tagging with MEASURED AUTO-DISPATCH (round-11 verdict "
     f"#3): tag_dictionary(df, dict) picks q380's JVM replace-diff "
-    "spelling below the ~35-term crossover and q383's one-pass "
-    "Aho-Corasick Arrow kernel at or above it -- the policy constant is "
-    "round 11's committed measurement (tools/textscan_r11.json, "
-    "SCALING.md: per-term rescans win only while the dictionary is "
+    "spelling below the measured crossover (~5 terms since the round-13 "
+    "lockstep kernel; ~35 before) and q383's one-pass Aho-Corasick Arrow "
+    "kernel at or above it -- the policy constant is a committed measurement "
+    "(tools/textscan_r13.json, SCALING.md: per-term rescans win only while the dictionary is "
     "small; the automaton is flat in dictionary size), so the 10x "
     "wrong-branch cost at 100 TB is an operator decision, not a caller "
     f"guess.  This entry runs a {len(_TAG_DICT)}-term dictionary (every "

@@ -1462,20 +1462,30 @@ def q224_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("substring(c_name, 1, length(c_name) - 2)").alias("block"),
     )
     a, b = c.alias("a"), c.alias("b")
-    # bounded edit distance: with threshold k the JVM kernel walks a
-    # (2k+1)-wide band and bails at first overflow instead of the full
-    # n x m DP -- same <= 2 predicate (returns -1 above the bound), ~O(k/n)
-    # of the work on the ~18-char names that dominate this query's sf1 cost
+    # Comparator cascade (round 13): the 3.0 decision threshold is reachable
+    # ONLY when every field agrees -- a single disagreement caps the score
+    # at 2.0 + 1.0 - 0.25 = 2.75 -- so the two cheap exact comparators are
+    # part of the EQUI-JOIN KEY (block, nation, segment) and the expensive
+    # fuzzy comparator runs only on field-agreeing candidates (~1/125 of
+    # the block pairs at sf1: 7.4M -> 59k).  The levenshtein itself is the
+    # BANDED form: with threshold k the JVM kernel walks a (2k+1)-wide
+    # band and bails at first overflow instead of the full n x m DP.
+    # Output is unchanged: every emitted pair has all fields agreeing, so
+    # its score is exactly 2.0 + 1.0 + 0.5 (the oracle states the general
+    # scoring rule; this plan is the standard Fellegi-Sunter cascade --
+    # cheapest comparators first -- not a semantic change).
     lev = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"), 2)
     score = (
         F.when((lev >= 0) & (lev <= 2), 2.0).otherwise(-1.0)
-        + F.when(F.col("a.c_nationkey") == F.col("b.c_nationkey"), 1.0).otherwise(-0.5)
-        + F.when(F.col("a.c_mktsegment") == F.col("b.c_mktsegment"), 0.5).otherwise(-0.25)
+        + F.lit(1.0)  # nation agreement, guaranteed by the join key
+        + F.lit(0.5)  # segment agreement, guaranteed by the join key
     )
     return (
         a.join(
             b,
             (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
             & (F.col("a.c_custkey") < F.col("b.c_custkey")),
         )
         .select(

@@ -188,6 +188,42 @@ def test_panel_exact_topk_fold_values_bitwise_equals_jvm(spark, sf_dir):
     assert got == want
 
 
+def test_lockstep_scan_bordered_terms_and_packing():
+    """The round-13 lockstep kernel's two count paths (np.unique for
+    borderless terms, greedy loop for bordered) both equal str.count, and
+    lane packing (docs >> lanes, separator resets, empty docs) preserves
+    per-doc attribution."""
+    from sparkstreaming_quickstart_spark.operators.text_scan import (
+        AhoCorasick,
+        AhoCorasickDense,
+        _has_proper_border,
+    )
+
+    assert _has_proper_border(b"aa") and _has_proper_border(b"abab")
+    assert not _has_proper_border(b"ab") and not _has_proper_border(b"a")
+    terms = ["aa", "abab", "ab", "ba", "x"]
+    texts = [
+        "aaaa",            # "aa" x2 non-overlapping (3 raw matches)
+        "ababab",          # "abab" greedy = 1, "ab" = 3, "ba" = 2
+        "",                # empty doc
+        "xaaxabab",        # mixed
+        "a" * 100,         # long run: "aa" = 50
+    ] * 7  # 35 docs
+    dense = AhoCorasickDense(terms)
+    classic = AhoCorasick(terms)
+    for lanes in (1, 2, 3, 35, 4096):
+        dis, tis, occ = dense.count_batch_sparse(texts, n_lanes=lanes)
+        got = {(int(d), int(t)): int(c) for d, t, c in zip(dis, tis, occ)}
+        want = {}
+        for di, tx in enumerate(texts):
+            for ti, c in enumerate(classic.count_nonoverlapping(tx)):
+                if c:
+                    want[(di, ti)] = c
+            for ti, t in enumerate(terms):  # and the str.count ground truth
+                assert tx.count(t) == classic.count_nonoverlapping(tx)[ti]
+        assert got == want, lanes
+
+
 def test_tag_dictionary_rejects_malformed_input(spark):
     """Empty terms (ANSI div-by-zero in the fast branch) and duplicate
     (term, category) entries (double-counted in the fast branch, two rows
