@@ -78,6 +78,35 @@ _LOADED = False
 # guards this: with fewer than 50 unchecked entries remaining, the head must
 # be exactly that set.
 _PRIORITY: list[str] = [
+    # Round-13 head (50 = 1 new + 11 value-changed/edited + 30 r5/r6-era
+    # staleness rotations (60%, round-12 verdict #6) + 8 stalest r3
+    # leftovers).  New never-driver-checked entries FIRST (rotation
+    # contract), then the queries whose VALUES or spellings changed this
+    # round: adaptive hyperplane bits (q65/q55/q297/q300), the vectorized
+    # fold ports (q307/q224), the sharded-state q372, and the lockstep-scan
+    # users (q380/q383/q393/q396).
+    "q397_stream_join_window_rollup",
+    "q65_dedup_embedding_cosine", "q55_similarity_ann_lsh",
+    "q297_ann_recall_eval", "q300_hard_negative_mining",
+    "q307_matryoshka_eval", "q224_record_linkage",
+    "q372_stream_minhash_neardup", "q380_dictionary_tagging",
+    "q383_dictionary_scan_automaton", "q393_tag_dictionary_auto",
+    "q396_stream_dictionary_monitor",
+    "q115_tpch_q2_min_cost", "q116_tpch_q9_profit",
+    "q117_tpch_q11_important_stock", "q118_tpch_q16_supplier_cnt",
+    "q119_tpch_q20_promotion", "q120_tpch_q21_waiting", "q126_bigram_lm",
+    "q127_winsorized_stats", "q128_hll_sketch_union",
+    "q130_multimodal_resize", "q131_variant_json", "q132_approx_top_k",
+    "q133_collation_group", "q134_xml_decode", "q135_timeseries_gapfill",
+    "q136_anomaly_zscore", "q137_similarity_topk_int8", "q138_scd2_orders",
+    "q139_decontaminate", "q140_repetition_score", "q141_token_shards",
+    "q144_data_card", "q157_countmin_heavy_hitters",
+    "q158_corpus_dup_ngrams", "q159_stream_chained_windows",
+    "q160_null_safe_join", "q161_pq_topk", "q162_try_functions",
+    "q163_state_store_reader", "q164_stream_dedup_within_watermark",
+    "q192_inverted_index", "q193_contiguous_ids", "q194_ntile_binning",
+    "q195_map_hof", "q196_aes_roundtrip", "q197_zorder_layout",
+    "q198_window_count_distinct", "q199_corr_matrix",
     # Round-12 head (50 = 2 new + 7 adaptive-family rewrites + 31 r4-era +
     # 10 r3-era staleness rotations).  New never-driver-checked entries
     # FIRST (rotation contract), then the queries whose VALUES changed this
@@ -418,6 +447,7 @@ def _ensure_loaded() -> None:
     from . import wave38  # noqa: F401
     from . import wave39  # noqa: F401
     from . import wave40  # noqa: F401
+    from . import wave42  # noqa: F401
     from . import livejars  # noqa: F401
 
     # First occurrence wins: a rotation may promote a name to the head while

@@ -139,14 +139,26 @@ def q23_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     "it IS deterministic -- register merges are max-commutative, so the "
     "estimate is partition-order-independent.  The oracle therefore checks "
     "the exact column plus the sketch's accuracy invariant (within +/-5% of "
-    "exact at rsd=0.01, ~5 sigma) as a boolean the oracle pins to TRUE.",
+    "exact at rsd=0.01, ~5 sigma) as a boolean the oracle pins to TRUE.  "
+    "Plan note (round 13): combining a DISTINCT aggregate with the HLL in "
+    "one agg makes Spark's distinct-rewrite carry the ~16 KB rsd=0.01 "
+    "sketch buffer through the per-(flag, orderkey) partial phase -- "
+    "measured 106 s at sf1 vs 5.6 + 2.4 s separately.  HLL registers are "
+    "duplicate-INSENSITIVE (per-bucket max over hashed values), so both "
+    "aggregates here run over one shared pre-distinct projection: the "
+    "estimate is bit-identical, the exact count is a cheap count(*), and "
+    "the plan pays one shuffle (89 -> ~7 s at sf1).  An approx-ONLY query "
+    "at 100 TB should of course skip the distinct entirely -- that is the "
+    "sketch's whole point; the distinct here feeds the exact column the "
+    "accuracy invariant needs anyway.",
 )
 def q24_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
+    keys = li.select("l_returnflag", "l_orderkey").distinct()
     approx = F.approx_count_distinct("l_orderkey", rsd=0.01)
-    exact = F.countDistinct("l_orderkey")
+    exact = F.count("*")
     return (
-        li.groupBy("l_returnflag")
+        keys.groupBy("l_returnflag")
         .agg(
             exact.alias("exact_orders"),
             (approx.cast("double") / exact.cast("double")).between(0.95, 1.05).alias("approx_within_5pct"),

@@ -115,6 +115,128 @@ def _smh_update(cap: int):
     return update
 
 
+# Sharded state (round 13): one state key PER BUCKET means ~n_docs x bands
+# tiny groups, and applyInPandasWithState pays a per-KEY pandas round-trip
+# -- measured 289 s at sf1 (50k docs -> ~1.2M keys) with the kernel itself
+# doing microseconds of work.  The shard kernel keys state by
+# (band, pmod(band_key, _SMH_SHARDS)) and holds ALL of the shard's buckets
+# in one flattened-array state row, merging a whole micro-batch's rows per
+# shard in vectorized numpy.  Bucket-level state is UNCHANGED (the same
+# min-(cap+1) id set per (band, band_key), the same merge law), so the
+# drain and the final answer are value-identical; only the state-store
+# keying is coarser.  At 100 TB, _SMH_SHARDS bounds the stateful stage's
+# parallelism per band -- raise it with the cluster, not the corpus (state
+# PER SHARD grows as n_buckets/shards; the per-bucket cap still bounds
+# each bucket's entry).
+_SMH_SHARDS = 128
+
+
+def _smh_shard_schemas():
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("band", IntegerType()),
+            StructField("band_key", LongType()),
+            StructField("ids", ArrayType(LongType())),
+            StructField("n_ids", LongType()),
+            StructField("n_rows", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("band_keys", ArrayType(LongType())),
+            StructField("ids_flat", ArrayType(LongType())),
+            StructField("counts", ArrayType(LongType())),
+            StructField("n_rows", LongType()),
+        ]
+    )
+    return out_schema, state_schema
+
+
+def _smh_shard_update(cap: int):
+    """Per-(band, shard) state kernel holding every bucket of the shard.
+
+    State is the shard's buckets flattened as (band_keys[], ids_flat[],
+    counts[]) with ids_flat sorted ascending within each bucket -- each
+    bucket's entry is the same min-(cap+1) doc_id set `_smh_update` keeps,
+    so the merge stays associative, commutative and idempotent per bucket
+    and the final per-bucket state is split/order independent (the q367
+    merge-law argument, unchanged).  Each batch merges vectorized: state
+    pairs + batch pairs -> lexsort -> dedupe -> per-bucket rank truncation
+    at cap+1 -- no per-bucket Python.  Only buckets TOUCHED this batch are
+    emitted (their state is final as of this batch); n_rows is the shard's
+    strictly-increasing processed-row counter, so the drain's max_by picks
+    each bucket's LAST emission, which carries its final id set.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState
+
+    def update(key, pdfs, state: GroupState):
+        band = int(key[0])
+        if state.exists:
+            bks, flat, cnts, n_rows = state.get
+            st_bk = np.repeat(
+                np.asarray(bks, dtype=np.int64),
+                np.asarray(cnts, dtype=np.int64),
+            )
+            st_id = np.asarray(flat, dtype=np.int64)
+        else:
+            st_bk = np.empty(0, dtype=np.int64)
+            st_id = np.empty(0, dtype=np.int64)
+            n_rows = 0
+        nb: list[np.ndarray] = []
+        ni: list[np.ndarray] = []
+        for pdf in pdfs:
+            n_rows += len(pdf)
+            nb.append(pdf["band_key"].to_numpy(dtype=np.int64))
+            ni.append(pdf["doc_id"].to_numpy(dtype=np.int64))
+        batch_bk = np.concatenate(nb) if nb else np.empty(0, dtype=np.int64)
+        batch_id = np.concatenate(ni) if ni else np.empty(0, dtype=np.int64)
+        touched = np.unique(batch_bk)
+        all_bk = np.concatenate([st_bk, batch_bk])
+        all_id = np.concatenate([st_id, batch_id])
+        order = np.lexsort((all_id, all_bk))
+        sb, si = all_bk[order], all_id[order]
+        if sb.size:
+            keep = np.ones(sb.size, dtype=bool)
+            keep[1:] = (sb[1:] != sb[:-1]) | (si[1:] != si[:-1])
+            sb, si = sb[keep], si[keep]
+            # per-bucket ascending rank; min-(cap+1) truncation
+            new_seg = np.concatenate(([True], sb[1:] != sb[:-1]))
+            seg_start = np.flatnonzero(new_seg)
+            seg_idx = np.cumsum(new_seg) - 1
+            rank = np.arange(sb.size) - seg_start[seg_idx]
+            keep2 = rank <= cap
+            sb, si = sb[keep2], si[keep2]
+        ubk, ucnt = np.unique(sb, return_counts=True)
+        state.update(
+            (ubk.tolist(), si.tolist(), ucnt.tolist(), int(n_rows))
+        )
+        if touched.size:
+            m = np.isin(sb, touched)
+            eb, ec = np.unique(sb[m], return_counts=True)
+            parts = np.split(si[m], np.cumsum(ec)[:-1])
+            yield pd.DataFrame(
+                {
+                    "band": np.full(eb.size, band, dtype=np.int32),
+                    "band_key": eb,
+                    "ids": [p.tolist() for p in parts],
+                    "n_ids": ec.astype(np.int64),
+                    "n_rows": np.full(eb.size, n_rows, dtype=np.int64),
+                }
+            )
+
+    return update
+
+
 @register(
     "q372_stream_minhash_neardup",
     sql=_jaccard_oracle(_SMH_T),
@@ -124,7 +246,12 @@ def _smh_update(cap: int):
     "Documents replay as a file stream; shingle hashing and band keys are "
     "the exact JVM expressions q52 uses (shared lsh_band_keys / Arrow "
     "minhash kernel), then applyInPandasWithState keeps per-(band, bucket) "
-    "state = the min-(cap+1) SET of member doc_ids.  Min-K set union is "
+    "state = the min-(cap+1) SET of member doc_ids -- physically SHARDED "
+    "(round 13): state keys are (band, band_key mod 128) and each shard "
+    "merges all its buckets vectorized, because per-bucket state keys cost "
+    "a per-key pandas round-trip (~1.2M keys = 289 s at sf1, vs ~20 s "
+    "sharded; bucket-level state and the final answer are unchanged).  "
+    "Min-K set union is "
     "associative, commutative and idempotent, so the final bucket "
     "membership equals the batch computation under ANY micro-batch split "
     "and duplicate arrivals; the drain keeps each bucket's final emission "
@@ -152,15 +279,20 @@ def q372_stream_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.pipeline import run_to_memory
     from ..streaming.source import documents_stream
 
-    out_schema, state_schema = _smh_schemas()
+    out_schema, state_schema = _smh_shard_schemas()
     stream = documents_stream(spark, sf_dir).select("doc_id", "text")
     docs = hashed_shingle_docs(stream, "text", "doc_id", _SMH_N)
     # spread=False: the repartition warm-up probes .rdd, which streaming
     # DataFrames forbid; the file-replay source already splits per file.
     sigs = minhash_signatures(docs, _SMH_HASHES, _SMH_SEED, spread=False)
     banded = lsh_band_keys(sigs, _SMH_HASHES, _SMH_BANDS)
-    res = banded.groupBy("band", "band_key").applyInPandasWithState(
-        _smh_update(_SMH_CAP),
+    # Sharded state (round 13): keying state per bucket costs a per-KEY
+    # pandas round-trip (~1.2M keys at sf1 -> 289 s of pure overhead);
+    # the shard kernel vectorizes whole shards (24 x _SMH_SHARDS keys).
+    res = banded.withColumn(
+        "shard", F.pmod(F.col("band_key"), F.lit(_SMH_SHARDS))
+    ).groupBy("band", "shard").applyInPandasWithState(
+        _smh_shard_update(_SMH_CAP),
         out_schema,
         state_schema,
         "update",

@@ -33,9 +33,10 @@ def test_stream_minhash_multibatch_equals_batch(spark, sf_dir):
         _SMH_HASHES,
         _SMH_N,
         _SMH_SEED,
+        _SMH_SHARDS,
         _SMH_T,
-        _smh_schemas,
-        _smh_update,
+        _smh_shard_schemas,
+        _smh_shard_update,
     )
     from sparkstreaming_quickstart_spark.streaming.pipeline import run_to_memory
 
@@ -43,7 +44,7 @@ def test_stream_minhash_multibatch_equals_batch(spark, sf_dir):
     src = load_table(spark, sf_dir, "documents")
     src.repartition(3).write.mode("overwrite").parquet(splitdir)
 
-    out_schema, state_schema = _smh_schemas()
+    out_schema, state_schema = _smh_shard_schemas()
     stream = (
         spark.readStream.schema(src.schema)
         .option("maxFilesPerTrigger", 1)
@@ -53,8 +54,10 @@ def test_stream_minhash_multibatch_equals_batch(spark, sf_dir):
     docs = hashed_shingle_docs(stream, "text", "doc_id", _SMH_N)
     sigs = minhash_signatures(docs, _SMH_HASHES, _SMH_SEED, spread=False)
     banded = lsh_band_keys(sigs, _SMH_HASHES, _SMH_BANDS)
-    res = banded.groupBy("band", "band_key").applyInPandasWithState(
-        _smh_update(_SMH_CAP),
+    res = banded.withColumn(
+        "shard", F.pmod(F.col("band_key"), F.lit(_SMH_SHARDS))
+    ).groupBy("band", "shard").applyInPandasWithState(
+        _smh_shard_update(_SMH_CAP),
         out_schema,
         state_schema,
         "update",
@@ -323,9 +326,10 @@ def test_stream_minhash_out_of_order_replay_is_byte_identical(spark, sf_dir):
         _SMH_HASHES,
         _SMH_N,
         _SMH_SEED,
+        _SMH_SHARDS,
         _SMH_T,
-        _smh_schemas,
-        _smh_update,
+        _smh_shard_schemas,
+        _smh_shard_update,
     )
     from sparkstreaming_quickstart_spark.streaming.pipeline import run_to_memory
 
@@ -340,7 +344,7 @@ def test_stream_minhash_out_of_order_replay_is_byte_identical(spark, sf_dir):
             .drop("__h")
         )
         shuffled.write.mode("overwrite").parquet(splitdir)
-        out_schema, state_schema = _smh_schemas()
+        out_schema, state_schema = _smh_shard_schemas()
         stream = (
             spark.readStream.schema(src.schema)
             .option("maxFilesPerTrigger", 1)
@@ -350,8 +354,10 @@ def test_stream_minhash_out_of_order_replay_is_byte_identical(spark, sf_dir):
         docs = hashed_shingle_docs(stream, "text", "doc_id", _SMH_N)
         sigs = minhash_signatures(docs, _SMH_HASHES, _SMH_SEED, spread=False)
         banded = lsh_band_keys(sigs, _SMH_HASHES, _SMH_BANDS)
-        res = banded.groupBy("band", "band_key").applyInPandasWithState(
-            _smh_update(_SMH_CAP),
+        res = banded.withColumn(
+            "shard", F.pmod(F.col("band_key"), F.lit(_SMH_SHARDS))
+        ).groupBy("band", "shard").applyInPandasWithState(
+            _smh_shard_update(_SMH_CAP),
             out_schema,
             state_schema,
             "update",
@@ -383,3 +389,56 @@ def test_stream_minhash_out_of_order_replay_is_byte_identical(spark, sf_dir):
         .toPandas()
     )
     pd.testing.assert_frame_equal(got_a, want)
+
+
+def test_smh_shard_kernel_equals_per_bucket_kernel():
+    """Round-13 sharded state: the shard kernel's per-bucket final state
+    must be IDENTICAL to the per-bucket reference kernel's (same
+    min-(cap+1) set, same ascending order), split/order independent, with
+    only TOUCHED buckets emitted per batch and the emission carrying the
+    bucket's current (final-as-of-batch) ids."""
+    import pandas as pd
+
+    from sparkstreaming_quickstart_spark.queries.wave37 import (
+        _smh_shard_update,
+        _smh_update,
+    )
+
+    cap = 2
+    a = pd.DataFrame({"band_key": [10, 10, 20], "doc_id": [9, 5, 4]})
+    b = pd.DataFrame({"band_key": [10, 10, 10, 30], "doc_id": [7, 5, 1, 2]})
+
+    def run_shard(batches):
+        st = _FakeState()
+        outs = []
+        for pdf in batches:
+            outs.append(
+                pd.concat(list(_smh_shard_update(cap)((3, 7), [pdf], st)))
+            )
+        return st, outs
+
+    st1, outs1 = run_shard([a, b])
+    st2, outs2 = run_shard([b, a])
+    st3, outs3 = run_shard([pd.concat([a, b])])
+    # final shard state identical under any split/order
+    assert st1.get == st2.get == st3.get
+    bks, flat, cnts, n_rows = st1.get
+    assert n_rows == 7
+    # per-bucket state equals the per-bucket reference kernel
+    state_by_bk = {}
+    off = 0
+    for bk, c in zip(bks, cnts):
+        state_by_bk[bk] = flat[off: off + c]
+        off += c
+    all_rows = pd.concat([a, b])
+    for bk in (10, 20, 30):
+        ref_st = _FakeState()
+        pdf = all_rows[all_rows["band_key"] == bk][["doc_id"]]
+        next(_smh_update(cap)((3, bk), [pdf], ref_st))
+        assert state_by_bk[bk] == ref_st.get[0], bk
+    # emit-only-touched: batch b touches buckets 10 and 30, not 20
+    assert sorted(outs1[1]["band_key"]) == [10, 30]
+    # the second emission of bucket 10 carries its post-merge final ids
+    row = outs1[1][outs1[1]["band_key"] == 10].iloc[0]
+    assert row["ids"] == [1, 5, 7] and row["n_ids"] == 3
+    assert (outs1[1]["band"] == 3).all() and (outs1[1]["n_rows"] == 7).all()
