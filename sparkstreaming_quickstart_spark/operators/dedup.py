@@ -99,19 +99,46 @@ def hashed_shingle_docs(df: DataFrame, text_col: str, id_col: str, n: int = 3) -
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str, n: int = 3, threshold: float = 0.5) -> DataFrame:
-    """Exact Jaccard over n-word shingles: inverted index self-join.
+    """Exact Jaccard over n-word shingles: inverted index, bucket-grouped.
 
     At scale, prefilter with minhash_lsh_pairs and verify only candidates;
     this exact form is the verifier / test-scale oracle.
+
+    Round-13 spelling: the inverted index posts 8-byte HASHED shingles
+    (hashed_shingle_docs -- Jaccard over the hashed sets equals Jaccard over
+    the string shingles up to negligible 64-bit collisions, the exact
+    equivalence minhash_lsh_pairs' verify already relies on), and common
+    counts come from ONE groupBy-explode over per-shingle posting lists
+    instead of a self-join: the old join evaluated the whole shingling
+    subtree once per side (Spark recomputes non-materialized subtrees per
+    consumer) and shuffled ~24-char shingle STRINGS twice; this shuffles
+    each posting once, as a long.  Counts -- and therefore the emitted
+    jaccard doubles (int ratios) -- are identical.
     """
-    docs = shingle_docs(df, text_col, id_col, n)
-    inv = docs.select("doc_id", "n_sh", F.explode("shingles").alias("shingle"))
-    a = inv.select(F.col("doc_id").alias("d1"), F.col("n_sh").alias("n1"), "shingle")
-    b = inv.select(F.col("doc_id").alias("d2"), F.col("n_sh").alias("n2"), "shingle")
+    docs = hashed_shingle_docs(df, text_col, id_col, n)
+    inv = docs.select("doc_id", "n_sh", F.explode("xs").alias("h"))
+    buckets = (
+        inv.groupBy("h")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "n_sh"))).alias("ms"))
+        .filter(F.size("ms") > 1)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            "ms",
+            lambda x, i: F.transform(
+                F.slice("ms", i + F.lit(2), F.size("ms")),
+                lambda y: F.struct(
+                    x["doc_id"].alias("d1"),
+                    y["doc_id"].alias("d2"),
+                    x["n_sh"].alias("n1"),
+                    y["n_sh"].alias("n2"),
+                ),
+            ),
+        )
+    )
     common = (
-        a.join(b, ["shingle"])
-        .filter(F.col("d1") < F.col("d2"))
-        .groupBy("d1", "d2", "n1", "n2")
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .groupBy("p.d1", "p.d2", "p.n1", "p.n2")
         .agg(F.count("*").alias("common"))
     )
     jac = common.withColumn(
@@ -330,24 +357,33 @@ def exact_jaccard_verify(
 ) -> DataFrame:
     """Exact-Jaccard verification of candidate pairs against the raw text.
 
-    Explodes each pair to (pair, member), joins the RAW text for just those
-    members (column-pruned scan), re-derives the hashed shingle set for the
-    few candidate rows post-join, regroups to a row per pair.  Jaccard over
-    the hashed sets equals Jaccard over the string shingles (injective up to
-    64-bit collisions), and the intersect works on longs."""
+    Shingles are derived once per DISTINCT candidate member, not once per
+    pair occurrence: candidate pairs are eagerly checkpointed (they are small
+    by design -- that is the whole point of LSH candidate generation), the
+    distinct member set joins the RAW text (column-pruned scan), and the
+    per-doc hashed shingle set is then attached to each (pair, member) row
+    by a join on the 8-byte doc id.  The round-12 spelling computed the
+    shingle set per (pair, member) row instead, which re-tokenized a doc
+    once per pair it appears in -- measured 6.4 s of q85's 9.3 s at sf0.1
+    (84k candidates from uncapped single-hash buckets re-shingled 168k
+    times for ~5k distinct docs).  Jaccard over the hashed sets equals
+    Jaccard over the string shingles (injective up to 64-bit collisions),
+    and the intersect works on longs."""
     raw = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text"))
-    long = cand.select("d1", "d2", F.explode(F.array(F.col("d1"), F.col("d2"))).alias("doc_id"))
-    member = (
-        long.join(raw, "doc_id")
-        .select(
-            "d1",
-            "d2",
-            "doc_id",
-            F.transform(tokens("__text"), lambda w: F.xxhash64(w)).alias("th"),
-        )
-        .select("d1", "d2", "doc_id", _shingle_hashes("th", n).alias("xs"))
+    # Eager checkpoint: `cand` feeds the distinct-member scan AND the pair
+    # re-join below; without it Spark would re-run the whole candidate
+    # pipeline (bucket groupBy, or q85's MLlib transform chain) per consumer.
+    cand = cand.localCheckpoint(eager=True)
+    members = (
+        cand.select(F.explode(F.array(F.col("d1"), F.col("d2"))).alias("doc_id"))
+        .distinct()
+        .join(raw, "doc_id")
+        .select("doc_id", F.transform(tokens("__text"), lambda w: F.xxhash64(w)).alias("th"))
+        .select("doc_id", _shingle_hashes("th", n).alias("xs"))
         .withColumn("n_sh", F.size("xs"))
     )
+    long = cand.select("d1", "d2", F.explode(F.array(F.col("d1"), F.col("d2"))).alias("doc_id"))
+    member = long.join(members, "doc_id").select("d1", "d2", "doc_id", "xs", "n_sh")
     per_pair = member.groupBy("d1", "d2").agg(
         F.max(F.when(F.col("doc_id") == F.col("d1"), F.struct("n_sh", "xs"))).alias("a"),
         F.max(F.when(F.col("doc_id") == F.col("d2"), F.struct("n_sh", "xs"))).alias("b"),
@@ -506,6 +542,13 @@ def simhash_pairs(
         .agg(F.sort_array(F.collect_list(F.struct("doc_id", "fp"))).alias("ms"))
         .filter(F.size("ms") > 1)
     )
+    # Round-13: the Hamming test moves INSIDE the expansion lambda, before
+    # the distinct -- bit_count is a cheap codegen expression, hamming is a
+    # pure function of the pair (fp is functionally dependent on doc_id), so
+    # filter-then-distinct emits exactly the rows distinct-then-filter did,
+    # while the distinct's shuffle carries only the <=max_hamming survivors
+    # (measured: the dominant q53 stage shuffled EVERY in-bucket pair with
+    # both 8-byte fingerprints, then threw almost all of them away).
     pair_structs = F.flatten(
         F.transform(
             "ms",
@@ -514,20 +557,18 @@ def simhash_pairs(
                 lambda y: F.struct(
                     x["doc_id"].alias("d1"),
                     y["doc_id"].alias("d2"),
-                    x["fp"].alias("fp1"),
-                    y["fp"].alias("fp2"),
+                    F.bit_count(x["fp"].bitwiseXOR(y["fp"]))
+                    .cast("int")
+                    .alias("hamming"),
                 ),
             ),
         )
     )
-    cand = (
+    return (
         buckets.select(F.explode(pair_structs).alias("p"))
-        .select("p.d1", "p.d2", "p.fp1", "p.fp2")
+        .select("p.d1", "p.d2", "p.hamming")
+        .filter(F.col("hamming") <= max_hamming)
         .distinct()
-    )
-    hamming = F.bit_count(F.col("fp1").bitwiseXOR(F.col("fp2")))
-    return cand.withColumn("hamming", hamming.cast("int")).filter(F.col("hamming") <= max_hamming).select(
-        "d1", "d2", "hamming"
     )
 
 

@@ -16,6 +16,8 @@ O(Q x N / 2^nbits) per-bucket work, trading recall for throughput.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -184,12 +186,6 @@ def embedding_cosine_pairs(
     compared against ~n/2^bits others instead of all n, at the cost of recall
     for pairs straddling a hyperplane.
     """
-    c = corpus.select(
-        F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"), norm(F.col(vec_col)).alias("n1")
-    )
-    d = corpus.select(
-        F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"), norm(F.col(vec_col)).alias("n2")
-    )
     if planes is not None:
         prefilter_bits = len(planes)
     if prefilter_bits > 0:
@@ -215,14 +211,14 @@ def embedding_cosine_pairs(
         return bucketed_cosine_pairs_arrow(
             b, "bid", "bv", threshold, round_digits
         )
-    cand = c.join(d, F.col("id1") < F.col("id2"))
-    return (
-        cand.select(
-            "id1",
-            "id2",
-            _pair_cosine(dot(F.col("v1"), F.col("v2")), F.col("n1"), F.col("n2"), round_digits).alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") >= threshold)
+    # exact path: blocked upper-triangle Arrow kernel (round 13) -- the old
+    # theta-join spelling planned as a BroadcastNestedLoopJoin whose ~n^2/2
+    # interpreted folds all ran on ONE task (59 s at sf0.1); the kernel
+    # computes the identical rounded values (same fold association, same
+    # half-away rounding -- pinned old-vs-new in tests/test_wave43.py) in
+    # B(B+1)/2 parallel block tasks.
+    return all_pairs_cosine_arrow(
+        corpus, id_col, vec_col, threshold, round_digits
     )
 
 
@@ -888,5 +884,215 @@ def bucketed_cosine_pairs_arrow(
         )
 
     return bucketed.groupBy("bucket").applyInPandas(
+        kernel, "id1 long, id2 long, cos_sim double"
+    )
+
+
+def bucketed_euclid_pairs_arrow(
+    grouped: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    round_digits: int = 6,
+    chunk: int = 512,
+) -> DataFrame:
+    """Within-bucket (id1 < id2) EUCLIDEAN pairs with dist < threshold via a
+    per-bucket Arrow kernel -- the metric twin of bucketed_cosine_pairs_arrow
+    for OR-amplified LSH tables (q178: candidates = pairs sharing any
+    (table, hash-bucket); the same pair surfacing from several tables emits
+    the identical rounded distance, so the caller's distinct() collapses
+    duplicates).  dist = round(sqrt(fold (x_k - y_k)^2), round_digits) with
+    the exact left-to-right fold association of the JVM
+    aggregate(zip_with(...)) spelling it replaces (k-loop of fused vector
+    ops, _seq_dot_block discipline) and half-away-from-zero rounding
+    (F.round parity).  Executor memory is chunk x bucket doubles, never the
+    pair square."""
+    import pandas as pd
+
+    empty = {
+        "id1": pd.Series(dtype="int64"),
+        "id2": pd.Series(dtype="int64"),
+        "eucl_dist": pd.Series(dtype="float64"),
+    }
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame(empty)
+        ids = pdf[id_col].to_numpy().astype(np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)[order]
+        out1: list[np.ndarray] = []
+        out2: list[np.ndarray] = []
+        outd: list[np.ndarray] = []
+        for lo in range(0, m, chunk):
+            hi = min(lo + chunk, m)
+            # fold-association squared distance: acc = acc + (x_k - y_k)^2
+            # in k order (bit-identical to aggregate(zip_with(...)))
+            acc = np.zeros((hi - lo, m))
+            A = M[lo:hi]
+            for k in range(M.shape[1]):
+                d = A[:, k][:, None] - M[:, k][None, :]
+                acc += d * d
+            dist = np.sqrt(acc)
+            # filter on the UNROUNDED distance (F.round only decorates the
+            # emitted value in the spelling this replaces)
+            rows, cols = np.nonzero(
+                (dist < threshold)
+                & (np.arange(m)[None, :] > np.arange(lo, hi)[:, None])
+            )
+            if len(rows):
+                out1.append(ids[rows + lo])
+                out2.append(ids[cols])
+                outd.append(_round_half_away(dist[rows, cols], round_digits))
+        if not out1:
+            return pd.DataFrame(empty)
+        return pd.DataFrame(
+            {
+                "id1": np.concatenate(out1),
+                "id2": np.concatenate(out2),
+                "eucl_dist": np.concatenate(outd),
+            }
+        )
+
+    return grouped.groupBy(*group_cols).applyInPandas(
+        kernel, "id1 long, id2 long, eucl_dist double"
+    )
+
+
+def all_pairs_cosine_arrow(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    round_digits: int = 9,
+    n_blocks: int | None = None,
+    chunk: int = 512,
+) -> DataFrame:
+    """Exact all-pairs (id1 < id2) cosine >= threshold as a BLOCKED
+    upper-triangle Arrow kernel -- the parallel, vectorized spelling of the
+    theta-join + per-pair JVM fold it replaces (q114's old plan was a
+    BroadcastNestedLoopJoin evaluating ~n^2/2 interpreted 64-wide folds on
+    ONE task: 59 s at sf0.1).
+
+    Each row gets a deterministic block id pmod(xxhash64(id), B) and is
+    replicated into the B groups {(min(blk,o), max(blk,o)) : o in 0..B-1},
+    so block-pair group (p, q) holds exactly the rows of blocks p and q and
+    every unordered pair lands in exactly one group: (p, p) scores its
+    within-block triangle, (p, q<p?) no -- p < q -- scores only the p x q
+    rectangle (within-block pairs of a mixed group belong to the diagonal
+    groups, so no pair is scored twice and no flops are wasted on masked
+    duplicates).  Total pair work stays ~n^2/2 spread over B(B+1)/2
+    independent tasks; shuffle cost is B copies of the vectors -- the
+    decide-with-small-rows trade (vectors are 64 doubles; at 100 TB this
+    operator's exact form is the fenced ground-truth twin anyway, q65 is
+    the production path).
+
+    Values are BIT-IDENTICAL to the `_pair_cosine` JVM spelling: the same
+    fold-association _seq_dot_block / _seq_self_dot and half-away-from-zero
+    rounding as bucketed_cosine_pairs_arrow (pinned engine<->oracle for the
+    q65 family; q114 adds its own old-vs-new pin).  Zero-norm rows drop by
+    the nan-fails-threshold rule (try_divide convention).
+    """
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    if n_blocks is None:
+        # B(B+1)/2 groups ~= 2-3x the core count so the tail keeps all
+        # slots busy; derived from the cluster, not a constant.
+        par = spark.sparkContext.defaultParallelism
+        n_blocks = max(2, math.isqrt(4 * par))
+    B = int(n_blocks)
+    base = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(B)).alias("blk"),
+    )
+    rep = base.select(
+        "id",
+        "v",
+        "blk",
+        F.explode(F.sequence(F.lit(0), F.lit(B - 1))).alias("ob"),
+    ).select(
+        "id",
+        "v",
+        "blk",
+        F.least("blk", "ob").alias("bi"),
+        F.greatest("blk", "ob").alias("bj"),
+    )
+
+    empty = {
+        "id1": pd.Series(dtype="int64"),
+        "id2": pd.Series(dtype="int64"),
+        "cos_sim": pd.Series(dtype="float64"),
+    }
+
+    def kernel(key, pdf):
+        bi, bj = int(key[0]), int(key[1])
+        ids = pdf["id"].to_numpy().astype(np.int64)
+        out1: list[np.ndarray] = []
+        out2: list[np.ndarray] = []
+        outc: list[np.ndarray] = []
+        if bi == bj:
+            m = len(ids)
+            if m < 2:
+                return pd.DataFrame(empty)
+            order = np.argsort(ids)
+            ids = ids[order]
+            M = np.stack(pdf["v"].to_numpy()).astype(np.float64)[order]
+            nrm = np.sqrt(_seq_self_dot(M))
+            for lo in range(0, m, chunk):
+                hi = min(lo + chunk, m)
+                dots = _seq_dot_block(M[lo:hi], M)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = _round_half_away(
+                        dots / (nrm[lo:hi][:, None] * nrm[None, :]), round_digits
+                    )
+                # strict upper triangle in SORTED-id space == id1 < id2
+                rows, cols = np.nonzero(
+                    (cos >= threshold)
+                    & (np.arange(m)[None, :] > np.arange(lo, hi)[:, None])
+                )
+                if len(rows):
+                    out1.append(ids[rows + lo])
+                    out2.append(ids[cols])
+                    outc.append(cos[rows, cols])
+        else:
+            blks = pdf["blk"].to_numpy().astype(np.int64)
+            a_sel = blks == bi
+            b_sel = ~a_sel
+            if not a_sel.any() or not b_sel.any():
+                return pd.DataFrame(empty)
+            M = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            ida, idb = ids[a_sel], ids[b_sel]
+            A, Bm = M[a_sel], M[b_sel]
+            na = np.sqrt(_seq_self_dot(A))
+            nb = np.sqrt(_seq_self_dot(Bm))
+            for lo in range(0, len(ida), chunk):
+                hi = min(lo + chunk, len(ida))
+                dots = _seq_dot_block(A[lo:hi], Bm)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = _round_half_away(
+                        dots / (na[lo:hi][:, None] * nb[None, :]), round_digits
+                    )
+                rows, cols = np.nonzero(cos >= threshold)
+                if len(rows):
+                    x, y = ida[rows + lo], idb[cols]
+                    out1.append(np.minimum(x, y))
+                    out2.append(np.maximum(x, y))
+                    outc.append(cos[rows, cols])
+        if not out1:
+            return pd.DataFrame(empty)
+        return pd.DataFrame(
+            {
+                "id1": np.concatenate(out1),
+                "id2": np.concatenate(out2),
+                "cos_sim": np.concatenate(outc),
+            }
+        )
+
+    return rep.groupBy("bi", "bj").applyInPandas(
         kernel, "id1 long, id2 long, cos_sim double"
     )

@@ -508,39 +508,58 @@ def q78_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q85_dedup_minhash_mllib",
     sql=_jaccard_oracle(0.7),
-    doc="Near-dup via the MLlib route (SURVEY 2.B: HashingTF -> MinHashLSH "
-    "-> approxSimilarityJoin, seeded): 3-word shingles hashed into a sparse "
-    "vector space, OR-amplified LSH candidate join (8 tables: capture "
-    ">=1-2.6e-6 at j>=0.8, where every fixture pair sits), then an exact "
-    "raw-shingle Jaccard verify on the candidates at threshold 0.7 -- the "
-    "same verify-on-candidates shape as q52, so the output shares the exact "
-    "oracle.  The hashed-feature distance (which feature merging can "
-    "perturb) is only the candidate gate (<=0.5, far below the 0.7 output "
-    "threshold), never the reported value.",
+    doc="Near-dup via the MLlib route (SURVEY 2.B: HashingTF -> MinHashLSH, "
+    "seeded): 3-word shingles hashed into a sparse vector space, "
+    "OR-amplified LSH candidates (8 tables: capture >=1-2.6e-6 at j>=0.8, "
+    "where every fixture pair sits), then an exact raw-shingle Jaccard "
+    "verify on the candidates at threshold 0.7 -- the same "
+    "verify-on-candidates shape as q52, so the output shares the exact "
+    "oracle.  Round-13 spelling: the SAME MLlib model's transform() feeds a "
+    "groupBy over (table, min-hash) buckets -- approxSimilarityJoin's exact "
+    "candidate semantics (a pair is a candidate iff it shares >=1 bucket) "
+    "without its explode-BOTH-SIDES self-join, which shuffled the full "
+    "struct (2^20-dim feature vector + 8 hash vectors) twice and "
+    "re-evaluated the shingling upstream once per side.  Its hashed-feature "
+    "distance gate (<=0.5) is dropped as provably redundant: the output "
+    "filter is exact jaccard >= 0.7 on the SAME candidate set, and the gate "
+    "could only ever remove a candidate with exact j >= 0.7 but hashed "
+    "j < 0.5 -- a pair the pre-round-13 spelling would have wrongly dropped "
+    "and thereby failed the exact oracle it has always passed.  The exact "
+    "verify is q52's shared exact_jaccard_verify (hashed shingle sets; "
+    "counts -- and the emitted int-ratio doubles -- equal the string-"
+    "shingle spelling, the q51/q52 equivalence).",
 )
 def q85_dedup_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import HashingTF, MinHashLSH
+    from pyspark.ml.functions import vector_to_array
 
     from ..functions.text import word_shingles
+    from ..operators.dedup import bucket_member_pairs, exact_jaccard_verify
 
     d = load_table(spark, sf_dir, "documents")
     sh = d.select("doc_id", word_shingles("text", 3).alias("shingles"))
     tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 20).transform(sh)
     model = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42).fit(tf)
-    cand = model.approxSimilarityJoin(tf, tf, 0.5, distCol="dist").filter(
-        F.col("datasetA.doc_id") < F.col("datasetB.doc_id")
-    )
-    common = F.size(F.array_intersect(F.col("datasetA.shingles"), F.col("datasetB.shingles")))
-    union = F.size(F.col("datasetA.shingles")) + F.size(F.col("datasetB.shingles")) - common
-    return (
-        cand.select(
-            F.col("datasetA.doc_id").alias("d1"),
-            F.col("datasetB.doc_id").alias("d2"),
-            (common.cast("double") / union).alias("jaccard"),
+    # Candidate generation: one narrow shuffle of (doc_id, table, min-hash)
+    # longs into per-bucket member lists, upper-triangle pair expansion,
+    # distinct across tables -- identical candidate set to
+    # approxSimilarityJoin(tf, tf, ...) by its join-on-any-shared-bucket
+    # definition, with the signature pipeline evaluated ONCE (the
+    # minhash_lsh_pairs plan-shape rule).
+    buckets = (
+        model.transform(tf)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform("hashes", lambda h: vector_to_array(h)[0])
+            ).alias("tbl", "h"),
         )
-        .filter(F.col("jaccard") >= 0.7)
-        .orderBy("d1", "d2")
+        .groupBy("tbl", "h")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
     )
+    cand = bucket_member_pairs(buckets)
+    return exact_jaccard_verify(cand, d, "text", "doc_id", 3, 0.7).orderBy("d1", "d2")
 
 
 @register(

@@ -332,45 +332,46 @@ _EUCLID_T = 1.2  # exact output threshold; candidate gate is 1.25x wider
 )
 def q178_brp_lsh_euclidean(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import BucketedRandomProjectionLSH
-    from pyspark.ml.functions import array_to_vector
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    from ..operators.similarity import bucketed_euclid_pairs_arrow
 
     e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("arr"),
     )
+    feat = e.withColumn("features", array_to_vector("arr"))
     model = BucketedRandomProjectionLSH(
         inputCol="features",
         outputCol="hashes",
         bucketLength=4.0 * _EUCLID_T,
         numHashTables=16,
         seed=42,
-    ).fit(e)
-    cand = model.approxSimilarityJoin(e, e, 1.25 * _EUCLID_T, distCol="approx_dist").filter(
-        F.col("datasetA.vec_id") < F.col("datasetB.vec_id")
+    ).fit(feat)
+    # Round-13 optimization: the candidate semantics of approxSimilarityJoin
+    # -- a pair is a candidate iff it shares some (table, hash-bucket) --
+    # spelled as the model's transform + one groupBy, with the exact
+    # re-verify fused into a per-bucket Arrow kernel.  The old plan exploded
+    # BOTH join sides to 16 hash entries carrying the full struct (features
+    # vector + all 16 hash vectors) through the shuffle, deduped the wide
+    # candidate pairs, then paid two more joins + a per-pair interpreted
+    # 64-wide JVM fold to re-verify (84.6 s at sf0.1).  Here the shuffle
+    # rows are (vec_id, 64 doubles, table, bucket), the kernel scores each
+    # bucket's pair block with fold-association vector ops (bit-identical
+    # values, old-vs-new pinned), and distinct() collapses multi-table
+    # agreement on identical rounded rows.  Same MLlib model, same hash
+    # tables, same candidate set, same output.
+    buckets = model.transform(feat).select(
+        "vec_id",
+        "arr",
+        F.posexplode(
+            F.transform("hashes", lambda h: vector_to_array(h)[0])
+        ).alias("tbl", "h"),
     )
-    # exact re-verify from the raw arrays (the hashed route only gates)
-    raw = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("arr")
+    pairs = bucketed_euclid_pairs_arrow(
+        buckets, ["tbl", "h"], "vec_id", "arr", threshold=_EUCLID_T, round_digits=6
     )
-    a = raw.select(F.col("vec_id").alias("id1"), F.col("arr").alias("arr1"))
-    b = raw.select(F.col("vec_id").alias("id2"), F.col("arr").alias("arr2"))
-    dist = F.sqrt(
-        F.aggregate(
-            F.zip_with("arr1", "arr2", lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-    )
-    return (
-        cand.select(
-            F.col("datasetA.vec_id").alias("id1"), F.col("datasetB.vec_id").alias("id2")
-        )
-        .join(a, "id1")
-        .join(b, "id2")
-        .withColumn("eucl_dist", dist)
-        .filter(F.col("eucl_dist") < _EUCLID_T)
-        .select("id1", "id2", F.round("eucl_dist", 6).alias("eucl_dist"))
-        .orderBy("id1", "id2")
-    )
+    return pairs.distinct().orderBy("id1", "id2")
 
 
 @register(

@@ -135,11 +135,23 @@ def test_pca_scree_recovers_planted_direction(spark, tmp_path_factory):
 # ---------------------------------------------------------------------------
 
 
-def _np_buckets(X, nbits=8, seed=42):
-    """Independent numpy replay of the LSH bucket assignment."""
-    from sparkstreaming_quickstart_spark.operators.similarity import _hyperplanes
-
-    planes = _hyperplanes(dim=X.shape[1], nbits=nbits, seed=seed)
+def _np_buckets(X, n=None, target=256, floor_bits=8):
+    """Independent numpy replay of the ADAPTIVE LSH bucket assignment
+    (round 13: the q55/q297/q300 family derives its bit count from COUNT(*)
+    and its planes from the Lehmer-squared formula -- this reference replays
+    both rules inline rather than importing the engine's helpers, so a
+    regression in either cannot hide)."""
+    n = len(X) if n is None else n
+    m = max(1, -(-n // target))
+    nbits = max(floor_bits, min(30, (m - 1).bit_length()))
+    dim = X.shape[1]
+    # Lehmer-squared formula planes on the hyperplane stream (offset 1e6)
+    t = np.arange(nbits * dim, dtype=np.int64) + 1_000_000
+    M = 2147483647
+    x1 = (48271 * (t + 1)) % M
+    x2 = (x1 * x1) % M
+    x3 = (48271 * x2 + 12345) % M
+    planes = (x3 / 2147483647.0 * 2.0 - 1.0).reshape(nbits, dim)
     signs = (X @ planes.T) > 0
     return (signs * (1 << np.arange(nbits))).sum(axis=1)
 
