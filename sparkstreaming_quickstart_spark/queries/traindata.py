@@ -102,21 +102,41 @@ def q140_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = t.select("doc_id", "toks", grams.alias("grams"))
     n_grams = F.size("grams").cast("long")
     n_distinct = F.size(F.array_distinct("grams")).cast("long")
-    dup_frac = F.lit(1.0) - n_distinct.cast("double") / n_grams
+    # Round-13 notes (measured, guide §1):  (a) an O(len) sorted-run fold
+    # for the top-token count was tried and REJECTED -- per-step
+    # struct+when+get interpretation made it 5x SLOWER than this
+    # size(filter(...)) scan (39.9 vs 8.4 s at sf1); the quadratic-looking
+    # HOF wins because its inner loop is a tight primitive-array scan.
+    # (b) Each HOF is now aliased once in an inner projection and referenced
+    # as an attribute downstream (CollapseProject refuses to inline
+    # non-cheap expressions referenced more than once), which de-duplicates
+    # the PLAN -- the before-plan carried array_distinct(grams) 3x and the
+    # top-token scan 2x -- but measured runtime was ~flat (28.4 -> 26 s at
+    # sf1): whole-stage codegen's subexpression elimination was already
+    # evaluating each duplicate once per row.  Kept for the explicit plan
+    # shape; q140's cost is the intrinsic per-doc token scan.
     top_cnt = F.array_max(
         F.transform(
             F.array_distinct("toks"),
             lambda w: F.size(F.filter("toks", lambda x: x == w)),
         )
     )
-    top_frac = top_cnt.cast("double") / F.size("toks")
-    return g.select(
+    m = g.select(
         "doc_id",
         n_grams.alias("n_grams"),
         n_distinct.alias("n_distinct"),
-        dup_frac.alias("dup_frac"),
-        top_frac.alias("top_tok_frac"),
-        ((dup_frac > 0.2) | (top_frac > 0.3)).alias("repetitive"),
+        top_cnt.alias("top_cnt"),
+        F.size("toks").alias("n_toks"),
+    )
+    dup_frac_c = F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_grams")
+    top_frac_c = F.col("top_cnt").cast("double") / F.col("n_toks")
+    return m.select(
+        "doc_id",
+        "n_grams",
+        "n_distinct",
+        dup_frac_c.alias("dup_frac"),
+        top_frac_c.alias("top_tok_frac"),
+        ((dup_frac_c > 0.2) | (top_frac_c > 0.3)).alias("repetitive"),
     ).orderBy("doc_id")
 
 
@@ -197,18 +217,68 @@ def q142_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = d.select("doc_id", F.explode(F.array_distinct(tokens("text"))).alias("w"))
     n = tok.agg(F.countDistinct("doc_id").alias("n_docs"))
     unig = tok.groupBy("w").agg(F.count("*").alias("cw"))
-    a = tok.select("doc_id", F.col("w").alias("w1"))
-    b = tok.select("doc_id", F.col("w").alias("w2"))
-    pairs = (
-        a.join(b, "doc_id")
-        .filter(F.col("w1") < F.col("w2"))
-        .groupBy("w1", "w2")
+    # Round-13 optimization (guide §2.3 narrower types, §2.4): the old
+    # spelling self-joined the exploded token stream on doc_id and then
+    # hash-aggregated ~n_docs x C(distinct_tokens, 2) STRING pairs --
+    # measured at sf1: 48M string-struct rows, 96 s in the pair groupBy
+    # alone.  Tokens are now dictionary-encoded to dense ids (row_number
+    # over the alphabetically-ordered vocabulary -- vocabulary-sized work,
+    # checkpointed), each document's sorted distinct-id array expands its
+    # pair triangle declaratively (zero shuffles), and each pair is ONE
+    # packed long (id1 << 31 | id2) through the aggregation.  Because ids
+    # are assigned in ascending string order, (id1 < id2) == (w1 < w2) and
+    # packed-long order == (w1, w2) lexicographic order, so the top-20
+    # cut (ORDER BY c12 DESC, w1, w2) is taken on codes BEFORE any join
+    # and decoded afterwards -- identical rows, exact integer counts, no
+    # hashing anywhere.  Old-vs-new pin: tests/test_wave44.py.
+    vids = (
+        unig.select(
+            "w",
+            F.row_number().over(Window.orderBy("w")).cast("long").alias("tid"),
+            "cw",
+        )
+        .localCheckpoint(eager=True)
+    )
+    enc = (
+        tok.join(F.broadcast(vids.select("w", "tid")), "w")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("tid")).alias("ids"))
+    )
+    pair_codes = F.flatten(
+        F.transform(
+            "ids",
+            lambda x, i: F.transform(
+                F.slice("ids", i + F.lit(2), F.size("ids")),
+                lambda y: F.shiftleft(x, 31).bitwiseOR(y),
+            ),
+        )
+    )
+    top = (
+        enc.select(F.explode(pair_codes).alias("code"))
+        .groupBy("code")
         .agg(F.count("*").alias("c12"))
+        .orderBy(F.desc("c12"), "code")
+        .limit(20)
+        .select(
+            F.shiftright("code", 31).alias("tid1"),
+            F.col("code").bitwiseAND(F.lit((1 << 31) - 1)).alias("tid2"),
+            "c12",
+        )
     )
     out = (
-        pairs.crossJoin(F.broadcast(n))
-        .join(F.broadcast(unig.withColumnRenamed("w", "w1").withColumnRenamed("cw", "c1")), "w1")
-        .join(F.broadcast(unig.withColumnRenamed("w", "w2").withColumnRenamed("cw", "c2")), "w2")
+        top.crossJoin(F.broadcast(n))
+        .join(
+            F.broadcast(
+                vids.select(F.col("tid").alias("tid1"), F.col("w").alias("w1"), F.col("cw").alias("c1"))
+            ),
+            "tid1",
+        )
+        .join(
+            F.broadcast(
+                vids.select(F.col("tid").alias("tid2"), F.col("w").alias("w2"), F.col("cw").alias("c2"))
+            ),
+            "tid2",
+        )
         .select(
             "w1",
             "w2",

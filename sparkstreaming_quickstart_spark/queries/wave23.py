@@ -520,12 +520,26 @@ def q327_perplexity_tertiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bigram"),
     )
-    bw = docs.withColumn("w1", F.split("bigram", " ")[0])
-    c2 = bw.groupBy("bigram").agg(F.count("*").alias("c2"))
-    c1 = bw.groupBy("w1").agg(F.count("*").alias("c1"))
+    # Round-13 optimization (guide §2.3/§2.4): the old spelling consumed the
+    # bigram-explode subtree THREE times (c2, c1, and the join input -- Spark
+    # re-evaluates non-materialized subtrees per consumer) and joined the
+    # corpus stream twice.  c1 is derivable from c2 -- the count of bigram
+    # instances starting with w1 is the sum of counts of the bigrams that
+    # start with w1 -- so the vocabulary table is built once (checkpointed:
+    # it is the small decide-with table), c1 folds out of it, and the corpus
+    # stream is joined ONCE against the combined (bigram, c2, c1) stats.
+    # Per-instance log(c1/c2) values are identical integers' ratios, so the
+    # per-doc averages are unchanged (pin: tests/test_wave44.py).
+    c2 = (
+        docs.groupBy("bigram")
+        .agg(F.count("*").alias("c2"))
+        .withColumn("w1", F.split("bigram", " ")[0])
+        .localCheckpoint(eager=True)
+    )
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    stats = c2.join(c1, "w1").select("bigram", "c2", "c1")
     ce = (
-        bw.join(c2, "bigram")
-        .join(c1, "w1")
+        docs.join(stats, "bigram")
         .groupBy("doc_id", "lang")
         .agg(
             (F.count("*") + 1).alias("n_tokens"),
@@ -760,13 +774,31 @@ def q329_mutual_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"i": out_i, "j": out_j})
 
     knn = e.mapInPandas(knn_batches, "i long, j long")
-    rev = knn.select(F.col("j").alias("i"), F.col("i").alias("j"))
-    mutual = knn.join(rev, ["i", "j"])
+    # Round-13 optimization (guide §2.4): the old spelling self-joined knn
+    # with its own reversal, and Spark re-executes a non-materialized
+    # MapInPandas subtree once per consumer -- the whole kNN matmul ran
+    # TWICE, plus two join-side shuffles.  Each directed edge (i, j) is
+    # unique (one top-k row set per i), so the unordered pair {i, j} appears
+    # exactly twice iff the edge is mutual: ONE groupBy on the canonical
+    # orientation replaces the join, and the kernel is evaluated once.
+    # Mutual-degree values are unchanged (pinned old-vs-new in
+    # tests/test_wave44.py).
+    mutual_pairs = (
+        knn.groupBy(
+            F.least("i", "j").alias("a"), F.greatest("i", "j").alias("b")
+        )
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") == 2)
+    )
+    # explode, not a self-union: unionAll would give mutual_pairs two
+    # consumers and inline the kernel subtree twice again.
+    endpoints = mutual_pairs.select(
+        F.explode(F.array("a", "b")).alias("vec_id")
+    )
+    deg = endpoints.groupBy("vec_id").agg(F.count("*").alias("d"))
     valid = spark.createDataFrame([(int(v),) for v in ids], "vec_id long")
-    mdeg = (
-        valid.join(mutual.withColumnRenamed("i", "vec_id"), "vec_id", "left")
-        .groupBy("vec_id")
-        .agg(F.count("j").alias("md"))
+    mdeg = valid.join(deg, "vec_id", "left").select(
+        "vec_id", F.coalesce("d", F.lit(0)).alias("md")
     )
     return (
         mdeg.groupBy(F.col("md").cast("bigint").alias("mutual_degree"))

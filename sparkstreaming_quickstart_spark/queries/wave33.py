@@ -474,9 +474,17 @@ def q356_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import word_shingles
 
     d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    # Round-13 optimization (guide §2.4): the distinct (source, shingle)
+    # vocabulary is checkpointed -- it previously fed only the hashing
+    # chain, while the union-exact count below RE-EXPLODED the whole corpus
+    # a second time; union_exact is now a countDistinct over this
+    # materialized vocabulary (identical by definition: distinct shingles
+    # overall == distinct shingle values among the distinct (source,
+    # shingle) pairs).
     vocab = (
         d.select("source", F.explode(word_shingles("text", 3)).alias("shingle"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     # 60-bit salted md5 normalized to (0,1) by an exact power-of-two
     # division -- the wave-31 minhash spelling, DuckDB-identical.
@@ -512,10 +520,7 @@ def q356_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     pooled_rank = pooled.select(
         "u", F.row_number().over(Window.orderBy("u")).alias("rn")
     )
-    union_exact = (
-        d.select(F.explode(word_shingles("text", 3)).alias("shingle"))
-        .agg(F.countDistinct("shingle").alias("n"))
-    )
+    union_exact = vocab.agg(F.countDistinct("shingle").alias("n"))
     union_row = (
         pooled_rank.crossJoin(F.broadcast(union_exact))
         .groupBy("n")

@@ -116,25 +116,42 @@ def q379_winnowing_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import winnow_fingerprints
 
     d = load_table(spark, sf_dir, "documents")
+    # Round-13 optimization (guide §2.4/§2.3): the old spelling consumed the
+    # fingerprint subtree (gram explode + rolling window + distinct) FOUR
+    # times -- nf, the df-filter, and both sides of the posting self-join --
+    # and Spark re-executes a non-materialized subtree per consumer.  The
+    # fingerprint set is the small decide-with table (≈2/(w+1) of grams),
+    # so it is eagerly checkpointed once; the pair count then comes from ONE
+    # posting-list groupBy (the q51 hashed-posting discipline) instead of a
+    # self-join: each kept fingerprint's sorted member list expands its
+    # (d1 < d2) triangle in place, and n_shared = pairs per (d1, d2) --
+    # identical to the join+filter+count (fp is distinct per (doc, h), so
+    # each h contributes each pair at most once).  Old-vs-new value pin in
+    # tests/test_wave44.py.
     fp = (
         winnow_fingerprints(d, "text", "doc_id", _WIN_K, _WIN_W)
         .select(F.col("id").alias("doc_id"), "h")
         .distinct()
+        .localCheckpoint(eager=True)
     )
     nf = fp.groupBy("doc_id").agg(F.count("*").alias("nf"))
-    kept = (
+    posts = (
         fp.groupBy("h")
-        .agg(F.count("*").alias("c"))
-        .filter((F.col("c") >= 2) & (F.col("c") <= _WIN_CAP))
-        .select("h")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= _WIN_CAP))
     )
-    fk = fp.join(kept, "h")
-    a = fk.select(F.col("doc_id").alias("d1"), "h")
-    b = fk.select(F.col("doc_id").alias("d2"), "h")
+    pair_structs = F.flatten(
+        F.transform(
+            "ids",
+            lambda x, i: F.transform(
+                F.slice("ids", i + F.lit(2), F.size("ids")),
+                lambda y: F.struct(x.alias("d1"), y.alias("d2")),
+            ),
+        )
+    )
     pairs = (
-        a.join(b, "h")
-        .filter(F.col("d1") < F.col("d2"))
-        .groupBy("d1", "d2")
+        posts.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.d1").alias("d1"), F.col("p.d2").alias("d2"))
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= _WIN_MIN_SHARED)
     )

@@ -11,6 +11,8 @@ analytics surface; these are charter extensions (SURVEY.md section 2.B).
 
 from __future__ import annotations
 
+from fractions import Fraction
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -178,6 +180,8 @@ _INCR_JACCARD_T = 0.5
     "exact > near resolves the overlap deterministically.",
 )
 def q203_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import hashed_shingle_docs
+
     d = load_table(spark, sf_dir, "documents")
     hist = d.filter(F.col("doc_id") % 5 != 0)
     batch = d.filter(F.col("doc_id") % 5 == 0)
@@ -191,26 +195,69 @@ def q203_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("hid").alias("exact_match"))
     )
 
+    # Round-13 optimization (guide §2.3): the shingle inverted-index join
+    # shuffled ~24-char shingle STRINGS from both sides, and each side's
+    # shingling subtree was evaluated twice (once for the posting explode,
+    # once for the size join).  Hashed shingles (hashed_shingle_docs --
+    # Jaccard over the hashed sets equals Jaccard over the string shingles
+    # up to negligible 64-bit collisions, the q51/q52 convention, and the
+    # windowing mirrors word_shingles exactly) shuffle as 8-byte longs, and
+    # the set SIZE rides each posting row so the size joins disappear:
+    # every subtree has exactly one consumer.
     def shingled(df):
-        return (
-            df.select("doc_id", word_shingles("text", 3).alias("sh"))
-            .filter(F.size(tokens("text")) >= 3)
+        return hashed_shingle_docs(
+            df.filter(F.size(tokens("text")) >= 3), "text", "doc_id", 3
         )
 
-    bsh, hsh = shingled(batch), shingled(hist)
-    btok = bsh.select("doc_id", F.explode("sh").alias("shingle"))
-    htok = hsh.select("doc_id", F.explode("sh").alias("shingle"))
-    common = (
-        btok.alias("b")
-        .join(htok.alias("h"), "shingle")
-        .groupBy(
-            F.col("b.doc_id").alias("bid"), F.col("h.doc_id").alias("hid")
-        )
-        .agg(F.count("*").alias("common"))
+    # Prefix filter (PPJoin lemma, the q185 pigeonhole in its Jaccard form):
+    # jaccard(A, B) >= t implies |A∩B| >= ceil(t*|A|) and >= ceil(t*|B|), so
+    # the SMALLEST shared shingle under any fixed global order sits within
+    # the first n - ceil(t*n) + 1 shingles of BOTH docs.  Ordering
+    # rarest-first (by union df, then h) pushes the corpus-hot shingles out
+    # of every prefix, which is what kills the hot-shingle pair blowup:
+    # measured at sf1, the unfiltered posting join emitted 15M candidate
+    # (bid, hid) pairs -- nearly all batch x hist -- because Zipf-head
+    # shingles pair everything with everything.  ceil is EXACT integer math
+    # (threshold as num/den; the q185 float-floor counterexample).  The
+    # surviving candidates re-verify against the full hashed sets with
+    # array_intersect, so emitted values are identical to the unfiltered
+    # join -- pinned old-vs-new in tests/test_wave44.py.
+    frac = Fraction(str(_INCR_JACCARD_T))
+    num, den = frac.numerator, frac.denominator
+    bsh = shingled(batch).localCheckpoint(eager=True)
+    hsh = shingled(hist).localCheckpoint(eager=True)
+    bt = bsh.select(
+        F.col("doc_id").alias("bid"), F.col("n_sh").alias("n"), F.explode("xs").alias("h")
     )
+    ht = hsh.select(
+        F.col("doc_id").alias("hid"), F.col("n_sh").alias("n"), F.explode("xs").alias("h")
+    )
+    dfreq = (
+        bt.select("h")
+        .unionAll(ht.select("h"))
+        .groupBy("h")
+        .agg(F.count("*").alias("df"))
+        .localCheckpoint(eager=True)
+    )
+
+    def prefix(tok, idc):
+        ranked = tok.join(dfreq, "h").withColumn(
+            "r", F.row_number().over(Window.partitionBy(idc).orderBy("df", "h"))
+        )
+        plen = (
+            F.col("n")
+            - F.expr(f"(n * CAST({num} AS BIGINT) + {den - 1}) div {den}")
+            + F.lit(1)
+        )
+        return ranked.filter(F.col("r") <= plen).select(idc, "h")
+
+    cand = prefix(bt, "bid").join(prefix(ht, "hid"), "h").select("bid", "hid").distinct()
+    a1 = bsh.select(F.col("doc_id").alias("bid"), F.col("xs").alias("xs1"), F.col("n_sh").alias("bn"))
+    a2 = hsh.select(F.col("doc_id").alias("hid"), F.col("xs").alias("xs2"), F.col("n_sh").alias("hn"))
     near = (
-        common.join(bsh.select(F.col("doc_id").alias("bid"), F.size("sh").alias("bn")), "bid")
-        .join(hsh.select(F.col("doc_id").alias("hid"), F.size("sh").alias("hn")), "hid")
+        cand.join(a1, "bid")
+        .join(a2, "hid")
+        .withColumn("common", F.size(F.array_intersect("xs1", "xs2")))
         .filter(
             F.col("common").cast("double")
             / (F.col("bn") + F.col("hn") - F.col("common"))
