@@ -20,15 +20,27 @@ def tokens(text: Column | str) -> Column:
 def word_shingles(text: Column | str, n: int = 3) -> Column:
     """Distinct n-word shingles as 'w1 w2 w3' strings.
 
-    Built with a higher-order `transform` over token indices -- no explode, so
-    it composes inside a single projection.
-    """
+    Built with a higher-order `transform` -- no explode, so it composes
+    inside a single projection.
+
+    Round-14 spelling (guide §4 / measured 31 s -> 2 s for the q375 shingle
+    projection at sf1): Spark does NO common-subexpression elimination
+    inside lambda bodies, so the old `transform(sequence(...), i ->
+    concat_ws(slice(tokens(text), i+1, n)))` re-evaluated the whole
+    `split(text)` once PER WINDOW POSITION -- O(tokens^2) work per document.
+    This spelling zips n SHIFTED slices of the token array (each slice
+    evaluates the split subtree once per ROW) and concatenates the zipped
+    struct fields, so per-document work is O(n x tokens).  Output is
+    IDENTICAL: window i's struct holds t[i+1..i+n] with arrays_zip null-
+    padding the tail windows, and concat_ws skips NULLs exactly like the
+    old short-tail slice join; docs shorter than n tokens still yield the
+    single whole-doc shingle (m = max(size-n+1, 1)); pinned old-vs-new in
+    tests/test_text_spellings.py."""
     t = tokens(text)
+    m = F.greatest(F.size(t) - (n - 1), F.lit(1))
+    z = F.arrays_zip(*[F.slice(t, k + 1, m).alias(f"w{k}") for k in range(n)])
     return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)),
-        )
+        F.transform(z, lambda s: F.concat_ws(" ", *[s[f"w{k}"] for k in range(n)]))
     )
 
 
@@ -72,10 +84,13 @@ def ngram_instances(toks: Column | str, n: int = 3) -> Column:
     transform -- no Python, composes inside a single projection.  Callers
     starting from raw text pass `tokens(text_col)`."""
     t = F.col(toks) if isinstance(toks, str) else toks
+    # Same no-CSE-inside-lambdas fix as word_shingles (round 14): the old
+    # `slice(t, i, n)` lambda re-evaluated the token subtree per window.
+    # Here size >= n guarantees every slice is exactly m long (k+m <= size),
+    # so no null padding ever occurs.
+    m = F.size(t) - (n - 1)
+    z = F.arrays_zip(*[F.slice(t, k + 1, m).alias(f"w{k}") for k in range(n)])
     return F.when(
         F.size(t) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(t) - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(t, i, n)),
-        ),
+        F.transform(z, lambda s: F.concat_ws(" ", *[s[f"w{k}"] for k in range(n)])),
     ).otherwise(F.array().cast("array<string>"))

@@ -280,7 +280,36 @@ def minhash_lsh_pairs(
     the full shingled corpus a second time measured ~30% of q52 wall at
     bench scale).
     """
-    rows = num_hashes // bands
+    cand = minhash_lsh_candidates(
+        df,
+        text_col,
+        id_col,
+        n=n,
+        num_hashes=num_hashes,
+        bands=bands,
+        seed=seed,
+        bucket_cap=bucket_cap,
+        observation=observation,
+    )
+    return exact_jaccard_verify(cand, df, text_col, id_col, n, threshold)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    num_hashes: int = 96,
+    bands: int = 24,
+    seed: int = 42,
+    bucket_cap: int = 256,
+    observation=None,
+) -> DataFrame:
+    """The candidate stage of minhash_lsh_pairs: (d1 < d2) pairs sharing at
+    least one band bucket, buckets capped at bucket_cap.  Exposed separately
+    so the signature-computed-once plan invariant can be pinned on the plan
+    that actually contains the signature kernel (exact_jaccard_verify's
+    checkpoint truncates the final plan's lineage to a LogicalRDD scan)."""
     docs = hashed_shingle_docs(df, text_col, id_col, n)
     # Signatures arrive materialized from the Arrow kernel (see
     # minhash_signatures); band keys index the mh array of that single
@@ -305,8 +334,7 @@ def minhash_lsh_pairs(
             ),
         )
     buckets = buckets.filter(F.size("ids") <= bucket_cap)
-    cand = bucket_member_pairs(buckets)
-    return exact_jaccard_verify(cand, df, text_col, id_col, n, threshold)
+    return bucket_member_pairs(buckets)
 
 
 def lsh_band_keys(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
@@ -358,32 +386,38 @@ def exact_jaccard_verify(
     """Exact-Jaccard verification of candidate pairs against the raw text.
 
     Shingles are derived once per DISTINCT candidate member, not once per
-    pair occurrence: candidate pairs are eagerly checkpointed (they are small
-    by design -- that is the whole point of LSH candidate generation), the
-    distinct member set joins the RAW text (column-pruned scan), and the
-    per-doc hashed shingle set is then attached to each (pair, member) row
-    by a join on the 8-byte doc id.  The round-12 spelling computed the
-    shingle set per (pair, member) row instead, which re-tokenized a doc
-    once per pair it appears in -- measured 6.4 s of q85's 9.3 s at sf0.1
-    (84k candidates from uncapped single-hash buckets re-shingled 168k
-    times for ~5k distinct docs).  Jaccard over the hashed sets equals
-    Jaccard over the string shingles (injective up to 64-bit collisions),
-    and the intersect works on longs."""
+    pair occurrence, and the candidate frame has exactly ONE consumer in the
+    plan (round-14): pair occurrences group per member doc
+    (collect_list of the (d1, d2) pairs each doc participates in), the RAW
+    text joins that per-doc frame (column-pruned scan), the hashed shingle
+    set is computed once per doc row BELOW the pair re-explode, and the
+    per-pair regroup reassembles both sides.  History: the round-12
+    spelling computed the shingle set per (pair, member) row, re-tokenizing
+    a doc once per pair (measured 6.4 s of q85's 9.3 s at sf0.1); round 13
+    fixed that with a distinct-member scan but needed TWO consumers of
+    `cand` and therefore a localCheckpoint, whose eager form cost a blocking
+    job per consumer at sf0.1 (q52 3.95 vs 2.34 s, q322 6.64 vs 3.07 s) and
+    whose lazy form let concurrent broadcast-build threads duplicate the
+    whole candidate pipeline at sf1 (q85 88 vs 45 s, q233 65 vs 19 s --
+    the round-14 A/B grid in OPTIMIZATION_r14.md).  The groupBy spelling
+    dominates BOTH: single evaluation is structural (one reference, nothing
+    to duplicate), there is no checkpoint job, no pinned executor storage,
+    and no fault-tolerance trade at 100 TB.  The per-doc pair lists are
+    bounded by the LSH bucket cap (a doc joins <= bands x cap pairs).
+    Jaccard over the hashed sets equals Jaccard over the string shingles
+    (injective up to 64-bit collisions), and the intersect works on longs."""
     raw = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text"))
-    # Eager checkpoint: `cand` feeds the distinct-member scan AND the pair
-    # re-join below; without it Spark would re-run the whole candidate
-    # pipeline (bucket groupBy, or q85's MLlib transform chain) per consumer.
-    cand = cand.localCheckpoint(eager=True)
-    members = (
-        cand.select(F.explode(F.array(F.col("d1"), F.col("d2"))).alias("doc_id"))
-        .distinct()
-        .join(raw, "doc_id")
-        .select("doc_id", F.transform(tokens("__text"), lambda w: F.xxhash64(w)).alias("th"))
-        .select("doc_id", _shingle_hashes("th", n).alias("xs"))
+    long = cand.select("d1", "d2", F.explode(F.array(F.col("d1"), F.col("d2"))).alias("doc_id"))
+    per_doc = long.groupBy("doc_id").agg(F.collect_list(F.struct("d1", "d2")).alias("prs"))
+    with_xs = (
+        per_doc.join(raw, "doc_id")
+        .select("doc_id", "prs", F.transform(tokens("__text"), lambda w: F.xxhash64(w)).alias("th"))
+        .select("doc_id", "prs", _shingle_hashes("th", n).alias("xs"))
         .withColumn("n_sh", F.size("xs"))
     )
-    long = cand.select("d1", "d2", F.explode(F.array(F.col("d1"), F.col("d2"))).alias("doc_id"))
-    member = long.join(members, "doc_id").select("d1", "d2", "doc_id", "xs", "n_sh")
+    member = with_xs.select(
+        "doc_id", "xs", "n_sh", F.explode("prs").alias("p")
+    ).select(F.col("p.d1").alias("d1"), F.col("p.d2").alias("d2"), "doc_id", "xs", "n_sh")
     per_pair = member.groupBy("d1", "d2").agg(
         F.max(F.when(F.col("doc_id") == F.col("d1"), F.struct("n_sh", "xs"))).alias("a"),
         F.max(F.when(F.col("doc_id") == F.col("d2"), F.struct("n_sh", "xs"))).alias("b"),

@@ -608,46 +608,120 @@ def q375_tfidf_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.size("ids") > 1) & (F.size("ids") <= _SMH_CAP))
     )
     cand = bucket_member_pairs(buckets)
-    # exact TF-IDF verify over the full vector space, candidates only
-    tok = (
-        d.select("doc_id", F.explode(tokens("text")).alias("token"))
+    # Round-14 verify rewrite (guide §2.3 "decide with small rows" / §4.2):
+    # the old spelling built the FULL corpus tf-idf index (doc x token rows),
+    # persisted it, and attached candidate pairs through two index-wide
+    # joins (on d1, then on (d2, token)) plus an index-wide norm aggregate.
+    # Only candidate MEMBERS ever matter to the emitted rows, so: the
+    # corpus-global statistics (n, per-token df) are still computed over the
+    # whole corpus (they must be -- idf is global), but per-doc weight
+    # vectors are built ONLY for the distinct candidate members, grouped
+    # into hash-sorted (token-hash, weight) arrays, and each pair's exact
+    # cosine is computed by one vectorized Arrow kernel (searchsorted match
+    # on the 64-bit token hashes -- injective up to negligible collisions,
+    # the q51/q185 convention).  The emitted value is round(dot/(n1*n2), 6)
+    # with half-away rounding exactly like F.round; dot/norm accumulation
+    # order changes (sorted-hash order vs whatever partial-agg order the
+    # old F.sum used), which both engines already tolerate at ROUND(,6) --
+    # the oracle's own SUM order never matched Spark's either.
+    # Attach via the single-consumer member-grouping shape (the round-14
+    # exact_jaccard_verify discipline): pair occurrences group per member
+    # doc, so the candidate pipeline has ONE reference in the plan and is
+    # never re-evaluated per consumer.  The (member, pairs, text) frame --
+    # candidate members only, small by LSH construction -- is the one
+    # eagerly-materialized intermediate; everything downstream (tf, idf
+    # join, vector build, the pair regroup) touches members only.
+    long = cand.select(
+        "d1", "d2", F.explode(F.array(F.col("d1"), F.col("d2"))).alias("doc_id")
+    )
+    per_doc = long.groupBy("doc_id").agg(
+        F.collect_list(F.struct("d1", "d2")).alias("prs")
+    )
+    pd_txt = per_doc.join(d.select("doc_id", "text"), "doc_id").localCheckpoint(
+        eager=True
+    )
+    n = d.select(F.countDistinct("doc_id").alias("n"))  # == docs with >=1 token
+    df_t = (
+        d.select(F.explode(F.array_distinct(tokens("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("df"))
+    )
+    tok_m = (
+        pd_txt.select("doc_id", F.explode(tokens("text")).alias("token"))
         .groupBy("doc_id", "token")
         .agg(F.count("*").alias("tf"))
     )
-    n = tok.select(F.countDistinct("doc_id").alias("n"))
-    df_t = tok.groupBy("token").agg(F.count("*").alias("df"))
-    w = (
-        tok.join(df_t, "token")
+    w_m = (
+        tok_m.join(df_t, "token")
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
-            "token",
+            F.xxhash64("token").alias("th"),
             (F.col("tf") * F.log(F.col("n").cast("double") / F.col("df"))).alias("w"),
         )
-        .persist()
     )
-    nrm = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
-    wa = w.select(F.col("doc_id").alias("d1"), "token", F.col("w").alias("wa"))
-    wb = w.select(F.col("doc_id").alias("d2"), "token", F.col("w").alias("wb"))
-    dots = (
-        cand.join(wa, "d1")
-        .join(wb, ["d2", "token"])
-        .groupBy("d1", "d2")
-        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
-    )
-    n1 = nrm.select(F.col("doc_id").alias("d1"), F.col("nrm").alias("nrm1"))
-    n2 = nrm.select(F.col("doc_id").alias("d2"), F.col("nrm").alias("nrm2"))
-    return (
-        dots.join(n1, "d1")
-        .join(n2, "d2")
+    vec = (
+        w_m.groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("th", "w"))).alias("tw"))
         .select(
-            "d1",
-            "d2",
-            F.round(F.col("dot") / (F.col("nrm1") * F.col("nrm2")), 6).alias("cos_sim"),
+            "doc_id",
+            F.transform("tw", lambda x: x["th"]).alias("ths"),
+            F.transform("tw", lambda x: x["w"]).alias("ws"),
         )
-        .filter(F.col("cos_sim") >= _TFIDF_LSH_T)
-        .orderBy("d1", "d2")
     )
+    member = (
+        pd_txt.select("doc_id", F.explode("prs").alias("p"))
+        .join(vec, "doc_id")
+        .select(F.col("p.d1").alias("d1"), F.col("p.d2").alias("d2"), "doc_id", "ths", "ws")
+    )
+    per_pair = member.groupBy("d1", "d2").agg(
+        F.max(F.when(F.col("doc_id") == F.col("d1"), F.struct("ths", "ws"))).alias("a"),
+        F.max(F.when(F.col("doc_id") == F.col("d2"), F.struct("ths", "ws"))).alias("b"),
+    )
+    paired = per_pair.select(
+        "d1",
+        "d2",
+        F.col("a.ths").alias("th1"),
+        F.col("a.ws").alias("w1"),
+        F.col("b.ths").alias("th2"),
+        F.col("b.ws").alias("w2"),
+    )
+
+    def _cos_kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            d1s, d2s, coss = [], [], []
+            for r in range(len(pdf)):
+                th1 = np.asarray(pdf["th1"].iloc[r], dtype=np.int64)
+                w1 = np.asarray(pdf["w1"].iloc[r], dtype=np.float64)
+                th2 = np.asarray(pdf["th2"].iloc[r], dtype=np.int64)
+                w2 = np.asarray(pdf["w2"].iloc[r], dtype=np.float64)
+                idx = np.searchsorted(th1, th2)
+                ok = (idx < len(th1)) & (th1[np.minimum(idx, len(th1) - 1)] == th2)
+                dot = float((w1[idx[ok]] * w2[ok]).sum())
+                nrm = float(np.sqrt((w1 * w1).sum()) * np.sqrt((w2 * w2).sum()))
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    c = dot / nrm if nrm != 0.0 else float("nan")
+                # half-away-from-zero rounding, F.round parity
+                if np.isfinite(c):
+                    c = float(np.copysign(np.floor(abs(c) * 1e6 + 0.5) / 1e6, c))
+                if c >= _TFIDF_LSH_T:
+                    d1s.append(pdf["d1"].iloc[r])
+                    d2s.append(pdf["d2"].iloc[r])
+                    coss.append(c)
+            yield pd.DataFrame(
+                {
+                    "d1": pd.Series(d1s, dtype="int64"),
+                    "d2": pd.Series(d2s, dtype="int64"),
+                    "cos_sim": pd.Series(coss, dtype="float64"),
+                }
+            )
+
+    return paired.mapInPandas(
+        _cos_kernel, "d1 long, d2 long, cos_sim double"
+    ).orderBy("d1", "d2")
 
 
 # ---------------------------------------------------------------------------

@@ -228,19 +228,26 @@ def q185_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def containment_pairs(d: DataFrame, threshold: float) -> DataFrame:
     """(id1, id2, containment) pairs at |A∩B|/min(|A|,|B|) >= threshold over
     3-word shingles, via the lossless rarest-first prefix filter described
-    in q185's docstring.  `d` needs (doc_id, text)."""
-    # The shingle frame feeds the index build AND both verify sides, and the
-    # posting list feeds three consumers (df counts, prefix ranking, the
-    # candidate probe); materialize each once instead of re-shingling the
-    # corpus per consumer.  At 100 TB this is the "build the inverted index,
-    # then join against it" shape (MEMORY_AND_DISK spills instead of
-    # recomputing).
-    sh = (
-        d.select("doc_id", word_shingles("text", 3).alias("sh"))
-        .filter(F.size(tokens("text")) >= 3)
-        .persist()
-    )
-    tok = sh.select("doc_id", F.explode("sh").alias("shingle")).persist()
+    in q185's docstring.  `d` needs (doc_id, text).
+
+    Round-14 spelling (guide §2.3 narrower types, the q203/q51 convention):
+    shingles post as 8-byte xxhash64 LONGS (hashed_shingle_docs -- the hash
+    is injective up to negligible 64-bit collisions, so intersection counts,
+    set sizes, and therefore every emitted containment double are identical
+    to the string-shingle spelling), the set size rides each posting row
+    (no size join-back), and the shingled frame is checkpointed ONCE for its
+    five consumers (df counts, prefix ranking, the candidate probe, both
+    verify sides) instead of persisting two string-array frames.  The
+    rarest-first tie-break is now (df, h) instead of (df, shingle-string):
+    the prefix lemma is pure pigeonhole -- ANY fixed per-doc enumeration
+    works -- so the candidate set may differ but recall stays exactly 1.0
+    and the exact verify emits the identical pair set."""
+    from ..operators.dedup import hashed_shingle_docs
+
+    docs = hashed_shingle_docs(
+        d.filter(F.size(tokens("text")) >= 3), "text", "doc_id", 3
+    ).localCheckpoint(eager=True)
+    tok = docs.select("doc_id", F.col("n_sh").alias("n"), F.explode("xs").alias("h"))
 
     # Rarest-first prefix: rank each doc's shingles by global df, keep the
     # first p = n - ceil(t*n) + 1.  Lossless for containment at threshold t
@@ -262,21 +269,21 @@ def containment_pairs(d: DataFrame, threshold: float) -> DataFrame:
         # n*num is bounded by n * 1e6 (round-6 advice).
         frac = Fraction(int(threshold * 1_000_000), 1_000_000)
     num, den = frac.numerator, frac.denominator
-    freq = tok.groupBy("shingle").agg(F.count("*").alias("df"))
-    ranked = tok.join(freq, "shingle").withColumn(
+    freq = tok.groupBy("h").agg(F.count("*").alias("df"))
+    ranked = tok.join(freq, "h").withColumn(
         "r",
-        F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "shingle")),
-    ).withColumn("n", F.count("*").over(Window.partitionBy("doc_id")))
+        F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "h")),
+    )
     prefix_len = (
         F.col("n")
         - F.expr(f"(n * CAST({num} AS BIGINT) + {den - 1}) div {den}")
         + F.lit(1)
     )
-    prefix = ranked.filter(F.col("r") <= prefix_len).select("doc_id", "shingle")
+    prefix = ranked.filter(F.col("r") <= prefix_len).select("doc_id", "h")
 
     cand = (
         prefix.alias("p")
-        .join(tok.alias("q"), "shingle")
+        .join(tok.select("doc_id", "h").alias("q"), "h")
         .filter(F.col("p.doc_id") != F.col("q.doc_id"))
         .select(
             F.least("p.doc_id", "q.doc_id").alias("id1"),
@@ -285,14 +292,15 @@ def containment_pairs(d: DataFrame, threshold: float) -> DataFrame:
         .distinct()
     )
 
-    # Exact verify: join each candidate pair to the two shingle ARRAYS and
-    # intersect in codegen.  The candidate set is loose (any shared rare
+    # Exact verify: join each candidate pair to the two hashed-shingle ARRAYS
+    # and intersect in codegen.  The candidate set is loose (any shared rare
     # shingle qualifies), so expanding candidates back through the posting
     # list (join + groupBy count) multiplies 100x before shrinking; the
     # array_intersect spelling verifies each pair in O(|sh|) right where it
-    # sits -- measured 5.7s -> ~2s at sf0.1 on 180k candidates.
-    s1 = sh.select(F.col("doc_id").alias("id1"), F.col("sh").alias("sh1"))
-    s2 = sh.select(F.col("doc_id").alias("id2"), F.col("sh").alias("sh2"))
+    # sits -- measured 5.7s -> ~2s at sf0.1 on 180k candidates (r13), now on
+    # long arrays instead of ~24-char-string arrays.
+    s1 = docs.select(F.col("doc_id").alias("id1"), F.col("xs").alias("xs1"), F.col("n_sh").alias("n1"))
+    s2 = docs.select(F.col("doc_id").alias("id2"), F.col("xs").alias("xs2"), F.col("n_sh").alias("n2"))
     return (
         cand.join(s1, "id1")
         .join(s2, "id2")
@@ -300,8 +308,8 @@ def containment_pairs(d: DataFrame, threshold: float) -> DataFrame:
             "id1",
             "id2",
             F.round(
-                F.size(F.array_intersect("sh1", "sh2")).cast("double")
-                / F.least(F.size("sh1"), F.size("sh2")),
+                F.size(F.array_intersect("xs1", "xs2")).cast("double")
+                / F.least("n1", "n2"),
                 9,
             ).alias("containment"),
         )

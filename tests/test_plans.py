@@ -58,6 +58,11 @@ def test_minhash_signatures_computed_once(spark, sf_dir):
     # signature self-join, so the plan may contain only a single instance of
     # the minhash fold.  (Spark re-evaluates non-materialized subtrees per
     # consumer; a duplicated fold means a join-shaped regression.)
+    #
+    # Round-14: exact_jaccard_verify consumes the candidate frame exactly
+    # ONCE (pair occurrences group per member doc before the text join), so
+    # the whole operator is back to a single checkpoint-free plan and the
+    # original single-kernel pin applies to the final executed plan again.
     from sparkstreaming_quickstart_spark.operators.dedup import minhash_lsh_pairs
 
     d = load_table(spark, sf_dir, "documents")
@@ -68,8 +73,10 @@ def test_minhash_signatures_computed_once(spark, sf_dir):
     # only the final plan reflects what actually ran.
     final_plan = executed.split("== Initial Plan ==")[0]
     # The signature stage is one Arrow mapInPandas kernel; a join-shaped
-    # regression (signatures evaluated per join side) would show two.
+    # regression (signatures evaluated per join side) would show two, and a
+    # reintroduced checkpoint would show zero plus an ExistingRDD scan.
     assert final_plan.count("MapInPandas") == 1, executed
+    assert "ExistingRDD" not in final_plan, executed
 
 
 def test_embedding_prefilter_is_equijoin_and_subset(spark, sf_dir):

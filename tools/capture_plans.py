@@ -1,8 +1,9 @@
-"""Capture `.explain("formatted")` for named queries into plans/r13/.
+"""Capture `.explain("formatted")` for named queries into plans/<round>/.
 
-Round-13 optimization deliverable: for each query touched this round, the
-formatted physical plan is committed as plans/r13/<query>_<suffix>.txt so
-plan claims in OPTIMIZATION_r13.md can be checked without running Spark.
+Optimization-round deliverable: for each query touched in a round, the
+formatted physical plan is committed as plans/<round>/<query>_<suffix>.txt so
+plan claims in OPTIMIZATION_<round>.md can be checked without running Spark.
+Round defaults to r14; override with PLANS_ROUND.
 
 Usage:
     python tools/capture_plans.py before q114_dedup_embedding_exact q178_...
@@ -20,7 +21,7 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-OUT_DIR = os.path.join(REPO, "plans", "r13")
+OUT_DIR = os.path.join(REPO, "plans", os.environ.get("PLANS_ROUND", "r14"))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
